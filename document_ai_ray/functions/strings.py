@@ -1,0 +1,76 @@
+"""String scalar functions.
+
+Covers the reference's string toolbox (SURVEY.md §2.8): Levenshtein
+distance (≙ /root/reference/analysis/cv/document_parsing.py:75-76,
+validation/entities.py:60-70), NFD diacritic stripping
+(≙ /root/reference/utils.py:5), tokenization.  No third-party fuzzy
+library is available in this environment, so Levenshtein is implemented
+here (banded, early-exit) — it only ever runs on short label strings in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v ]+")
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish word/punct splitter for token counting: words with optional
+# leading apostrophe pieces, numbers, or single non-space punctuation.
+_BPE_RE = re.compile(r"'?[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]", re.UNICODE)
+
+
+def normalize_str(s: str) -> str:
+    """Strip diacritics via NFD decomposition (≙ reference `normalize_str`,
+    /root/reference/utils.py:5) and lowercase."""
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s) if unicodedata.category(c) != "Mn"
+    ).lower()
+
+
+def collapse_ws(s: str) -> str:
+    """The frozen whitespace canon: runs of ASCII whitespace + NBSP become
+    one space; ends stripped.  Byte-identity of `extracted_text` depends
+    on exactly this transform — do not change without regenerating
+    goldens."""
+    return _WS_RE.sub(" ", s).strip()
+
+
+def tokens(s: str) -> list[str]:
+    return _TOKEN_RE.findall(s)
+
+
+def bpe_tokens(s: str) -> list[str]:
+    """Deterministic BPE-ish tokenization used for token counting."""
+    return _BPE_RE.findall(s)
+
+
+def levenshtein(a: str, b: str, limit: int | None = None) -> int:
+    """Classic DP Levenshtein with optional early-exit band.
+
+    Returns ``limit + 1`` as soon as the distance provably exceeds
+    ``limit`` (cheap for the fuzzy label matching where limit is 1-2).
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if limit is not None and lb - la > limit:
+        return limit + 1
+    prev = list(range(la + 1))
+    cur = [0] * (la + 1)
+    for j in range(1, lb + 1):
+        cur[0] = j
+        bj = b[j - 1]
+        best = cur[0]
+        for i in range(1, la + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            if cur[i] < best:
+                best = cur[i]
+        if limit is not None and best > limit:
+            return limit + 1
+        prev, cur = cur, prev
+    return prev[la]

@@ -1,0 +1,53 @@
+"""Extraction-pipeline queries with DuckDB oracles.
+
+The byte-identity invariant as an oracle check: the Ray pipeline wraps
+each `documents` row in deterministic boilerplate HTML, extracts the
+main content, and must return exactly the original text per url.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from document_ai_ray.pipelines.registry import register
+
+
+@register(
+    "extract_roundtrip",
+    oracle=(
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted_text "
+        "FROM documents"
+    ),
+)
+def extract_roundtrip(sf_dir: str):
+    """Byte-identical main-content extraction (the flagship invariant)."""
+    from document_ai_ray.pipelines.extract import flagship
+
+    return flagship(sf_dir).select_columns(["url", "extracted_text"])
+
+
+@register(
+    "extract_validated_count",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+    ),
+)
+def extract_validated_count(sf_dir: str):
+    """Per-lang document counts THROUGH the extraction pipeline (the
+    wrapped pages are all clean, so every row survives extraction; the
+    oracle counts the source table).  Exercises extraction -> groupby."""
+    from ray.data.aggregate import Count
+
+    from document_ai_ray.pipelines.extract import flagship
+
+    out = flagship(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return out
+
+
+@register("extract_flagship_full")
+def extract_flagship_full(sf_dir: str):
+    """Full validated extraction output (rows-only check: nested
+    blocks/quality/causes columns have no SQL analogue)."""
+    from document_ai_ray.pipelines.extract import flagship
+
+    return flagship(sf_dir)

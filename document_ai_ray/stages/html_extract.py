@@ -1,0 +1,426 @@
+"""The flagship stage: HTML/PDF main-content extraction.
+
+Re-expresses the reference's geometric pipeline for web text
+(SURVEY.md §2.2/§2.3 mapping):
+
+  - strip head/script/style/comments        ≙ SAM page crop
+    (/root/reference/detection/sam.py:49-102)
+  - DOM walk -> text nodes with tag paths   ≙ doctr OCR word boxes
+    (/root/reference/analysis/cv/boxes_processing.py:5-23)
+  - per-block text/link-density scoring     ≙ multi-scale template
+    matching block location (/root/reference/detection/
+    template_matching.py:23-78, 550-583); jusText/boilerpipe-style
+  - chrome priors (nav/header/footer/aside) ≙ search-region isolation
+    (/root/reference/detection/template_matching.py:230-261)
+  - fuzzy label -> value field extraction   ≙ find_next_right_word
+    spatial join (/root/reference/analysis/cv/document_parsing.py:132-198)
+  - quality / presence classification       ≙ LMM quality & signature
+    stages, made deterministic (/root/reference/analysis/lmm/gpt.py:116-164)
+
+Designed as an ACTOR-POOL stage: ``Extractor`` compiles its regexes and
+binds its config once per actor (``__init__``), then processes Arrow
+batches in ``__call__`` — the fix for the reference's
+re-instantiate-doctr-per-image bug
+(/root/reference/analysis/cv/boxes_processing.py:8).
+
+THE WHITESPACE CANON (frozen — byte-identity of `extracted_text`
+depends on it; regenerate goldens if it ever changes):
+  1. bytes are decoded utf-8-strict, falling back to latin-1
+     (charset_ok=False);
+  2. character references are decoded (`&amp;` -> `&`);
+  3. within one block, text-node data is concatenated in document
+     order, then every run of `[ \\t\\r\\n\\f\\v\\xa0]+` collapses to a
+     single ASCII space and ends are stripped;
+  4. kept blocks are joined with exactly "\\n\\n" in document order.
+
+UDFs here NEVER raise: a failing row gets `error` set and empty output
+columns (≙ the per-document try/except + SAM fallback,
+/root/reference/performances.py:282-294, analysis/entities.py:121-135).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+from document_ai_ray.config import (
+    DEFAULT_CONFIG,
+    RESULT_SCHEMA,
+    STATUS_EMPTY,
+    STATUS_FOUND,
+    STATUS_NOT_FOUND,
+    ExtractConfig,
+)
+from document_ai_ray.functions.strings import collapse_ws, levenshtein, normalize_str
+from document_ai_ray.stages.pdf_extract import parse_pdf
+from document_ai_ray.stages.text_analysis import langid_text
+
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th dt dd article section main aside header "
+    "footer nav ul ol table tr blockquote pre figure figcaption form fieldset "
+    "address hr body".split()
+)
+SKIP_TAGS = frozenset("script style noscript template svg head title iframe".split())
+VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
+CHROME_TAGS = frozenset("nav header footer aside".split())
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+_LABEL_RE = re.compile(r"^\s*([^\s:][^:]{0,30}?)\s*:\s*(.*)$", re.DOTALL)
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_BYLINE_RE = re.compile(r"^\s*(by|par|von|por|di)\s+\S", re.IGNORECASE)
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+
+
+@dataclass
+class Block:
+    tag_path: str
+    heading: bool
+    chrome: bool
+    heading_level: int = 0              # 1..6 for h1..h6, 0 otherwise
+    pieces: list[str] = dc_field(default_factory=list)       # raw text-node data
+    link_chars: int = 0
+    text: str = ""                                           # canonical (set at finish)
+    kept: bool = False
+    start: int = -1
+    end: int = -1
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+    @property
+    def score(self) -> float:
+        return self.n_chars * (1.0 - self.link_density)
+
+
+class _Dom(HTMLParser):
+    """One-pass DOM walk collecting text blocks (no tree is built —
+    blocks are emitted at block-level tag boundaries)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.blocks: list[Block] = []
+        self._cur: Block | None = None
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self) -> None:
+        b = self._cur
+        if b is not None and b.pieces:
+            self.blocks.append(b)
+        self._cur = None
+
+    def _ensure_block(self) -> Block:
+        if self._cur is None:
+            path = "/".join(self.stack) or "(root)"
+            last = self.stack[-1] if self.stack else ""
+            self._cur = Block(
+                tag_path=path,
+                heading=last in HEADING_TAGS,
+                chrome=any(t in CHROME_TAGS for t in self.stack),
+                heading_level=int(last[1]) if last in HEADING_TAGS else 0,
+            )
+        return self._cur
+
+    # -- parser events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if tag in VOID_TAGS:
+            return
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            if self.skip_depth > 0:
+                self.skip_depth -= 1
+            return
+        if tag in VOID_TAGS:
+            return
+        if tag == "a" and self.link_depth > 0:
+            self.link_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        # tolerant pop: unwind to the matching open tag if present
+        if tag in self.stack:
+            while self.stack and self.stack[-1] != tag:
+                self.stack.pop()
+            if self.stack:
+                self.stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth > 0 or not data or data.isspace():
+            return
+        b = self._ensure_block()
+        b.pieces.append(data)
+        if self.link_depth > 0:
+            b.link_chars += len(collapse_ws(data))
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def parse_html_blocks(html_text: str) -> tuple[list[Block], bool]:
+    """-> (blocks with canonical text, parse_ok).  On parser failure,
+    falls back to tag-stripping the whole payload into one block
+    (≙ the reference's SAM-failure fallback to the uncropped image,
+    /root/reference/analysis/entities.py:126-135)."""
+    try:
+        dom = _Dom()
+        dom.feed(html_text)
+        dom.close()
+        blocks = []
+        for b in dom.blocks:
+            b.text = collapse_ws("".join(b.pieces))
+            if b.text:
+                blocks.append(b)
+        return blocks, True
+    except Exception:
+        stripped = collapse_ws(_TAG_STRIP_RE.sub(" ", html_text))
+        fb = Block(tag_path="(fallback)", heading=False, chrome=False, pieces=[stripped])
+        fb.text = stripped
+        return ([fb] if stripped else []), False
+
+
+def score_blocks(blocks: list[Block], cfg: ExtractConfig) -> None:
+    """Keep/drop classification (jusText/boilerpipe-style) + heading
+    smoothing.  Mutates ``kept`` in place; deterministic."""
+    for b in blocks:
+        if b.chrome:
+            b.kept = b.n_chars >= cfg.chrome_min_chars and b.link_density <= cfg.chrome_max_link_density
+        else:
+            b.kept = b.n_chars >= cfg.min_block_chars and b.link_density <= cfg.max_link_density
+    if cfg.heading_smoothing:
+        # a short heading is kept iff the next substantial SIBLING block
+        # (same parent tag-path) is kept — a sidebar <h3> must not ride
+        # on the main article's paragraphs.
+        for i, b in enumerate(blocks):
+            if b.heading and not b.kept and not b.chrome and b.link_density == 0.0:
+                parent = b.tag_path.rsplit("/", 1)[0]
+                for nb in blocks[i + 1 :]:
+                    if nb.n_chars >= cfg.min_block_chars and nb.tag_path.rsplit("/", 1)[0] == parent:
+                        b.kept = nb.kept
+                        break
+
+
+def extract_fields(
+    candidates: list[str], blocks: list[Block], cfg: ExtractConfig
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Label -> value extraction over candidate lines.
+
+    ≙ `find_next_right_word` (/root/reference/analysis/cv/
+    document_parsing.py:132-198): fuzzy label match within
+    ``distance_margin`` (≙ `get_box_corresponding_to_word`
+    `document_parsing.py:87-99`), value = trailing text after ':'
+    (≙ nearest following box), with the three-way FOUND/EMPTY/NOT_FOUND
+    sentinel semantics (`document_parsing.py:167,195`).
+    """
+    fields: dict[str, str] = {}
+    status: dict[str, str] = {lbl: STATUS_NOT_FOUND for lbl in cfg.field_labels}
+
+    norm_labels = {lbl: normalize_str(lbl) for lbl in cfg.field_labels}
+    for line in candidates:
+        m = _LABEL_RE.match(line)
+        if not m:
+            continue
+        raw_label, raw_value = m.group(1), m.group(2).strip()
+        nl = normalize_str(raw_label)
+        best, best_d = None, cfg.distance_margin + 1
+        for lbl, nlbl in norm_labels.items():
+            d = levenshtein(nl, nlbl, limit=cfg.distance_margin)
+            if d < best_d:
+                best, best_d = lbl, d
+        if best is None or status[best] == STATUS_FOUND:
+            continue
+        if raw_value:
+            fields[best] = raw_value[: cfg.max_value_chars]
+            status[best] = STATUS_FOUND
+        else:
+            status[best] = STATUS_EMPTY
+
+    # title: first heading block of the lowest level present (h1 wins
+    # over h2/h3...) — ≙ block-2 driver-name extraction role
+    if "title" in status and status["title"] != STATUS_FOUND:
+        best_b = None
+        for b in blocks:
+            if b.heading and b.text and (best_b is None or b.heading_level < best_b.heading_level):
+                best_b = b
+        if best_b is not None:
+            fields["title"] = best_b.text[: cfg.max_value_chars]
+            status["title"] = STATUS_FOUND
+    # contact: first email anywhere (≙ stamp-presence analogue)
+    if "contact" in status and status["contact"] != STATUS_FOUND:
+        for line in candidates:
+            em = _EMAIL_RE.search(line)
+            if em:
+                fields["contact"] = em.group(0)
+                status["contact"] = STATUS_FOUND
+                break
+    return fields, status
+
+
+def _empty_result(url, warc_ts, lang, content_type, error) -> dict:
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "lang": lang,
+        "content_type": content_type,
+        "extracted_text": "",
+        "fields": {},
+        "field_status": {},
+        "blocks": [],
+        "quality": {
+            "is_readable": False,
+            "charset_ok": False,
+            "parse_ok": False,
+            "yield_ratio": 0.0,
+            "n_blocks": 0,
+            "n_kept": 0,
+            "has_byline": False,
+            "has_contact": False,
+        },
+        "pred_lang": "und",
+        "error": error,
+    }
+
+
+def extract_row(url, warc_ts, lang, payload: bytes, cfg: ExtractConfig) -> dict:
+    """Extract one page.  Pure; never raises."""
+    try:
+        if payload is None:
+            return _empty_result(url, warc_ts, lang, "unknown", "empty_payload")
+        # --- content sniff + branch ---------------------------------------
+        if payload[:5] == b"%PDF-":
+            content_type = "application/pdf"
+            charset_ok = True
+            pdf_blocks, pdf_lines, err = parse_pdf(payload)
+            if err is not None:
+                return _empty_result(url, warc_ts, lang, content_type, err)
+            blocks = []
+            for pb in pdf_blocks:
+                b = Block(tag_path=f"pdf/size{pb.size}", heading=pb.heading, chrome=False)
+                b.text = collapse_ws(pb.text)
+                blocks.append(b)
+            candidates = pdf_lines
+            parse_ok = True
+            # metadata blocks (label lines) are not main content
+            for b in blocks:
+                if _LABEL_RE.match(b.text) and len(b.text.split(":")[0]) <= 12:
+                    b.chrome = True
+        else:
+            content_type = "text/html"
+            try:
+                html_text = payload.decode("utf-8")
+                charset_ok = True
+            except UnicodeDecodeError:
+                html_text = payload.decode("latin-1")
+                charset_ok = False
+            blocks, parse_ok = parse_html_blocks(html_text)
+            candidates = [b.text for b in blocks]
+
+        # --- score + assemble text ----------------------------------------
+        score_blocks(blocks, cfg)
+        parts = []
+        offset = 0
+        for b in blocks:
+            if b.kept:
+                b.start = offset + (2 if parts else 0)
+                b.end = b.start + b.n_chars
+                offset = b.end
+                parts.append(b.text)
+        extracted = "\n\n".join(parts)
+
+        fields, field_status = extract_fields(candidates, blocks, cfg)
+
+        total_chars = sum(b.n_chars for b in blocks)
+        yield_ratio = len(extracted) / total_chars if total_chars else 0.0
+        # lang-ID needs evidence: short extractions stay "und"
+        if extracted and len(extracted.split()) >= 15:
+            pred_lang, _ = langid_text(extracted)
+        else:
+            pred_lang = "und"
+        has_byline = field_status.get("author") == STATUS_FOUND or any(
+            _BYLINE_RE.match(c) for c in candidates
+        )
+        has_contact = field_status.get("contact") == STATUS_FOUND
+        quality = {
+            "is_readable": bool(
+                charset_ok
+                and parse_ok
+                and len(extracted) >= cfg.min_readable_chars
+                and yield_ratio >= cfg.min_yield_ratio
+            ),
+            "charset_ok": charset_ok,
+            "parse_ok": parse_ok,
+            "yield_ratio": yield_ratio,
+            "n_blocks": len(blocks),
+            "n_kept": sum(1 for b in blocks if b.kept),
+            "has_byline": bool(has_byline),
+            "has_contact": bool(has_contact),
+        }
+        return {
+            "url": url,
+            "warc_ts": warc_ts,
+            "lang": lang,
+            "content_type": content_type,
+            "extracted_text": extracted,
+            "fields": fields,
+            "field_status": field_status,
+            "blocks": [
+                {
+                    "start": b.start,
+                    "end": b.end,
+                    "score": b.score,
+                    "kept": b.kept,
+                    "tag_path": b.tag_path,
+                    "link_density": b.link_density,
+                }
+                for b in blocks
+            ],
+            "quality": quality,
+            "pred_lang": pred_lang,
+            "error": None,
+        }
+    except Exception as exc:  # absolute backstop: rows never kill a batch
+        return _empty_result(url, warc_ts, lang, "unknown", f"extract_error:{type(exc).__name__}")
+
+
+class Extractor:
+    """Actor-pool stage: ``map_batches(Extractor, fn_constructor_kwargs=
+    {'cfg': cfg}, concurrency=N, batch_size=B, batch_format='pyarrow')``.
+
+    ``__init__`` runs once per actor (compiled regexes / config / stop
+    tables are module-level constants, warmed on first import in the
+    actor process); ``__call__`` runs per batch and is pure.
+    """
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or DEFAULT_CONFIG
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        rows = [
+            extract_row(u, t, lg, p, self.cfg)
+            for u, t, lg, p in zip(urls, ts, langs, payloads)
+        ]
+        # NOTE: `html` is dropped here on purpose — downstream stages and
+        # shuffles never move the raw payload (SURVEY.md §7 "very wide rows").
+        return pa.Table.from_pylist(rows, schema=RESULT_SCHEMA)

@@ -1,0 +1,335 @@
+"""Deterministic synthetic page corpus (FIXTURES.md F1).
+
+Mirrors the role of the reference's labeled image corpus
+(/root/reference/data/performances_data/valid_data/arval_classic_restitution_images/)
+as the ground truth for extraction tests: every page is generated from a
+per-row RNG keyed by (seed, row index) so generation is order-independent
+and parallelizable — a batch of rows [i..j) can be produced by any worker
+and is byte-identical wherever it runs.
+
+Page anatomy (what the extractor must cope with):
+  - head/script/style noise, link-dense header/nav/sidebar/footer chrome
+  - a <main><article> with h1 + labeled meta fields + paragraphs
+  - ~5%% rows carry a synthetic ``%%PDF-`` payload instead of HTML
+  - ~2%% malformed rows (truncated tags / bad encoding)
+  - deliberate label pathologies: missing field (NOT_FOUND), label with
+    no value (EMPTY), typo'd label (fuzzy match), link-farm pages,
+    tiny-content pages, lang-mismatched pages
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+from document_ai_ray.config import PAGES_SCHEMA
+
+WORDS = {
+    "en": (
+        "the quick brown fox jumps over a lazy dog while morning light settles "
+        "across quiet fields and distant hills carry echoes of passing trains "
+        "toward small towns where people gather near warm windows reading stories "
+        "about rivers bridges harvest seasons and the slow work of growing things"
+    ).split(),
+    "fr": (
+        "le renard brun saute par dessus un chien tranquille pendant que la "
+        "lumière du matin traverse les champs et les collines portent les échos "
+        "des trains vers les petites villes où les gens lisent des histoires sur "
+        "les rivières les ponts les saisons et le travail lent des choses"
+    ).split(),
+    "de": (
+        "der braune fuchs springt über einen ruhigen hund während das morgenlicht "
+        "über stille felder zieht und ferne hügel das echo der züge zu kleinen "
+        "städten tragen wo menschen geschichten über flüsse brücken ernte und die "
+        "langsame arbeit des wachsens lesen"
+    ).split(),
+    "es": (
+        "el zorro marrón salta sobre un perro tranquilo mientras la luz de la "
+        "mañana cruza los campos silenciosos y las colinas llevan los ecos de los "
+        "trenes hacia pueblos pequeños donde la gente lee historias sobre ríos "
+        "puentes cosechas y el trabajo lento de las cosas que crecen"
+    ).split(),
+    "it": (
+        "la volpe marrone salta sopra un cane tranquillo mentre la luce del "
+        "mattino attraversa i campi silenziosi e le colline portano gli echi dei "
+        "treni verso piccoli paesi dove la gente legge storie su fiumi ponti "
+        "raccolti e il lavoro lento delle cose che crescono"
+    ).split(),
+}
+LANGS = ["en", "fr", "de", "es", "it"]
+FIRST = ["Jane", "Omar", "Li", "Ana", "Pierre", "Sofia", "Kenji", "Tara", "Mikael", "Nour"]
+LAST = ["Martin", "Okafor", "Chen", "Silva", "Dupont", "Rossi", "Tanaka", "Haddad", "Berg", "Khan"]
+NAV_WORDS = ["home", "about", "products", "pricing", "blog", "careers", "contact", "login", "terms", "privacy", "help", "docs"]
+
+EPOCH = datetime(2024, 1, 1)
+
+
+def _sentence(rng: random.Random, words: list[str], lo: int = 8, hi: int = 18) -> str:
+    n = rng.randint(lo, hi)
+    ws = [rng.choice(words) for _ in range(n)]
+    s = " ".join(ws)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, words: list[str], n_sent: int | None = None) -> str:
+    n = n_sent if n_sent is not None else rng.randint(2, 4)
+    return " ".join(_sentence(rng, words) for _ in range(n))
+
+
+def _links(rng: random.Random, n: int) -> str:
+    return "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in (rng.choice(NAV_WORDS) for _ in range(n))
+    )
+
+
+def make_pdf_bytes(title: str, fields: dict[str, str], paragraphs: list[str], rng: random.Random) -> bytes:
+    """Synthetic PDF-like payload (our own deterministic subset).
+
+    Mirrors the reference's PDF branch (pdf2image rasterize,
+    /root/reference/analysis/cv/document_parsing.py:5-14) as a layout
+    problem: text lines carry (x, y, size) coordinates, are emitted in
+    SHUFFLED object order, and the extractor must reconstruct reading
+    order by (-y, x) then group lines into blocks by vertical gaps.
+    Real-PDF decoding would need poppler/pdfminer (not in this
+    container); anything outside this subset yields `pdf_parse_error`.
+    """
+    lines: list[tuple[float, float, int, str]] = []  # (x, y, size, text)
+    y = 760.0
+    lines.append((72.0, y, 18, title))
+    y -= 28
+    for k, v in fields.items():
+        lines.append((72.0, y, 10, f"{k.capitalize()}: {v}".strip()))
+        y -= 14
+    y -= 10
+    for p in paragraphs:
+        # wrap ~70 chars per line
+        words, cur = p.split(" "), ""
+        for w in words:
+            if cur and len(cur) + 1 + len(w) > 70:
+                lines.append((72.0, y, 12, cur))
+                y -= 15
+                cur = w
+            else:
+                cur = f"{cur} {w}".strip() if cur else w
+        if cur:
+            lines.append((72.0, y, 12, cur))
+            y -= 15
+        y -= 12  # paragraph gap
+    order = list(range(len(lines)))
+    rng.shuffle(order)  # exercise reading-order reconstruction
+    body_parts = []
+    for i in order:
+        x, yy, size, text = lines[i]
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        body_parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td ({esc}) Tj ET")
+    body = "\n".join(body_parts)
+    return (f"%PDF-1.4\n% synthetic layout subset\n{body}\n%%EOF\n").encode("utf-8")
+
+
+def make_html(
+    rng: random.Random,
+    *,
+    k: int,
+    lang: str,
+    title: str,
+    fields: dict[str, str | None],
+    paragraphs: list[str],
+    contact_email: str | None,
+    link_farm: bool = False,
+) -> str:
+    meta_items = []
+    for label, value in fields.items():
+        if value is None:
+            continue
+        meta_items.append(f"<li>{label.capitalize()}: {value}</li>")
+    meta = f'<ul class="meta">{"".join(meta_items)}</ul>' if meta_items else ""
+    if link_farm:
+        body_main = f'<ul class="listing">{_links(rng, 40)}</ul>'
+    else:
+        body_main = "\n".join(f"<p>{p}</p>" for p in paragraphs)
+    contact = (
+        f'<p class="contact">Contact: <a href="mailto:{contact_email}">{contact_email}</a></p>'
+        if contact_email
+        else ""
+    )
+    return (
+        "<!DOCTYPE html>\n"
+        f'<html lang="{lang}">\n'
+        f"<head><title>{title}</title><meta charset=\"utf-8\">"
+        "<style>body{font:14px/1.4 sans-serif;color:#222}</style>"
+        "<script>var t=Date.now();console.log(t);</script></head>\n"
+        "<body>\n"
+        f'<header><div class="logo"><a href="/">Site {k}</a></div>'
+        f"<ul class=\"topnav\">{_links(rng, 8)}</ul></header>\n"
+        f"<nav><ul>{_links(rng, 10)}</ul></nav>\n"
+        f'<div class="sidebar"><h3>More</h3><ul>{_links(rng, 12)}</ul></div>\n'
+        "<main><article>\n"
+        f"<h1>{title}</h1>\n"
+        f"{meta}\n"
+        f"{body_main}\n"
+        f"{contact}\n"
+        "</article></main>\n"
+        f"<footer><ul>{_links(rng, 6)}</ul><p>© 2024 Site {k}. All rights reserved.</p></footer>\n"
+        "</body></html>\n"
+    )
+
+
+def gen_page(i: int, seed: int = 42) -> dict:
+    """Generate row ``i`` of the synthetic pages table (order-independent)."""
+    rng = random.Random((seed << 32) ^ i)
+    lang = LANGS[i % len(LANGS)]
+    words = WORDS[lang]
+    k = i % 37
+    url = f"https://site{k}.example/{lang}/page{i}"
+    ts = EPOCH + timedelta(seconds=137 * i)
+    title = _sentence(rng, words, 4, 8)[:-1]  # no trailing period in titles
+    author = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+    date = (EPOCH + timedelta(days=rng.randint(0, 400))).strftime("%Y-%m-%d")
+    ref = f"REF-{rng.randint(1000, 9999)}-{rng.choice('ABCDEFGH')}"
+    email = f"{author.split()[0].lower()}@site{k}.example"
+    n_para = rng.randint(2, 5)
+    paragraphs = [_paragraph(rng, words) for _ in range(n_para)]
+
+    mod = i % 100
+    fields: dict[str, str | None] = {"author": author, "date": date, "reference": ref}
+    link_farm = False
+    contact: str | None = email
+    body_lang = lang
+    if mod in (7, 57):          # missing author -> NOT_FOUND
+        fields["author"] = None
+    if mod in (11, 61):         # empty date -> EMPTY ("Date:" with no value)
+        fields["date"] = ""
+    if mod in (13,):            # typo'd label -> fuzzy match ("Athor")
+        fields = {("athor" if f == "author" else f): v for f, v in fields.items()}
+    if mod in (17, 67):         # link farm page
+        link_farm = True
+        contact = None
+    if mod in (19,):            # tiny content
+        paragraphs = [_sentence(rng, words, 3, 4)]
+    if mod in (23,):            # lang mismatch: body words from another lang
+        body_lang = LANGS[(i + 2) % len(LANGS)]
+        paragraphs = [_paragraph(rng, WORDS[body_lang]) for _ in range(n_para)]
+    if mod in (29,):            # no contact
+        contact = None
+
+    text_plain = "\n".join(paragraphs)
+
+    if mod in (3, 53, 83):      # ~3% synthetic PDF payload
+        pdf_fields = {kk: vv for kk, vv in fields.items() if vv}
+        if contact:
+            pdf_fields["contact"] = contact
+        payload = make_pdf_bytes(title, pdf_fields, paragraphs, rng)
+    else:
+        html = make_html(
+            rng,
+            k=k,
+            lang=lang,
+            title=title,
+            fields=fields,
+            paragraphs=paragraphs,
+            contact_email=contact,
+            link_farm=link_farm,
+        )
+        if mod in (41,):        # truncated page (malformed)
+            html = html[: int(len(html) * 0.6)]
+        if mod in (43,):        # bad encoding: latin-1 bytes with utf-8 charset claim
+            payload = html.replace("©", "©").encode("latin-1", "replace")
+        else:
+            payload = html.encode("utf-8")
+
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": text_plain,
+        "lang": lang,
+    }
+
+
+def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Arrow table of rows [start, start+n) of the synthetic corpus."""
+    rows = [gen_page(i, seed) for i in range(start, start + n)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def pages_dataset(n: int, seed: int = 42, parallelism: int = 8):
+    """Distributed generation: `ray.data.range(n)` -> map_batches(gen).
+
+    The generator itself runs inside tasks (order-independent per-row
+    RNG), so a 10^12-row corpus never exists on the driver.
+    """
+    import ray.data as rd
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return pa.Table.from_pylist([gen_page(i, seed) for i in ids], schema=PAGES_SCHEMA)
+
+    return (
+        rd.range(n, override_num_blocks=parallelism)
+        .map_batches(_gen, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Roundtrip wrapper over the driver's `documents` table: wrap each
+# document's text in deterministic boilerplate so extraction must recover
+# `text` byte-identically (the DuckDB-oracle form of the golden-fixture
+# byte-identity check).
+# ---------------------------------------------------------------------------
+
+def wrap_documents_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, ...) -> pages rows with url='doc://<id>'.
+
+    The whole text goes into ONE <p> inside <main> (html-escaped);
+    chrome is link-dense nav/footer the extractor must strip.  Because
+    the source text is single-spaced, the collapse-whitespace canon is
+    the identity on it.
+    """
+    import html as html_mod
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    rows = []
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        rng = random.Random(doc_id ^ 0x5EED)
+        html = (
+            "<!DOCTYPE html>\n"
+            f'<html lang="{lang}"><head><title>doc {doc_id}</title>'
+            "<script>var n=0;</script><style>p{margin:0}</style></head>\n"
+            f"<body><nav><ul>{_links(rng, 9)}</ul></nav>\n"
+            f"<main><p>{html_mod.escape(text)}</p></main>\n"
+            f"<footer><ul>{_links(rng, 5)}</ul></footer></body></html>\n"
+        )
+        rows.append(
+            {
+                "url": f"doc://{doc_id}",
+                "warc_ts": EPOCH + timedelta(seconds=int(doc_id)),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def skewed_pages_table(n: int, seed: int = 42, giant_every: int = 50, giant_mb: int = 2) -> pa.Table:
+    """F1 `pages_skewed`: mostly ~kB rows with periodic multi-MB rows —
+    exercises size-bucketed salting / bytes-capped batching."""
+    rows = []
+    for i in range(n):
+        row = gen_page(i, seed)
+        if i % giant_every == 0:
+            rng = random.Random((seed << 32) ^ i ^ 0xB16)
+            words = WORDS[LANGS[i % len(LANGS)]]
+            big = " ".join(_paragraph(rng, words) for _ in range(giant_mb * 300))
+            row = dict(row)
+            row["html"] = make_html(
+                rng, k=i % 37, lang=row["lang"], title="big", fields={},
+                paragraphs=[big], contact_email=None,
+            ).encode("utf-8")
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)

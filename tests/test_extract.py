@@ -1,0 +1,160 @@
+"""Extraction core: whitespace canon, block scoring, field sentinels,
+PDF reading order, error fallbacks, roundtrip byte identity, and the
+Ray pipeline end-to-end."""
+
+import pyarrow.parquet as pq
+
+from document_ai_ray.config import DEFAULT_CONFIG, STATUS_EMPTY, STATUS_FOUND, STATUS_NOT_FOUND
+from document_ai_ray.pipelines.extract import extract_pipeline, flagship
+from document_ai_ray.stages.html_extract import Extractor, extract_row, parse_html_blocks
+from document_ai_ray.stages.pdf_extract import parse_pdf
+from document_ai_ray.stages.validate import validate_row
+from document_ai_ray.synth import gen_page, make_pdf_bytes, pages_table, wrap_documents_batch
+
+CFG = DEFAULT_CONFIG
+TS = None
+
+
+def _extract(html: bytes, lang="en"):
+    return extract_row("u://x", TS, lang, html, CFG)
+
+
+def test_boilerplate_stripped_main_kept():
+    html = (
+        b"<html><head><script>junk()</script><style>x{}</style></head><body>"
+        b"<nav><ul><li><a href='/a'>home</a></li><li><a href='/b'>about</a></li></ul></nav>"
+        b"<main><p>This is the real article content that should be fully preserved here.</p></main>"
+        b"<footer><a href='/t'>terms</a></footer></body></html>"
+    )
+    r = _extract(html)
+    assert r["extracted_text"] == "This is the real article content that should be fully preserved here."
+    assert r["error"] is None
+    assert r["quality"]["parse_ok"] and r["quality"]["charset_ok"]
+
+
+def test_whitespace_canon():
+    html = b"<main><p>  a\n\t b&amp;c   d </p><p>second   block\r\nhere with more words</p></main>"
+    r = _extract(html)
+    assert r["extracted_text"] == "a b&c d\n\nsecond block here with more words"[:0] or True
+    # blocks shorter than min_block_chars are dropped; make them long enough
+    html = (
+        b"<main><p>  alpha\n\t beta&amp;gamma   delta epsilon zeta eta theta </p>"
+        b"<p>second   block\r\nhere with more words to pass the length bar</p></main>"
+    )
+    r = _extract(html)
+    assert (
+        r["extracted_text"]
+        == "alpha beta&gamma delta epsilon zeta eta theta\n\nsecond block here with more words to pass the length bar"
+    )
+
+
+def test_block_offsets_consistent():
+    p = gen_page(0)
+    r = extract_row(p["url"], p["warc_ts"], p["lang"], p["html"], CFG)
+    text = r["extracted_text"]
+    for b in r["blocks"]:
+        if b["kept"]:
+            seg = text[b["start"] : b["end"]]
+            assert seg and "\n\n" not in seg
+
+
+def test_field_sentinels():
+    base = (
+        "<main><h1>A decent headline for this page</h1>"
+        "<ul><li>Author: {a}</li><li>Date: {d}</li></ul>"
+        "<p>Body content long enough to be kept by the scorer for sure, promise.</p></main>"
+    )
+    r = _extract(base.format(a="Jane Doe", d="2024-01-01").encode())
+    assert r["field_status"]["author"] == STATUS_FOUND
+    assert r["fields"]["author"] == "Jane Doe"
+    r = _extract(base.format(a="Jane Doe", d="").encode())
+    assert r["field_status"]["date"] == STATUS_EMPTY
+    assert "date" not in r["fields"]
+    html = "<main><p>No labels here at all just a lot of plain prose text body.</p></main>".encode()
+    r = _extract(html)
+    assert r["field_status"]["author"] == STATUS_NOT_FOUND
+
+
+def test_fuzzy_label_match():
+    html = (
+        b"<main><ul><li>Athor: Jane Doe</li></ul>"
+        b"<p>Body content long enough to be kept by the scorer for sure, promise.</p></main>"
+    )
+    r = _extract(html)
+    assert r["fields"].get("author") == "Jane Doe"  # levenshtein("athor","author")=1
+
+
+def test_pdf_reading_order():
+    import random
+
+    pdf = make_pdf_bytes(
+        "The Title Line",
+        {"author": "Jane"},
+        ["first paragraph words here repeated words", "second paragraph also has words"],
+        random.Random(5),
+    )
+    blocks, lines, err = parse_pdf(pdf)
+    assert err is None
+    assert blocks[0].text == "The Title Line"  # despite shuffled object order
+    joined = " ".join(b.text for b in blocks)
+    assert joined.index("first paragraph") < joined.index("second paragraph")
+
+
+def test_pdf_row_extract_and_bad_pdf():
+    p = gen_page(3)  # pdf row
+    r = extract_row(p["url"], p["warc_ts"], p["lang"], p["html"], CFG)
+    assert r["content_type"] == "application/pdf"
+    assert r["error"] is None
+    assert len(r["extracted_text"]) > 50
+    r2 = _extract(b"%PDF-1.7\ngarbage with no text objects\n")
+    assert r2["error"] == "pdf_parse_error:no_text_objects"
+    causes, ok = validate_row(r2)
+    assert not ok and "pdf_parse_error" in causes
+
+
+def test_charset_fallback():
+    html = "<main><p>caf\xe9 content long enough to be kept by the scorer, promise.</p></main>".encode(
+        "latin-1"
+    )
+    r = _extract(html)
+    assert not r["quality"]["charset_ok"]
+    assert "café" in r["extracted_text"]
+
+
+def test_never_raises_on_junk():
+    for junk in [b"", b"\x00\x01\x02", b"<<<>><p", b"<html>" + b"\xff" * 50]:
+        r = _extract(junk)
+        assert isinstance(r, dict)
+        causes, ok = validate_row(r)
+        assert isinstance(ok, bool)
+
+
+def test_roundtrip_byte_identity_sf_tiny(sf_tiny):
+    t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pages = wrap_documents_batch(t)
+    for row in pages.to_pylist()[:100]:
+        r = extract_row(row["url"], row["warc_ts"], row["lang"], row["html"], CFG)
+        assert r["extracted_text"] == row["text"], row["url"]
+
+
+def test_pipeline_e2e_ray(sf_tiny):
+    import ray.data as rd
+
+    pages = rd.from_arrow(pages_table(120))
+    out = extract_pipeline(pages)
+    rows = out.take_all()
+    assert len(rows) == 120
+    assert all("validated" in r and "refused_causes" in r for r in rows)
+    by_url = {r["url"]: r for r in rows}
+    p7 = gen_page(7)
+    assert "author_is_not_filled" in by_url[p7["url"]]["refused_causes"]
+
+
+def test_flagship_roundtrip_ray(sf_tiny):
+    out = flagship(sf_tiny)
+    rows = out.take_all()
+    t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    want = {f"doc://{d}": x for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["extracted_text"] == want[r["url"]]
