@@ -1,0 +1,197 @@
+"""Reusable distributed operator helpers (scale-first building blocks).
+
+These encode the shuffle-minimizing patterns the engine uses everywhere
+(SURVEY.md §4): partial (combiner) aggregation before any groupby,
+broadcast hash joins for small sides, Ray's hash-partitioned join only
+when both sides are genuinely large, and streaming top-k instead of a
+global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def partial_group_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str | None = None,
+) -> rd.Dataset:
+    """Pre-aggregate inside map_batches (one row per key per batch),
+    then a small global groupby over the partials — the combiner
+    pattern that keeps `groupby` shuffles tiny at 100 TB.
+
+    sum_cols: {source_col: output_alias}; count_alias counts rows.
+    The output columns are exactly the aliases (+ keys).
+    """
+    sum_cols = sum_cols or {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_alias:
+            aggs.append(([], "count_all"))
+        g = t.group_by(keys).aggregate(aggs)
+        names = list(keys)
+        cols = [g.column(k) for k in keys]
+        for c, alias in sum_cols.items():
+            names.append(alias)
+            cols.append(g.column(f"{c}_sum"))
+        if count_alias:
+            names.append(count_alias)
+            cols.append(g.column("count_all"))
+        return pa.Table.from_arrays(cols, names=names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+class BroadcastJoiner:
+    """Actor-pool map-side hash join: the small side is `ray.put` ONCE
+    on the driver and materialized per ACTOR in ``__init__`` (never
+    re-shipped per batch) — ≙ the reference's in-memory ground-truth
+    lookup (/root/reference/performances.py:109-115) distributed.
+
+    Wrap the ObjectRef in a 1-tuple so Ray does not eagerly de-ref it
+    per task submission.
+    """
+
+    def __init__(self, small_ref: tuple, key: str, right_key: str, how: str = "inner"):
+        small: pa.Table = ray.get(small_ref[0])
+        self.key = key
+        self.right_key = right_key
+        self.how = how
+        self.small_df = small.to_pandas().set_index(right_key, drop=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        joined = df.join(self.small_df, on=self.key, how=self.how)
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    concurrency: int = 8,
+) -> rd.Dataset:
+    right_key = right_key or key
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": (ref,), "key": key, "right_key": right_key, "how": how},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def large_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Both-sides-large join: Ray Data's hash-partitioned `Dataset.join`
+    (both sides shuffled on the key).  Only reach for this when neither
+    side fits a broadcast — at 100 TB a broadcast of a 100 GB side is
+    impossible, but so is careless use of this (full all-to-all)."""
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int, columns: list[str] | None = None) -> rd.Dataset:
+    """Streaming top-k: per-batch local top-k, then one tiny final
+    top-k — no global sort (`sort(desc).limit(k)` shuffles everything;
+    this moves k rows per block)."""
+    sort_keys = [(c, "descending" if desc else "ascending") for c, desc in keys]
+
+    def local(t: pa.Table) -> pa.Table:
+        if columns:
+            t = t.select(columns)
+        return t.sort_by(sort_keys).slice(0, k)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def distinct_values(ds: rd.Dataset, col: str) -> pa.Table:
+    """Distinct values of one column as a small Arrow table (per-batch
+    local dedup -> global unique)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([pc.unique(t.column(col))], names=[col])
+
+    vals = ds.map_batches(local, batch_format="pyarrow").unique(col)
+    vals = sorted(v for v in vals if v is not None)
+    return pa.Table.from_arrays([pa.array(vals)], names=[col])
+
+
+class KeySetFilter:
+    """Semi/anti join via broadcast key set (at 10^12 rows the set
+    becomes a Bloom filter; the plumbing is identical)."""
+
+    def __init__(self, keys_ref: tuple, key: str, anti: bool):
+        self.keys = set(ray.get(keys_ref[0]))
+        self.key = key
+        self.anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(self.key), value_set=pa.array(list(self.keys)))
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def semi_anti_join(
+    ds: rd.Dataset, key_values: list[Any], key: str, anti: bool = False, concurrency: int = 8
+) -> rd.Dataset:
+    ref = ray.put(key_values)
+    return ds.map_batches(
+        KeySetFilter,
+        fn_constructor_kwargs={"keys_ref": (ref,), "key": key, "anti": anti},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def round_cols(t_or_batch: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Round float columns (both the Ray pipeline and the oracle SQL
+    round identically so value-hash comparison is stable).
+
+    Matches DuckDB's ROUND bit-for-bit: `floor(|x|*10^nd + 0.5)/10^nd`
+    with the sign restored (half away from zero, then a plain double
+    division).  pyarrow's pc.round produces a result one ulp off from
+    this on some values, so numpy is used deliberately."""
+    out = t_or_batch
+    for c, nd in cols.items():
+        x = out.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = 10.0 ** nd
+        r = np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+        i = out.schema.get_field_index(c)
+        out = out.set_column(i, c, pa.array(r, pa.float64()))
+    return out

@@ -47,5 +47,6 @@ def _load_all() -> None:
     if _LOADED:
         return
     from document_ai_ray.pipelines import extract_queries  # noqa: F401
+    from document_ai_ray.pipelines import relational  # noqa: F401
 
     _LOADED = True

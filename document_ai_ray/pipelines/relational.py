@@ -1,0 +1,487 @@
+"""Relational operator suite over the driver's TPC-H-ish tables, each
+entry oracle-checked against DuckDB (SURVEY.md §2.4-2.8 coverage).
+
+Patterns (scale-first):
+  - aggregates: partial (combiner) inside map_batches, tiny global
+    groupby over partials (≙ reference metric aggregation,
+    /root/reference/performances.py:53-79, done distributed);
+  - small-side joins: broadcast via ray.put + actor-state lookup
+    (≙ /root/reference/performances.py:131 pd.merge, distributed);
+  - large-large joins: Ray hash-partitioned Dataset.join;
+  - top-k: per-batch local top-k then tiny final pass — never a
+    global sort (≙ best-template top-1,
+    /root/reference/detection/template_matching.py:43-46);
+  - sessionize: groupby(user).map_groups over ts-sorted groups —
+    the streaming-window analogue Ray Data expresses natively.
+
+Float columns are ROUNDed identically here and in the oracle SQL so
+the driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from document_ai_ray.pipelines.ops import (
+    broadcast_join,
+    distinct_values,
+    large_join,
+    partial_group_agg,
+    round_cols,
+    semi_anti_join,
+    topk,
+)
+from document_ai_ray.pipelines.registry import register
+from document_ai_ray.sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                 AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                      AS avg_qty,
+           ROUND(AVG(l_discount), 4)                      AS avg_disc,
+           COUNT(*)                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered pricing summary with partial aggregation."""
+    import datetime
+
+    cutoff = datetime.datetime(2000, 9, 2)
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= cutoff),  # row-group pushdown at the read
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    agg = partial_group_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+            "l_discount": "_sum_disc",
+        },
+        count_alias="count_order",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("count_order").cast(pa.float64())
+        t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), n))
+        t = t.append_column("avg_disc", pc.divide(t.column("_sum_disc"), n))
+        t = t.drop_columns(["_sum_disc"])
+        return round_cols(t, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_disc": 4})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "events_type_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_stats(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    agg = partial_group_agg(ds, ["event_type"], {"value": "sum_value"}, count_alias="n")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_value", pc.divide(t.column("sum_value"), t.column("n").cast(pa.float64())))
+        return round_cols(t, {"sum_value": 2, "avg_value": 4})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_stats(sf_dir: str):
+    """Per-lang corpus statistics (the north_rule groupby-lang aggregate)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="_sum"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_chars", pc.divide(t.column("_sum").cast(pa.float64()), t.column("n_docs").cast(pa.float64())))
+        t = t.drop_columns(["_sum"])
+        return round_cols(t, {"avg_chars": 2})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "month_orders",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def month_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        return t.append_column("month", month).drop_columns(["o_orderdate"])
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    agg = partial_group_agg(ds, ["month"], {"o_totalprice": "sum_price"}, count_alias="n_orders")
+    return agg.map_batches(lambda t: round_cols(t, {"sum_price": 2}), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def filter_project_revenue(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") >= 48),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        out = pa.Table.from_arrays(
+            [t.column("l_orderkey"), t.column("l_linenumber"), rev],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+        return round_cols(out, {"revenue": 2})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+@register(
+    "string_ops_parts",
+    oracle="""
+    SELECT p_partkey, UPPER(p_type) AS type_upper, LOWER(p_name) AS name_lower,
+           LENGTH(p_name) AS name_len
+    FROM part
+    """,
+)
+def string_ops_parts(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("p_partkey"),
+                pc.utf8_upper(t.column("p_type")),
+                pc.utf8_lower(t.column("p_name")),
+                pc.utf8_length(t.column("p_name")).cast(pa.int64()),
+            ],
+            names=["p_partkey", "type_upper", "name_lower", "name_len"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def events_json_extract(sf_dir: str):
+    """JSON scalar extraction (≙ reference result-JSON handling,
+    /root/reference/utils.py:16-19) done vectorized with a regex kernel."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.Table.from_arrays([t.column("event_id"), k], names=["event_id", "k"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = topk(ds, [("o_totalprice", True), ("o_orderkey", False)], k=10)
+    return out.map_batches(lambda t: round_cols(t, {"o_totalprice": 2}), batch_format="pyarrow")
+
+
+@register("distinct_segments", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(sf_dir: str):
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    return distinct_values(ds, "c_mktsegment")
+
+
+@register(
+    "top_sources",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs FROM documents
+    GROUP BY source ORDER BY n_docs DESC, source LIMIT 5
+    """,
+)
+def top_sources(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["source"])
+    agg = partial_group_agg(ds, ["source"], count_alias="n_docs")
+    return topk(agg, [("n_docs", True), ("source", False)], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_segment",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_broadcast_segment(sf_dir: str):
+    """Fact⋈dimension: broadcast the small side once, map-side join."""
+    import pyarrow.parquet as pq
+    import os
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(ds, cust, key="o_custkey", right_key="c_custkey")
+    agg = partial_group_agg(joined, ["c_mktsegment"], {"o_totalprice": "sum_price"}, count_alias="n_orders")
+    return agg.map_batches(lambda t: round_cols(t, {"sum_price": 2}), batch_format="pyarrow")
+
+
+@register(
+    "join_region_customers",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_region_customers(sf_dir: str):
+    """Snowflake dimension chain: pre-join the tiny dims driver-side,
+    broadcast the denormalized lookup once."""
+    import os
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    joined = broadcast_join(ds, pa.Table.from_pandas(dim), key="c_nationkey", right_key="n_nationkey")
+    return partial_group_agg(joined, ["r_name"], count_alias="n_customers")
+
+
+@register(
+    "join_large_priority",
+    oracle="""
+    SELECT o_orderpriority, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_large_priority(sf_dir: str):
+    """Fact⋈fact: hash-partitioned shuffle join on the shared key."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    agg = partial_group_agg(joined, ["o_orderpriority"], {"l_quantity": "sum_qty"}, count_alias="n_items")
+    return agg.map_batches(lambda t: round_cols(t, {"sum_qty": 2}), batch_format="pyarrow")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_join_customers(sf_dir: str):
+    """Anti join via broadcast key set (Bloom filter at real scale):
+    customers with no urgent order."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey"], filter=(pc.field("o_orderpriority") == "1-URGENT")
+    )
+    keys = distinct_values(orders, "o_custkey").column("o_custkey").to_pylist()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return semi_anti_join(cust, keys, "c_custkey", anti=True)
+
+
+@register(
+    "semi_join_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT DISTINCT l_partkey FROM lineitem)
+    """,
+)
+def semi_join_parts(sf_dir: str):
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    keys = distinct_values(li, "l_partkey").column("l_partkey").to_pylist()
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return semi_anti_join(part, keys, "p_partkey", anti=False)
+
+
+@register(
+    "union_high_value",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def union_high_value(sf_dir: str):
+    a = read_table(sf_dir, "orders", columns=["o_orderkey"], filter=(pc.field("o_totalprice") > 100000))
+    b = read_table(sf_dir, "orders", columns=["o_orderkey"], filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    n = a.union(b).count()
+    return pa.Table.from_arrays([pa.array([n], pa.int64())], names=["n"])
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessions (streaming-shaped; SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(sf_dir: str):
+    """Tumbling window = truncate-to-window + groupby (combiner first)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_start", w).drop_columns(["ts"])
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    agg = partial_group_agg(ds, ["user_id", "window_start"], {"value": "sum_value"}, count_alias="n_events")
+    return agg.map_batches(lambda t: round_cols(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization: hash-partition by user, sort each
+    group by ts, cut sessions at >30min gaps (the ordering assumption
+    is per-user, stated here; no global order needed)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).astype(np.int64)
+        g = g.assign(session_id=new_s.cumsum())
+        out = (
+            g.groupby("session_id", as_index=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "count"))
+            .assign(user_id=g["user_id"].iloc[0])
+        )
+        return out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup: stable content hash per batch (vectorized-ish),
+    hash-shuffled groupby, keep min doc_id per group — grouping moves
+    16-byte hashes, never the documents (SURVEY.md §2.7)."""
+    from document_ai_ray.functions.hashing import stable_hex
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pa.array([stable_hex(x) for x in t.column("text").to_pylist()], pa.string())
+        return pa.Table.from_arrays([t.column("doc_id"), h], names=["doc_id", "h"])
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
