@@ -1,0 +1,67 @@
+"""Dedup operator queries vs DuckDB oracles.
+
+`ngram_jaccard_pairs` and `lsh_near_dup_pairs` share one oracle: the
+exact all-pairs word-2gram Jaccard at threshold 0.5 (the corpus's
+planted near-dups sit at Jaccard >= 0.9, background p99 ~ 0.08, so the
+LSH detector's recall is 1 here — see stages/dedup.py for the
+probability bound)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from document_ai_ray.pipelines.registry import register
+from document_ai_ray.sources.tables import read_table
+from document_ai_ray.stages.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    verify_pairs,
+    word_ngrams,
+)
+
+_JACCARD_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs n-gram Jaccard near-dup detection (inverted
+    index; never materializes the n^2 comparison)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+@register("lsh_near_dup_pairs", oracle=_JACCARD_ORACLE)
+def lsh_near_dup_pairs(sf_dir: str):
+    """MinHash+LSH candidates -> exact-Jaccard verification.  Must
+    reproduce the exact operator's output on this corpus (planted dups
+    are deep inside the detectable regime)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs, n=2, num_perm=128, bands=16, threshold=0.5)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    grams_map = {
+        i: word_ngrams(x, 2)
+        for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    return verify_pairs(cands, grams_map, threshold=0.5)
+
+
+@register("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(sf_dir: str):
+    """SimHash banding near-dup pairs (rows-only: no SQL analogue of
+    the 64-bit fingerprint)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(docs, n=2, n_blocks=8, max_hamming=10)

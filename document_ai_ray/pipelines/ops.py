@@ -56,6 +56,41 @@ def partial_group_agg(
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def bucketed_group_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    agg_fn,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """High-cardinality grouped aggregation: hash the key columns to a
+    small bucket id, shuffle on the bucket, and run a VECTORIZED pandas
+    aggregation per bucket.
+
+    Ray's `groupby(keys).aggregate(...)` pays per-distinct-group
+    overhead (~ms/group — prohibitive at 10^5+ groups); this pays one
+    pandas groupby per bucket instead.  Keys must be integer-typed
+    (hash-combine is numpy-vectorized).  ``agg_fn(df)`` receives all
+    rows of one bucket and must return the aggregated frame.
+    """
+    mults = [np.uint64(m) for m in (2654435761, 40503, 2246822519, 3266489917)]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        acc = np.zeros(len(t), dtype=np.uint64)
+        for i, k in enumerate(keys):
+            col = t.column(k).to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc ^= col * mults[i % len(mults)] + np.uint64(0x9E3779B9) * np.uint64(i + 1)
+        return t.append_column("__bucket", pa.array((acc % np.uint64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(df) -> "pd.DataFrame":
+        return agg_fn(df.drop(columns=["__bucket"]))
+
+    import pandas as pd  # noqa: F401  (type comment above)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
 class BroadcastJoiner:
     """Actor-pool map-side hash join: the small side is `ray.put` ONCE
     on the driver and materialized per ACTOR in ``__init__`` (never

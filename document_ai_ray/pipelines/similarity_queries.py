@@ -1,0 +1,129 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from document_ai_ray.pipelines.registry import register
+from document_ai_ray.sources.tables import read_table
+
+N_QUERIES = 10
+K = 10
+
+
+def _load_queries(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    keep = ids < N_QUERIES
+    import pyarrow as pa
+
+    sub = t.filter(pa.array(keep))
+    q_ids = sub.column("vec_id").to_numpy().tolist()
+    from document_ai_ray.stages.similarity import _to_matrix
+
+    return q_ids, _to_matrix(sub.column("embedding"))
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.embedding, t.embedding) DESC,
+                                       t.vec_id) AS rank
+    FROM embeddings q JOIN embeddings t ON t.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY rank <= {K}
+    """,
+)
+def knn_bruteforce_query(sf_dir: str):
+    """Brute-force cosine top-k: one matmul per batch against the
+    broadcast query matrix, streaming local top-k."""
+    from document_ai_ray.stages.similarity import knn_bruteforce
+
+    q_ids, q_mat = _load_queries(sf_dir)
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce(vecs, q_ids, q_mat, k=K)
+
+
+@register("knn_ivf")
+def knn_ivf_query(sf_dir: str):
+    """IVF approximate top-k (rows-only; recall vs brute force is
+    asserted in tests, not by the oracle)."""
+    from document_ai_ray.stages.similarity import _collect_matrix, knn_ivf, train_centroids
+
+    q_ids, q_mat = _load_queries(sf_dir)
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, sample = _collect_matrix(vecs.limit(1000), "vec_id", "embedding")
+    cents = train_centroids(sample, n_cells=16)
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(vecs, q_ids, q_mat, cents, k=K, n_probe=4)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (score column deliberately
+    omitted: float equality across engines is not hash-stable)."""
+    from document_ai_ray.stages.similarity import cosine_pairs
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs(vecs, threshold=0.4)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i AS dim, ROUND(AVG(embedding[i]), 6) AS centroid_val
+    FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(sf_dir: str):
+    """Per-label mean embedding: numpy partial sums per batch, one tiny
+    groupby over (label) partials, exploded to (label, dim, value)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from document_ai_ray.stages.similarity import _to_matrix
+
+    vecs = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column("embedding"))
+        labels = t.column("label").to_numpy()
+        rows = []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            rows.append({"label": int(lab), "n": int(len(sel)), **{f"s{d}": float(x) for d, x in enumerate(sel.sum(axis=0))}})
+        return pa.Table.from_pylist(rows)
+
+    dims = 64
+    partials = vecs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("label").aggregate(
+        Sum("n", alias_name="n"), *[Sum(f"s{d}", alias_name=f"s{d}") for d in range(dims)]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for _, r in df.iterrows():
+            n = r["n"]
+            for d in range(dims):
+                v = r[f"s{d}"] / n
+                out.append(
+                    {"label": int(r["label"]), "dim": d + 1, "centroid_val": float(np.floor(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1) / 1e6)}
+                )
+        return pa.Table.from_pylist(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)

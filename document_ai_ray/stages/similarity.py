@@ -1,0 +1,252 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Brute-force cosine top-k is the baseline: the query matrix is
+broadcast (`ray.put` once, read per actor), each batch does ONE numpy
+matmul against it, and per-batch local top-k rows flow to a tiny final
+top-k — the same streaming-top-k shape as `ops.topk`, so no stage ever
+holds the full corpus.
+
+The scale path is IVF: coarse k-means centroids (trained on a driver-
+side sample, deterministic seeded init), batches assign vectors to
+cells, and queries probe only the nearest `n_probe` cells.  Recall vs
+brute force is measured in tests, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy-ish via
+    flattened values + reshape; embeddings are fixed-length)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceKnn:
+    """Actor stage: batch of vectors vs the broadcast query matrix.
+    Emits (query_id, neighbor_id, cosine) rows for the per-batch local
+    top-k of every query; a final single-partition top-k reduces."""
+
+    def __init__(self, queries_ref: tuple, k: int, id_col: str, vec_col: str):
+        q_ids, q_mat = ray.get(queries_ref[0])
+        self.q_ids = np.asarray(q_ids)
+        self.q = _normalize(np.asarray(q_mat, dtype=np.float64))  # (Q, d)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy()
+        m = _normalize(_to_matrix(t.column(self.vec_col)))            # (n, d)
+        sims = self.q @ m.T                                            # (Q, n)
+        # exclude self-matches
+        for qi, qid in enumerate(self.q_ids):
+            hit = np.nonzero(ids == qid)[0]
+            if hit.size:
+                sims[qi, hit] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        q_out, n_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            q_out.extend([int(self.q_ids[qi])] * len(cols))
+            n_out.extend(int(x) for x in ids[cols])
+            s_out.extend(float(x) for x in sims[qi, cols])
+        return pa.Table.from_arrays(
+            [pa.array(q_out, pa.int64()), pa.array(n_out, pa.int64()), pa.array(s_out, pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def knn_bruteforce(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 8,
+) -> rd.Dataset:
+    """Top-k cosine neighbors for each query vector.  Output columns:
+    query_id, neighbor_id, rank (1-based; ties broken by neighbor_id)."""
+    ref = ray.put((query_ids, query_matrix))
+    local = vectors.map_batches(
+        BruteForceKnn,
+        fn_constructor_kwargs={"queries_ref": (ref,), "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+    return local.repartition(1).map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+
+
+def cosine_pairs(
+    vectors: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 8,
+) -> rd.Dataset:
+    """All pairs with cosine >= threshold (embedding near-dup).
+
+    Test-scale: the full normalized matrix is broadcast and each batch
+    compares its rows against all ids greater than its own (upper
+    triangle), one matmul per batch.  At 10^12 vectors this becomes
+    LSH (random-hyperplane bucketing) — see `simhash_pairs` for the
+    banding machinery the hyperplane variant reuses.
+    """
+    ref_ids_mat = _collect_matrix(vectors, id_col, vec_col)
+    ref = ray.put(ref_ids_mat)
+
+    class PairFinder:
+        def __init__(self):
+            ids, mat = ray.get(ref)
+            self.all_ids = ids
+            self.all = _normalize(mat)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            m = _normalize(_to_matrix(t.column(vec_col)))
+            sims = m @ self.all.T                     # (n, N)
+            a_out, b_out = [], []
+            mask_cols = self.all_ids
+            for r in range(len(ids)):
+                hits = np.nonzero((sims[r] >= threshold) & (mask_cols > ids[r]))[0]
+                for h in hits:
+                    a_out.append(int(ids[r]))
+                    b_out.append(int(mask_cols[h]))
+            return pa.Table.from_arrays(
+                [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+                names=["id_a", "id_b"],
+            )
+
+    return vectors.map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1)
+
+
+def _collect_matrix(vectors: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize (ids, matrix) driver-side — only for small reference
+    sets (queries, centroid training samples, test-scale corpora)."""
+    tbls = [b for b in vectors.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tbls)
+    return t.column(id_col).to_numpy(), _to_matrix(t.column(vec_col))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic mini k-means (seeded init, fixed iterations) on a
+    driver-side sample.  numpy-only; no sklearn in this environment."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+class IvfKnn:
+    """Probe only the `n_probe` cells nearest to each query."""
+
+    def __init__(self, queries_ref: tuple, cents_ref: tuple, k: int, n_probe: int, id_col: str, vec_col: str):
+        q_ids, q_mat = ray.get(queries_ref[0])
+        self.q_ids = np.asarray(q_ids)
+        self.q = _normalize(np.asarray(q_mat, dtype=np.float64))
+        self.cents = ray.get(cents_ref[0])
+        self.k, self.n_probe = k, n_probe
+        self.id_col, self.vec_col = id_col, vec_col
+        qc = self.q @ self.cents.T
+        self.q_cells = np.argsort(-qc, axis=1)[:, : n_probe]          # (Q, n_probe)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy()
+        m = _normalize(_to_matrix(t.column(self.vec_col)))
+        cell = np.argmax(m @ self.cents.T, axis=1)                    # batch-side assignment
+        q_out, n_out, s_out = [], [], []
+        for qi in range(len(self.q_ids)):
+            probe = np.isin(cell, self.q_cells[qi])
+            probe &= ids != self.q_ids[qi]
+            if not probe.any():
+                continue
+            sims = m[probe] @ self.q[qi]
+            sub_ids = ids[probe]
+            k = min(self.k, len(sub_ids))
+            part = np.argpartition(-sims, kth=k - 1)[:k]
+            q_out.extend([int(self.q_ids[qi])] * len(part))
+            n_out.extend(int(x) for x in sub_ids[part])
+            s_out.extend(float(x) for x in sims[part])
+        return pa.Table.from_arrays(
+            [pa.array(q_out, pa.int64()), pa.array(n_out, pa.int64()), pa.array(s_out, pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def knn_ivf(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 8,
+) -> rd.Dataset:
+    q_ref = ray.put((query_ids, query_matrix))
+    c_ref = ray.put(centroids)
+    local = vectors.map_batches(
+        IvfKnn,
+        fn_constructor_kwargs={
+            "queries_ref": (q_ref,),
+            "cents_ref": (c_ref,),
+            "k": k,
+            "n_probe": n_probe,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+    return local.repartition(1).map_batches(final_topk, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,84 @@
+"""Similarity search: brute-force exactness, IVF recall, cosine pairs."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from document_ai_ray.stages.similarity import (
+    _collect_matrix,
+    _normalize,
+    _to_matrix,
+    cosine_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(sf_tiny):
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = _to_matrix(t.column("embedding"))
+    return ids, m
+
+
+def _numpy_knn(ids, m, q_ids, k=10):
+    mn = _normalize(m)
+    out = {}
+    for qid in q_ids:
+        q = mn[ids == qid][0]
+        sims = mn @ q
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        out[qid] = [int(ids[i]) for i in order if ids[i] != qid][:k]
+    return out
+
+
+def test_bruteforce_knn_exact(sf_tiny, emb):
+    ids, m = emb
+    q_ids = [int(i) for i in ids[:5]]
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = knn_bruteforce(vecs, q_ids, m[np.isin(ids, q_ids)], k=10).take_all()
+    want = _numpy_knn(ids, m, q_ids)
+    for qid in q_ids:
+        mine = [r["neighbor_id"] for r in sorted((x for x in got if x["query_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == want[qid]
+
+
+def test_ivf_recall(sf_tiny, emb):
+    ids, m = emb
+    q_ids = [int(i) for i in ids[:10]]
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = train_centroids(m, n_cells=16)
+    got = knn_ivf(vecs, q_ids, m[np.isin(ids, q_ids)], cents, k=10, n_probe=4).take_all()
+    want = _numpy_knn(ids, m, q_ids)
+    hits = total = 0
+    for qid in q_ids:
+        mine = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+        hits += len(mine & set(want[qid]))
+        total += len(want[qid])
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_pairs_match_numpy(sf_tiny, emb):
+    ids, m = emb
+    mn = _normalize(m)
+    S = mn @ mn.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.4
+    }
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(vecs, 0.4).take_all()}
+    assert got == want
+
+
+def test_centroids_deterministic(emb):
+    _, m = emb
+    c1 = train_centroids(m, n_cells=8)
+    c2 = train_centroids(m, n_cells=8)
+    assert np.array_equal(c1, c2)
