@@ -253,12 +253,13 @@ def extract_fields(
         else:
             status[best] = STATUS_EMPTY
 
-    # title: first heading block of the lowest level present (h1 wins
-    # over h2/h3...) — ≙ block-2 driver-name extraction role
+    # title: first KEPT heading block of the lowest level present (h1
+    # wins over h2/h3...; sidebar/nav headings never qualify) — ≙
+    # block-2 driver-name extraction role
     if "title" in status and status["title"] != STATUS_FOUND:
         best_b = None
         for b in blocks:
-            if b.heading and b.text and (best_b is None or b.heading_level < best_b.heading_level):
+            if b.heading and b.kept and b.text and (best_b is None or b.heading_level < best_b.heading_level):
                 best_b = b
         if best_b is not None:
             fields["title"] = best_b.text[: cfg.max_value_chars]

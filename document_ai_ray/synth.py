@@ -147,9 +147,15 @@ def make_html(
         meta_items.append(f"<li>{label.capitalize()}: {value}</li>")
     meta = f'<ul class="meta">{"".join(meta_items)}</ul>' if meta_items else ""
     if link_farm:
+        # a true link farm carries NO article content — no h1, no meta,
+        # only link listings (keeps every downstream cause deterministic
+        # across languages instead of riding the density threshold)
         body_main = f'<ul class="listing">{_links(rng, 40)}</ul>'
+        meta = ""
+        title_h1 = ""
     else:
         body_main = "\n".join(f"<p>{p}</p>" for p in paragraphs)
+        title_h1 = f"<h1>{title}</h1>\n"
     contact = (
         f'<p class="contact">Contact: <a href="mailto:{contact_email}">{contact_email}</a></p>'
         if contact_email
@@ -167,7 +173,7 @@ def make_html(
         f"<nav><ul>{_links(rng, 10)}</ul></nav>\n"
         f'<div class="sidebar"><h3>More</h3><ul>{_links(rng, 12)}</ul></div>\n'
         "<main><article>\n"
-        f"<h1>{title}</h1>\n"
+        f"{title_h1}"
         f"{meta}\n"
         f"{body_main}\n"
         f"{contact}\n"
@@ -314,6 +320,60 @@ def wrap_documents_batch(batch: pa.Table) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def expected_causes(i: int) -> list[str] | None:
+    """Intended refusal causes for row ``i`` of the synthetic corpus —
+    the analogue of the reference's admin-labeled ground-truth cause
+    CSVs (/root/reference/data/performances_data/*_ground_truth.csv).
+
+    Only pathologies with an unambiguous intent are labeled; rows whose
+    outcome depends on heuristic calibration (truncation, charset
+    repair) return None and are excluded from the labeled subset, like
+    docs absent from the reference's ground-truth CSV.
+    """
+    mod = i % 100
+    if mod in (41, 43):          # truncated / bad-charset: outcome heuristic
+        return None
+    causes = []
+    if mod in (7, 57):
+        causes += ["author_is_not_filled", "byline_is_not_present"]
+    if mod in (11, 61):
+        causes.append("date_is_not_filled")
+    if mod in (17, 67):
+        causes += [
+            "quality_is_not_ok", "extracted_text_is_empty", "link_farm",
+            "contact_is_not_present", "byline_is_not_present",
+            "title_is_not_filled", "author_is_not_filled",
+            "date_is_not_filled", "reference_is_not_filled",
+        ]
+    if mod in (19,):
+        causes += ["quality_is_not_ok", "too_short"]
+    if mod in (23,):
+        causes.append("lang_mismatch")
+    if mod in (29,):
+        causes.append("contact_is_not_present")
+    if mod in (3, 53, 83):       # pdf rows never carry the html contact link
+        pass
+    return sorted(set(causes))
+
+
+def golden_causes_table(n: int, seed: int = 42) -> pa.Table:
+    """(url, causes, validated) for the labeled subset of rows [0, n)."""
+    rows = []
+    for i in range(n):
+        causes = expected_causes(i)
+        if causes is None:
+            continue
+        rows.append(
+            {"url": gen_page(i, seed)["url"], "causes": causes, "validated": not causes}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("url", pa.string()), ("causes", pa.list_(pa.string())), ("validated", pa.bool_())]
+        ),
+    )
 
 
 def skewed_pages_table(n: int, seed: int = 42, giant_every: int = 50, giant_mb: int = 2) -> pa.Table:
