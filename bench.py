@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": .., "num_cpus": N, ...}
+
+--scaling: run the headline extraction pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same input and report both
+throughputs + scaling efficiency = (thr_32/thr_8)/4.  This is the
+sandbox evidence for the north rule's N vs 4N cluster-size criterion
+(no real multi-node cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline pipelines: the flagship extraction job plus one
+# representative of each heavy operator family (shuffle aggregate,
+# LSH dedup, ANN, text analysis).
+BENCH_QUERIES = [
+    "extract_flagship_full",
+    "q1_pricing_summary",
+    "lsh_near_dup_pairs",
+    "knn_bruteforce",
+    "token_counts",
+    "corpus_stats",
+]
+SCALING_QUERY = "extract_flagship_full"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _consume(res) -> int:
+    """Execute a pipeline to completion; returns its row count.
+    Datasets are consumed via count() (streaming, no driver materialize)."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from document_ai_ray.pipelines import registry
+
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    out = {
+        "metric": "e2e_headline_pipelines_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+    }
+    if SCALING_QUERY in times and times[SCALING_QUERY] > 0:
+        out["extract_docs_per_sec"] = round(rows[SCALING_QUERY] / times[SCALING_QUERY], 2)
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Fresh process per parallelism level (clean Ray session each)."""
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--queries", SCALING_QUERY],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr = {
+        c: r["rows"][SCALING_QUERY] / r["queries"][SCALING_QUERY]
+        for c, r in results.items()
+    }
+    speedup = thr[cpus_hi] / thr[cpus_lo]
+    eff = speedup / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "pipeline": SCALING_QUERY,
+        "sf": _sf_of(sf_dir),
+        "cpus": [cpus_lo, cpus_hi],
+        "docs_per_sec": {str(c): round(t, 2) for c, t in thr.items()},
+        "wall_sec": {str(c): results[c]["queries"][SCALING_QUERY] for c in results},
+        "speedup": round(speedup, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    names = BENCH_QUERIES
+    if "--queries" in args:
+        names = args[args.index("--queries") + 1 :]
+    print(json.dumps(run_bench(sf_dir, num_cpus, names)))
+
+
+if __name__ == "__main__":
+    main()

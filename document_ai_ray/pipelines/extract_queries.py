@@ -35,13 +35,17 @@ def extract_roundtrip(sf_dir: str):
 def extract_validated_count(sf_dir: str):
     """Per-lang document counts THROUGH the extraction pipeline (the
     wrapped pages are all clean, so every row survives extraction; the
-    oracle counts the source table).  Exercises extraction -> groupby."""
-    from ray.data.aggregate import Count
-
+    oracle counts the source table).  Exercises extraction -> combiner
+    aggregate (partial per-batch count + shuffle-free merge)."""
     from document_ai_ray.pipelines.extract import flagship
+    from document_ai_ray.pipelines.ops import merge_partials
 
-    out = flagship(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
-    return out
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("lang"), g.column("count_all")], names=["lang", "n_docs"])
+
+    partials = flagship(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return merge_partials(partials, keys=["lang"], agg_funcs={"n_docs": "sum"})
 
 
 @register("extract_flagship_full")

@@ -50,10 +50,53 @@ def partial_group_agg(
         return pa.Table.from_arrays(cols, names=names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
-    if count_alias:
-        aggs.append(Sum(count_alias, alias_name=count_alias))
-    return partials.groupby(keys).aggregate(*aggs)
+    aliases = list(sum_cols.values()) + ([count_alias] if count_alias else [])
+    return merge_partials(partials, keys, {a: "sum" for a in aliases})
+
+
+def merge_partials(
+    partials: rd.Dataset,
+    keys: list[str],
+    agg_funcs: dict[str, str],
+    chunk_rows: int = 1 << 20,
+) -> rd.Dataset:
+    """Merge per-batch partial aggregates WITHOUT an all-to-all shuffle:
+    a parallel consolidation level (coalescing up to ``chunk_rows``
+    partial rows per task via ``batch_size``) followed by ONE final
+    merge task.  Ray's native `groupby().aggregate()` pays ~10 s of
+    all-to-all machinery even for kilobyte inputs; combiner output for
+    low-cardinality keys is tiny, so two map_batches levels do the same
+    work for free.  Only valid when the distinct-key partials fit one
+    task (they do by construction for combiner aggregates); use
+    `bucketed_group_agg` for high-cardinality keys.
+
+    agg_funcs: {column: fn} with fn an Arrow group_by aggregate whose
+    merge is itself (sum/min/max — NOT count or mean).
+    """
+    assert all(f in ("sum", "min", "max") for f in agg_funcs.values())
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, f) for c, f in agg_funcs.items()])
+        names = list(keys) + list(agg_funcs)
+        cols = [g.column(k) for k in keys] + [
+            g.column(f"{c}_{f}") for c, f in agg_funcs.items()
+        ]
+        return pa.Table.from_arrays(cols, names=names)
+
+    consolidated = partials.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
+    return consolidated.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+
+
+def distinct_rows(ds: rd.Dataset, keys: list[str], chunk_rows: int = 1 << 20) -> rd.Dataset:
+    """Distinct key tuples via the same shuffle-free two-level merge
+    (per-chunk dedup -> one final dedup).  For candidate-pair dedup
+    where the distinct set is far smaller than the input stream."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate([])
+
+    consolidated = ds.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
+    return consolidated.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
 
 
 def bucketed_group_agg(

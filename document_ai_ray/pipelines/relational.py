@@ -125,12 +125,24 @@ def events_type_stats(sf_dir: str):
 )
 def corpus_stats(sf_dir: str):
     """Per-lang corpus statistics (the north_rule groupby-lang aggregate)."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
     ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="_sum"),
-        Min("n_chars", alias_name="min_chars"),
-        Max("n_chars", alias_name="max_chars"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max")]
+        )
+        return pa.Table.from_arrays(
+            [g.column("lang"), g.column("count_all"), g.column("n_chars_sum"),
+             g.column("n_chars_min"), g.column("n_chars_max")],
+            names=["lang", "n_docs", "_sum", "min_chars", "max_chars"],
+        )
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"],
+        agg_funcs={"n_docs": "sum", "_sum": "sum", "min_chars": "min", "max_chars": "max"},
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -471,17 +483,30 @@ def events_sessionize(sf_dir: str):
     oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )
 def dedup_exact_docs(sf_dir: str):
-    """Exact dedup: stable content hash per batch (vectorized-ish),
-    hash-shuffled groupby, keep min doc_id per group — grouping moves
-    16-byte hashes, never the documents (SURVEY.md §2.7)."""
+    """Exact dedup: 128-bit content hash per row, LOCAL min-per-hash
+    combiner inside the batch, then a hash-BUCKET shuffle (groups = P
+    buckets, not N docs) with a vectorized per-bucket dedup — grouping
+    moves 32-byte hashes, never the documents, and the per-distinct-
+    group overhead of a native groupby('h') never appears (SURVEY.md
+    §2.7).  Correct at any scale: equal hashes land in equal buckets."""
     from document_ai_ray.functions.hashing import stable_hex
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = 64
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_hash_local_dedup(t: pa.Table) -> pa.Table:
         h = pa.array([stable_hex(x) for x in t.column("text").to_pylist()], pa.string())
-        return pa.Table.from_arrays([t.column("doc_id"), h], names=["doc_id", "h"])
+        t = pa.Table.from_arrays([t.column("doc_id"), h], names=["doc_id", "h"])
+        g = t.group_by("h").aggregate([("doc_id", "min")])  # combiner
+        bucket = pa.array(
+            [int(x[:8], 16) % P for x in g.column("h").to_pylist()], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [g.column("doc_id_min"), g.column("h"), bucket], names=["doc_id", "h", "bucket"]
+        )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    out = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
-    return out.select_columns(["doc_id"])
+    def per_bucket(df) -> "pd.DataFrame":
+        return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))[["doc_id"]]
+
+    hashed = ds.map_batches(add_hash_local_dedup, batch_format="pyarrow")
+    return hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

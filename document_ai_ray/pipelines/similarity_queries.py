@@ -109,9 +109,12 @@ def embedding_centroids(sf_dir: str):
         return pa.Table.from_pylist(rows)
 
     dims = 64
+    from document_ai_ray.pipelines.ops import merge_partials
+
     partials = vecs.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("label").aggregate(
-        Sum("n", alias_name="n"), *[Sum(f"s{d}", alias_name=f"s{d}") for d in range(dims)]
+    agg = merge_partials(
+        partials, keys=["label"],
+        agg_funcs={"n": "sum", **{f"s{d}": "sum" for d in range(dims)}},
     )
 
     def finalize(t: pa.Table) -> pa.Table:

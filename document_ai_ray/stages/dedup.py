@@ -74,76 +74,222 @@ def _pairs_by_selfmerge(match_cols: list[str], carry_cols: list[str]):
 # ---------------------------------------------------------------------------
 
 
+def _jaccard_dense(
+    docs: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    vocab: list[int],
+) -> rd.Dataset:
+    """Dense-vocabulary exact Jaccard: broadcast the full doc x gram
+    incidence matrix (float32, n_docs x |vocab| — caller guarantees the
+    vocabulary is small), then score each batch's rows against it with
+    one matmul.  Each unordered pair is emitted exactly once (kept only
+    where batch id < other id)."""
+    col_of = {gh: j for j, gh in enumerate(vocab)}
+    V = len(vocab)
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids, idx_lists = [], []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            ids.append(i)
+            idx_lists.append([col_of[stable64(g)] for g in word_ngrams(txt or "", n)])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(idx_lists, pa.list_(pa.int32()))],
+            names=["id", "cols"],
+        )
+
+    all_ids: list[int] = []
+    all_cols: list[list[int]] = []
+    for ref in docs.map_batches(incidence, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        all_ids.extend(t.column("id").to_pylist())
+        all_cols.extend(t.column("cols").to_pylist())
+    n_docs = len(all_ids)
+    M = np.zeros((n_docs, V), dtype=np.float32)
+    for r, cols in enumerate(all_cols):
+        M[r, cols] = 1.0
+    ids_arr = np.asarray(all_ids, dtype=np.int64)
+    sizes = M.sum(axis=1)
+    mat_ref = ray.put((ids_arr, sizes, M))
+
+    class DenseScorer:
+        def __init__(self, mat_ref: tuple, threshold: float):
+            self.ids, self.sizes, M = ray.get(mat_ref[0])
+            self.MT = np.ascontiguousarray(M.T)
+            self.t = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b_ids, rows = [], []
+            for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+                row = np.zeros(V, dtype=np.float32)
+                row[[col_of[stable64(g)] for g in word_ngrams(txt or "", n)]] = 1.0
+                b_ids.append(i)
+                rows.append(row)
+            B = np.stack(rows)
+            # float32 matmul is exact for integer counts < 2^24; the
+            # DIVISION must be float64 or ROUND(…,6) digits flip vs SQL
+            inter = (B @ self.MT).astype(np.float64)              # (b, n_docs)
+            bsz = B.sum(axis=1).astype(np.float64)
+            union = bsz[:, None] + self.sizes.astype(np.float64)[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+            bid = np.asarray(b_ids, dtype=np.int64)
+            keep = (j >= self.t) & (bid[:, None] < self.ids[None, :])
+            r, c = np.nonzero(keep)
+            jr = np.floor(j[r, c] * 1e6 + 0.5) / 1e6              # ROUND(…, 6)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(bid[r], pa.int64()),
+                    pa.array(self.ids[c], pa.int64()),
+                    pa.array(jr.astype(np.float64), pa.float64()),
+                ],
+                names=["id_a", "id_b", "jaccard"],
+            )
+
+    return docs.map_batches(
+        DenseScorer,
+        fn_constructor_kwargs={"mat_ref": (mat_ref,), "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
 def exact_jaccard_pairs(
     docs: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
+    dense_vocab_max: int = 1 << 16,
 ) -> rd.Dataset:
-    """All pairs with n-gram Jaccard >= threshold.
+    """All pairs with n-gram Jaccard >= threshold — EXACT, with a
+    vocabulary-size-adaptive plan chosen after a DF pre-pass:
 
-    (gram-hash, id, n_grams) exploded rows (grams are 64-bit stable
-    hashes: 8 bytes shuffled per shingle instead of the string, and a
-    natural bucketing key; collision odds among n grams ~ n^2/2^65)
-    -> groupby(bucket) with a vectorized self-merge per bucket emitting
-    pre-aggregated pair intersection counts -> one small global
-    groupby(pair) -> jaccard filter.  The n^2 all-pairs comparison
-    never materializes.  Carrying n_grams on every exploded row costs
-    8 bytes/row and saves a second shuffle for the sizes.
+    - SMALL distinct-gram vocabulary (<= dense_vocab_max, e.g. templated
+      or synthetic corpora where every gram is corpus-common and an
+      inverted index degenerates into ~n^2/2 candidate rows): blocked
+      brute force — broadcast the doc x gram incidence matrix once
+      (`ray.put`), each task matmuls its batch's rows against it and
+      emits only pairs above threshold.  O(n^2) compute but pure BLAS,
+      no shuffle, no candidate explosion.
+    - LARGE vocabulary (real web corpora, grams mostly rare): the
+      AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et
+      al., WWW'08): per doc, order grams by ascending (DF, hash) and
+      index only the PREFIX of size |g| - ceil(t*|g|) + 1 — any pair
+      with J >= t must share a prefix gram under a global order, while
+      corpus-common grams ("of the") fall in suffixes and never
+      generate candidates.  bucket-grouped self-merge -> distinct
+      candidate pairs -> verify against full gram sets.
+
+    Broadcast notes (test scale vs 10^12 docs): the DF map, the
+    incidence matrix and the verification gram-sets are `ray.put`
+    broadcasts here; at full scale the DF map becomes a hash join of
+    grams x DF on the gram hash, verification becomes a semi-join of
+    docs against the sparse candidate-id set, and exact ALL-pairs at
+    dense similarity is intractable by nature — that regime belongs to
+    `minhash_lsh_pairs`.
     """
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids_out, gh_out, sizes_out, bucket_out = [], [], [], []
+    def explode_all(t: pa.Table) -> pa.Table:
+        ids_out, gh_out = [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            gs = word_ngrams(txt or "", n)
-            for g in gs:
-                h = stable64(g)
+            for g in word_ngrams(txt or "", n):
                 ids_out.append(i)
-                gh_out.append(h)
-                sizes_out.append(len(gs))
-                bucket_out.append(h % N_PAIR_BUCKETS)
+                gh_out.append(stable64(g))
         return pa.Table.from_arrays(
-            [
-                pa.array(ids_out, pa.int64()),
-                pa.array(gh_out, pa.uint64()),
-                pa.array(sizes_out, pa.int64()),
-                pa.array(bucket_out, pa.int32()),
-            ],
-            names=["id", "gh", "n_grams", "bucket"],
+            [pa.array(ids_out, pa.int64()), pa.array(gh_out, pa.uint64())],
+            names=["id", "gh"],
         )
 
-    grams = docs.map_batches(explode, batch_format="pyarrow")
-    pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=["n_grams"])
-    pair_hits = grams.groupby("bucket").map_groups(
-        lambda g: pair_fn(g.drop(columns=["bucket"])), batch_format="pandas"
+    from document_ai_ray.pipelines.ops import distinct_rows, merge_partials
+
+    # -- pass 1: document frequency per gram hash -------------------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("gh").aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("gh"), g.column("count_all")], names=["gh", "df"])
+
+    df_tbl = (
+        merge_partials(
+            docs.map_batches(explode_all, batch_format="pyarrow").map_batches(
+                df_partial, batch_format="pyarrow"
+            ),
+            keys=["gh"],
+            agg_funcs={"df": "sum"},
+        )
+        .to_arrow_refs()
     )
+    df_map: dict[int, int] = {}
+    for ref in df_tbl:
+        t = ray.get(ref)
+        df_map.update(zip(t.column("gh").to_pylist(), t.column("df").to_pylist()))
 
-    # high-cardinality pair aggregation -> bucketed vectorized groupby
-    # (ray's native multi-key aggregate pays ~ms per distinct group)
-    from document_ai_ray.pipelines.ops import bucketed_group_agg
+    if len(df_map) <= dense_vocab_max:
+        return _jaccard_dense(docs, id_col, text_col, n, threshold, sorted(df_map))
 
-    def pair_agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["id_a", "id_b"], as_index=False).agg(
-            i=("i", "sum"), na=("n_grams_a", "first"), nb=("n_grams_b", "first")
+    df_ref = ray.put(df_map)
+
+    # -- pass 2: prefix-filtered inverted index ---------------------------
+    class PrefixExploder:
+        def __init__(self, df_ref: tuple, threshold: float):
+            self.df: dict[int, int] = ray.get(df_ref[0])
+            self.t = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_out, gh_out, bucket_out = [], [], []
+            for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+                hs = [stable64(g) for g in word_ngrams(txt or "", n)]
+                if not hs:
+                    continue
+                hs.sort(key=lambda h: (self.df.get(h, 0), h))  # global (DF, hash) order
+                p = len(hs) - int(np.ceil(self.t * len(hs))) + 1
+                for h in hs[:p]:
+                    ids_out.append(i)
+                    gh_out.append(h)
+                    bucket_out.append(h % N_PAIR_BUCKETS)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(ids_out, pa.int64()),
+                    pa.array(gh_out, pa.uint64()),
+                    pa.array(bucket_out, pa.int32()),
+                ],
+                names=["id", "gh", "bucket"],
+            )
+
+    prefix = docs.map_batches(
+        PrefixExploder,
+        fn_constructor_kwargs={"df_ref": (df_ref,), "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=[])
+    cands = prefix.groupby("bucket").map_groups(
+        lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    cands = distinct_rows(cands, ["id_a", "id_b"])
+
+    # -- pass 3: exact verification over full gram sets -------------------
+    grams_map: dict[int, set[str]] = {}
+    for ref in docs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column(id_col),
+                pa.array([list(word_ngrams(x or "", n)) for x in t.column(text_col).to_pylist()],
+                         pa.list_(pa.string())),
+            ],
+            names=["id", "grams"],
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        grams_map.update(
+            (i, set(gs)) for i, gs in zip(t.column("id").to_pylist(), t.column("grams").to_pylist())
         )
-
-    inter = bucketed_group_agg(pair_hits, ["id_a", "id_b"], pair_agg)
-
-    def finalize(t: pa.Table) -> pa.Table:
-        i = t.column("i").to_numpy().astype(np.float64)
-        na = t.column("na").to_numpy().astype(np.float64)
-        nb = t.column("nb").to_numpy().astype(np.float64)
-        j = i / (na + nb - i)
-        keep = j >= threshold
-        jr = np.floor(j * 1e6 + 0.5) / 1e6  # DuckDB-ROUND(…, 6) semantics
-        out = pa.Table.from_arrays(
-            [t.column("id_a"), t.column("id_b"), pa.array(jr, pa.float64())],
-            names=["id_a", "id_b", "jaccard"],
-        )
-        return out.filter(pa.array(keep))
-
-    return inter.map_batches(finalize, batch_format="pyarrow")
+    return verify_pairs(cands, grams_map, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -252,9 +398,13 @@ def minhash_lsh_pairs(
 
     pair_fn = _pairs_by_selfmerge(["band", "key"], carry_cols=[])
     cands = bander.groupby("bucket").map_groups(
-        lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]], batch_format="pandas"
+        lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
+        batch_format="pandas",
     )
-    return cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    # candidate pairs are sparse -> shuffle-free two-level distinct
+    from document_ai_ray.pipelines.ops import distinct_rows
+
+    return distinct_rows(cands, ["id_a", "id_b"])
 
 
 def verify_pairs(cands: rd.Dataset, grams_map: dict[int, set[str]], threshold: float, concurrency: int = 4) -> rd.Dataset:
@@ -336,4 +486,7 @@ def simhash_pairs(
         return m[["id_a", "id_b", "hamming"]]
 
     cands = fp.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    return cands.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # near-dup pairs are sparse -> shuffle-free two-level min-merge
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    return merge_partials(cands, ["id_a", "id_b"], {"hamming": "min"})
