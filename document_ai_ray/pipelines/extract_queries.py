@@ -55,3 +55,19 @@ def extract_flagship_full(sf_dir: str):
     from document_ai_ray.pipelines.extract import flagship
 
     return flagship(sf_dir)
+
+
+@register("extract_synth_corpus")
+def extract_synth_corpus(sf_dir: str):
+    """Extraction+validation over the DISTRIBUTED synthetic corpus
+    (generation happens inside tasks; nothing driver-side).  Row count
+    via $BENCH_SYNTH_N (default 400k) — the scaling-benchmark workload:
+    big enough that compute dominates actor-pool startup.  Rows-only
+    check (sf_dir unused)."""
+    import os
+
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.synth import pages_dataset
+
+    n = int(os.environ.get("BENCH_SYNTH_N", "400000"))
+    return extract_pipeline(pages_dataset(n, parallelism=max(64, n // 2000)))

@@ -52,11 +52,16 @@ def validate_row(row: dict) -> tuple[list[str], bool]:
     return causes, not causes
 
 
+_NEEDED = ["quality", "error", "extracted_text", "field_status", "pred_lang", "lang"]
+
+
 def validate_batch(batch: pa.Table) -> pa.Table:
-    rows = batch.to_pylist()
+    # only the rule inputs round-trip through Python — the wide columns
+    # (blocks, fields, text payloads) stay as Arrow buffers
+    cols = {c: batch.column(c).to_pylist() for c in _NEEDED}
     causes_col, validated_col = [], []
-    for r in rows:
-        causes, ok = validate_row(r)
+    for i in range(len(batch)):
+        causes, ok = validate_row({c: cols[c][i] for c in _NEEDED})
         causes_col.append(causes)
         validated_col.append(ok)
     return batch.append_column(

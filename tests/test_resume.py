@@ -1,0 +1,113 @@
+"""Checkpoint/resume contract (north rule: per-partition lineage,
+failed runs resume without reprocessing completed partitions) and skew
+re-blocking."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from document_ai_ray.pipelines.extract import extract_pipeline
+from document_ai_ray.stages.skew import split_batch_by_bytes, split_blocks_by_bytes
+from document_ai_ray.state.resume import (
+    completed_shards,
+    read_output,
+    run_resumable,
+    shard_of,
+    write_manifest,
+)
+from document_ai_ray.synth import pages_table, skewed_pages_table
+
+N = 120
+SHARDS = 4
+
+
+def _make_pages():
+    return rd.from_arrow(pages_table(N))
+
+
+def test_resumable_full_run_and_idempotent_rerun(tmp_path):
+    out = str(tmp_path / "run")
+    processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    assert sorted(processed) == list(range(SHARDS))
+    assert completed_shards(out, SHARDS) == set(range(SHARDS))
+
+    res = read_output(out)
+    urls = sorted(u for u in res.to_pandas()["url"])
+    want = sorted(pages_table(N).column("url").to_pylist())
+    assert urls == want  # every row exactly once across shards
+
+    # manifests certify the files on disk
+    for s in range(SHARDS):
+        with open(os.path.join(out, "_manifest", f"shard-{s:05d}.json")) as f:
+            m = json.load(f)
+        assert m["complete"] and m["rows"] > 0 and m["files"]
+        total = sum(
+            os.path.getsize(os.path.join(out, f"shard={s:05d}", fn)) for fn in m["files"]
+        )
+        assert total == m["bytes"]
+
+    # second run: everything is already committed -> no work
+    assert run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS) == []
+
+
+def test_resume_after_crash_skips_completed(tmp_path):
+    out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(
+            _make_pages, extract_pipeline, out, num_shards=SHARDS, fail_after=2
+        )
+    assert len(completed_shards(out, SHARDS)) == 2
+
+    processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    assert len(processed) == SHARDS - 2  # only the missing shards ran
+
+    got = sorted(read_output(out).to_pandas()["url"])
+    assert got == sorted(pages_table(N).column("url").to_pylist())
+
+
+def test_partial_shard_without_manifest_is_rebuilt(tmp_path):
+    out = str(tmp_path / "partial")
+    run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    # simulate a crash between parquet flush and manifest commit
+    os.remove(os.path.join(out, "_manifest", "shard-00001.json"))
+    processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    assert processed == [1]
+    assert sorted(read_output(out).to_pandas()["url"]) == sorted(
+        pages_table(N).column("url").to_pylist()
+    )
+
+
+def test_shard_assignment_stable_and_total():
+    urls = pages_table(50).column("url").to_pylist()
+    shards = [shard_of(u, SHARDS) for u in urls]
+    assert set(shards) <= set(range(SHARDS))
+    assert shards == [shard_of(u, SHARDS) for u in urls]  # deterministic
+
+
+def test_split_batch_by_bytes_isolates_giants():
+    t = skewed_pages_table(60, giant_every=20, giant_mb=1)
+    budget = 32 << 10
+    parts = list(split_batch_by_bytes(t, budget))
+    # all rows preserved, in order
+    assert sum(len(p) for p in parts) == len(t)
+    got = [u for p in parts for u in p.column("url").to_pylist()]
+    assert got == t.column("url").to_pylist()
+    import pyarrow.compute as pc
+
+    for p in parts:
+        sizes = pc.binary_length(p.column("html")).to_pylist()
+        if len(p) > 1:
+            assert sum(sizes) <= budget  # multi-row blocks respect the budget
+        else:
+            pass  # giant rows ride alone (may exceed the budget by themselves)
+    assert any(len(p) == 1 for p in parts)  # the giants were isolated
+
+
+def test_split_blocks_by_bytes_dataset_roundtrip():
+    t = skewed_pages_table(60, giant_every=20, giant_mb=1)
+    ds = split_blocks_by_bytes(rd.from_arrow(t), max_bytes=32 << 10)
+    out = extract_pipeline(ds).to_pandas()
+    assert sorted(out["url"]) == sorted(t.column("url").to_pylist())
