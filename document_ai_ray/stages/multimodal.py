@@ -113,3 +113,86 @@ def media_features(media_ds, concurrency: int = 4, batch_size: int = 16):
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class ResizeMedia:
+    """Actor-pool stage: payload -> payload at new dimensions (the
+    image-resize analogue of the reference's page-height normalization,
+    /root/reference/detection/template_matching.py:169-188).  Real
+    codecs are stubbed like DecodeMedia; the fake path rewrites the
+    header and nearest-neighbor-samples the byte body so output size
+    tracks the new dimensions deterministically."""
+
+    def __init__(self, width: int, height: int, strict: bool = False):
+        self.w, self.h, self.strict = width, height, strict
+
+    def _resize(self, payload: bytes) -> bytes:
+        if payload[:4] != _MAGIC:
+            if self.strict:
+                raise NotImplementedError("real image resize requires codec libraries")
+            raise ValueError("unknown payload format")
+        body = np.frombuffer(payload[16:], dtype=np.uint8)
+        _, _, sr = struct.unpack("<III", payload[4:16])
+        n_out = max(16, (self.w * self.h) // 64)
+        idx = np.linspace(0, len(body) - 1, n_out).astype(np.int64)
+        return _MAGIC + struct.pack("<III", self.w, self.h, sr) + body[idx].tobytes()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_payloads, metas = [], []
+        for p in t.column("payload").to_pylist():
+            try:
+                out_payloads.append(self._resize(p))
+            except Exception:
+                out_payloads.append(p)  # pass-through on failure (row survives)
+        metas = [
+            {"width": self.w, "height": self.h, "sample_rate": (m or {}).get("sample_rate", 0)}
+            for m in t.column("meta").to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [
+                t.column("media_id"),
+                t.column("media_type"),
+                pa.array(out_payloads, pa.binary()),
+                pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+            ],
+            names=[f.name for f in MEDIA_SCHEMA],
+        )
+
+
+def resize_media(media_ds, width: int, height: int, concurrency: int = 4, batch_size: int = 16):
+    return media_ds.map_batches(
+        ResizeMedia,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def sample_frames(media_ds, every: int = 4, concurrency: int = 4, batch_size: int = 8):
+    """Video-analogue frame sampling: explode each payload into every
+    k-th fixed-size chunk as one 'frame' row (flat_map shape: one media
+    row -> many frame rows).  Real container demuxing is stubbed the
+    same way as decoding."""
+    FRAME = 256
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for i, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
+            if not p or p[:4] != _MAGIC:
+                continue
+            body = p[16:]
+            n_frames = max(1, len(body) // FRAME)
+            for k in range(0, n_frames, every):
+                ids.append(i)
+                idxs.append(k)
+                frames.append(body[k * FRAME : (k + 1) * FRAME])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(idxs, pa.int32()), pa.array(frames, pa.binary())],
+            names=["media_id", "frame_idx", "frame"],
+        )
+
+    return media_ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size
+    )
