@@ -3,14 +3,15 @@
 Re-expresses the reference's batch-evaluation harness
 (/root/reference/performances.py:40-93, 129-189):
 
-  - `expand_causes`  ≙ `expand_df` (explode doc x cause membership)
+  - per-batch confusion partials ≙ `expand_df` + `calculate_metrics`
+    (explode doc x cause membership, per-cause TP/FP/TN/FN,
+    accuracy/precision/recall incl. the quality-conditioning)
   - broadcast join on url ≙ `pd.merge(..., on='document_name')`
-  - per-cause TP/FP/TN/FN + accuracy/precision/recall
-    ≙ `calculate_metrics` (including the quality-conditioning)
   - FP/FN listings ≙ `get_false_positives_negatives`
 
 The golden side is small relative to the corpus (labeled subset), so it
-broadcasts; the explode+aggregate runs distributed over predictions.
+broadcasts (ray.put once, materialized once per worker); the
+explode+aggregate runs distributed over predictions as task stages.
 """
 
 from __future__ import annotations
@@ -24,52 +25,49 @@ import ray.data as rd
 from document_ai_ray.config import CAUSES
 
 
-class CauseExpander:
-    """results x golden -> long (cause, predicted, actual) counts per
-    batch (partial confusion matrices; the final groupby sums 14-row
-    partials — combiner pattern)."""
+def _golden_map(golden: pa.Table) -> dict[str, set]:
+    return {
+        u: set(c or [])
+        for u, c in zip(golden.column("url").to_pylist(), golden.column("causes").to_pylist())
+    }
 
-    def __init__(self, golden_ref: tuple):
-        golden: pa.Table = ray.get(golden_ref[0])
-        self.golden = {
-            u: set(c or []) for u, c in zip(golden.column("url").to_pylist(), golden.column("causes").to_pylist())
-        }
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        preds = t.column("refused_causes").to_pylist()
-        counts = {c: np.zeros(4, dtype=np.int64) for c in CAUSES}  # tp, fp, tn, fn
-        for u, p in zip(urls, preds):
-            if u not in self.golden:
-                continue
-            actual = self.golden[u]
-            pred = set(p or [])
-            for c in CAUSES:
-                a, q = c in actual, c in pred
-                if a and q:
-                    counts[c][0] += 1
-                elif not a and q:
-                    counts[c][1] += 1
-                elif not a and not q:
-                    counts[c][2] += 1
-                else:
-                    counts[c][3] += 1
-        rows = [
-            {"cause": c, "tp": int(v[0]), "fp": int(v[1]), "tn": int(v[2]), "fn": int(v[3])}
-            for c, v in counts.items()
-        ]
-        return pa.Table.from_pylist(rows)
+def _confusion_batch(t: pa.Table, golden_ref: tuple) -> pa.Table:
+    """results x golden -> 14-row partial confusion matrix per batch
+    (combiner pattern: the final merge sums tiny partials)."""
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    gm = get_broadcast(golden_ref, _golden_map, tag="golden-causes")
+    urls = t.column("url").to_pylist()
+    preds = t.column("refused_causes").to_pylist()
+    counts = {c: np.zeros(4, dtype=np.int64) for c in CAUSES}  # tp, fp, tn, fn
+    for u, p in zip(urls, preds):
+        if u not in gm:
+            continue
+        actual = gm[u]
+        pred = set(p or [])
+        for c in CAUSES:
+            a, q = c in actual, c in pred
+            if a and q:
+                counts[c][0] += 1
+            elif not a and q:
+                counts[c][1] += 1
+            elif not a and not q:
+                counts[c][2] += 1
+            else:
+                counts[c][3] += 1
+    rows = [
+        {"cause": c, "tp": int(v[0]), "fp": int(v[1]), "tn": int(v[2]), "fn": int(v[3])}
+        for c, v in counts.items()
+    ]
+    return pa.Table.from_pylist(rows)
 
 
 def cause_confusion(results: rd.Dataset, golden: pa.Table, concurrency: int = 4) -> pd.DataFrame:
     """Per-cause confusion + derived metrics (small result -> pandas)."""
     ref = ray.put(golden)
     partials = results.map_batches(
-        CauseExpander,
-        fn_constructor_kwargs={"golden_ref": (ref,)},
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        _confusion_batch, fn_kwargs={"golden_ref": (ref,)}, batch_format="pyarrow"
     )
     df = partials.to_pandas().groupby("cause", as_index=False).sum()
     n = df[["tp", "fp", "tn", "fn"]].sum(axis=1)
@@ -79,38 +77,29 @@ def cause_confusion(results: rd.Dataset, golden: pa.Table, concurrency: int = 4)
     return df.sort_values("cause").reset_index(drop=True)
 
 
-class MismatchFinder:
+def _mismatch_batch(t: pa.Table, golden_ref: tuple) -> pa.Table:
     """FP/FN row listings (≙ get_false_positives_negatives)."""
+    from document_ai_ray.pipelines.ops import get_broadcast
 
-    def __init__(self, golden_ref: tuple):
-        golden: pa.Table = ray.get(golden_ref[0])
-        self.golden = {
-            u: set(c or []) for u, c in zip(golden.column("url").to_pylist(), golden.column("causes").to_pylist())
-        }
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        preds = t.column("refused_causes").to_pylist()
-        out = []
-        for u, p in zip(urls, preds):
-            if u not in self.golden:
-                continue
-            actual, pred = self.golden[u], set(p or [])
-            for c in pred - actual:
-                out.append({"url": u, "cause": c, "kind": "fp"})
-            for c in actual - pred:
-                out.append({"url": u, "cause": c, "kind": "fn"})
-        return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
-            [], schema=pa.schema([("url", pa.string()), ("cause", pa.string()), ("kind", pa.string())])
-        )
+    gm = get_broadcast(golden_ref, _golden_map, tag="golden-causes")
+    urls = t.column("url").to_pylist()
+    preds = t.column("refused_causes").to_pylist()
+    out = []
+    for u, p in zip(urls, preds):
+        if u not in gm:
+            continue
+        actual, pred = gm[u], set(p or [])
+        for c in pred - actual:
+            out.append({"url": u, "cause": c, "kind": "fp"})
+        for c in actual - pred:
+            out.append({"url": u, "cause": c, "kind": "fn"})
+    return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
+        [], schema=pa.schema([("url", pa.string()), ("cause", pa.string()), ("kind", pa.string())])
+    )
 
 
 def mismatches(results: rd.Dataset, golden: pa.Table, concurrency: int = 4) -> rd.Dataset:
     ref = ray.put(golden)
     return results.map_batches(
-        MismatchFinder,
-        fn_constructor_kwargs={"golden_ref": (ref,)},
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        _mismatch_batch, fn_kwargs={"golden_ref": (ref,)}, batch_format="pyarrow"
     )

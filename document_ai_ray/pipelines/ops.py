@@ -134,29 +134,38 @@ def bucketed_group_agg(
     )
 
 
-class BroadcastJoiner:
-    """Actor-pool map-side hash join: the small side is `ray.put` ONCE
-    on the driver and materialized per ACTOR in ``__init__`` (never
-    re-shipped per batch) — ≙ the reference's in-memory ground-truth
-    lookup (/root/reference/performances.py:109-115) distributed.
+# ---------------------------------------------------------------------------
+# Per-worker broadcast cache.  The small side is `ray.put` ONCE on the
+# driver; each worker PROCESS materializes (and optionally transforms)
+# it on first touch and reuses it for every subsequent task — the same
+# amortization as an actor's __init__ without paying actor-pool startup
+# (~2 s of process spawns per stage, measured).  ≙ the reference's
+# in-memory ground-truth lookup (/root/reference/performances.py:109-115)
+# distributed.  Refs are wrapped in a 1-tuple so Ray does not eagerly
+# de-ref them per task submission.
+# ---------------------------------------------------------------------------
 
-    Wrap the ObjectRef in a 1-tuple so Ray does not eagerly de-ref it
-    per task submission.
-    """
+_BCAST_CACHE: dict[tuple, Any] = {}
 
-    def __init__(self, small_ref: tuple, key: str, right_key: str, how: str = "inner"):
-        small: pa.Table = ray.get(small_ref[0])
-        self.key = key
-        self.right_key = right_key
-        self.how = how
-        self.small_df = small.to_pandas().set_index(right_key, drop=True)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+def get_broadcast(ref_tuple: tuple, build=None, tag: str = ""):
+    """Materialize a broadcast ObjectRef once per worker process.
+    `build(value)` (optional) derives the cached working structure —
+    e.g. a pandas index or a dict — also once per worker."""
+    key = (ref_tuple[0].hex(), tag)
+    if key not in _BCAST_CACHE:
+        val = ray.get(ref_tuple[0])
+        _BCAST_CACHE[key] = build(val) if build is not None else val
+    return _BCAST_CACHE[key]
 
-        df = batch.to_pandas()
-        joined = df.join(self.small_df, on=self.key, how=self.how)
-        return pa.Table.from_pandas(joined, preserve_index=False)
+
+def _bjoin_batch(batch: pa.Table, small_ref: tuple, key: str, right_key: str, how: str) -> pa.Table:
+    small_df = get_broadcast(
+        small_ref, lambda t: t.to_pandas().set_index(right_key, drop=True), tag=f"bjoin:{right_key}"
+    )
+    df = batch.to_pandas()
+    joined = df.join(small_df, on=key, how=how)
+    return pa.Table.from_pandas(joined, preserve_index=False)
 
 
 def broadcast_join(
@@ -165,16 +174,15 @@ def broadcast_join(
     key: str,
     right_key: str | None = None,
     how: str = "inner",
-    concurrency: int = 8,
+    concurrency: int = 8,  # kept for API compat; task stages self-scale
 ) -> rd.Dataset:
+    """Map-side broadcast hash join (task stage + per-worker cache)."""
     right_key = right_key or key
     ref = ray.put(small)
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"small_ref": (ref,), "key": key, "right_key": right_key, "how": how},
+        _bjoin_batch,
+        fn_kwargs={"small_ref": (ref,), "key": key, "right_key": right_key, "how": how},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
     )
 
 
@@ -209,10 +217,10 @@ def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int, columns: list[str
             t = t.select(columns)
         return t.sort_by(sort_keys).slice(0, k)
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(local, batch_format="pyarrow", batch_size=None)
+    # final merge coalesces all k-row partials into ONE batch via
+    # batch_size (no repartition all-to-all needed for k*blocks rows)
+    return ds.map_batches(local, batch_format="pyarrow").map_batches(
+        local, batch_format="pyarrow", batch_size=1 << 30
     )
 
 
@@ -228,32 +236,24 @@ def distinct_values(ds: rd.Dataset, col: str) -> pa.Table:
     return pa.Table.from_arrays([pa.array(vals)], names=[col])
 
 
-class KeySetFilter:
+def _keyset_batch(batch: pa.Table, keys_ref: tuple, key: str, anti: bool) -> pa.Table:
     """Semi/anti join via broadcast key set (at 10^12 rows the set
     becomes a Bloom filter; the plumbing is identical)."""
-
-    def __init__(self, keys_ref: tuple, key: str, anti: bool):
-        self.keys = set(ray.get(keys_ref[0]))
-        self.key = key
-        self.anti = anti
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(self.key), value_set=pa.array(list(self.keys)))
-        if self.anti:
-            mask = pc.invert(mask)
-        return batch.filter(mask)
+    value_set = get_broadcast(keys_ref, lambda ks: pa.array(sorted(set(ks))), tag="keyset")
+    mask = pc.is_in(batch.column(key), value_set=value_set)
+    if anti:
+        mask = pc.invert(mask)
+    return batch.filter(mask)
 
 
 def semi_anti_join(
     ds: rd.Dataset, key_values: list[Any], key: str, anti: bool = False, concurrency: int = 8
 ) -> rd.Dataset:
-    ref = ray.put(key_values)
+    ref = ray.put(list(key_values))
     return ds.map_batches(
-        KeySetFilter,
-        fn_constructor_kwargs={"keys_ref": (ref,), "key": key, "anti": anti},
+        _keyset_batch,
+        fn_kwargs={"keys_ref": (ref,), "key": key, "anti": anti},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
     )
 
 

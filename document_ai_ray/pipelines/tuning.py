@@ -44,76 +44,77 @@ SEARCH_SPACE: dict[str, list] = {
 }
 
 
-class _Scorer:
-    """Per-batch scoring vs broadcast golden fields (one row out per
-    (url, field))."""
-
-    def __init__(self, golden_ref: tuple):
-        g: pa.Table = ray.get(golden_ref[0])
-        self.fields = {
-            u: (dict(f or {}), dict(s or {}), t or "")
-            for u, f, s, t in zip(
-                g.column("url").to_pylist(),
-                g.column("fields").to_pylist(),
-                g.column("field_status").to_pylist(),
-                g.column("extracted_text").to_pylist(),
-            )
-        }
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        rows = []
-        for u, lang, f, s, txt in zip(
-            t.column("url").to_pylist(),
-            t.column("lang").to_pylist(),
-            t.column("fields").to_pylist(),
-            t.column("field_status").to_pylist(),
-            t.column("extracted_text").to_pylist(),
-        ):
-            if u not in self.fields:
-                continue
-            gf, gs, gtext = self.fields[u]
-            f, s = dict(f or {}), dict(s or {})
-            for fld in set(gs) | set(s):
-                want_status = gs.get(fld, "NOT_FOUND")
-                got_status = s.get(fld, "NOT_FOUND")
-                filling = float(
-                    (want_status == STATUS_FOUND) == (got_status == STATUS_FOUND)
-                )
-                want_v, got_v = gf.get(fld), f.get(fld)
-                if want_status == STATUS_FOUND:
-                    content = float(got_v == want_v)
-                    if got_v and want_v:
-                        d = levenshtein(got_v, want_v)
-                        fuzzy = 1.0 - d / max(len(got_v), len(want_v))
-                    else:
-                        fuzzy = content
-                else:  # nothing to extract: correct iff nothing extracted
-                    content = fuzzy = float(got_v is None)
-                rows.append(
-                    {
-                        "url": u,
-                        "lang": lang,
-                        "field": fld,
-                        "filling": filling,
-                        "content": content,
-                        "fuzzy": fuzzy,
-                        "text_exact": float(txt == gtext),
-                    }
-                )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("lang", pa.string()),
-                    ("field", pa.string()),
-                    ("filling", pa.float64()),
-                    ("content", pa.float64()),
-                    ("fuzzy", pa.float64()),
-                    ("text_exact", pa.float64()),
-                ]
-            ),
+def _golden_fields(g: pa.Table) -> dict:
+    return {
+        u: (dict(f or {}), dict(s or {}), t or "")
+        for u, f, s, t in zip(
+            g.column("url").to_pylist(),
+            g.column("fields").to_pylist(),
+            g.column("field_status").to_pylist(),
+            g.column("extracted_text").to_pylist(),
         )
+    }
+
+
+def _score_batch(t: pa.Table, golden_ref: tuple) -> pa.Table:
+    """Per-batch scoring vs broadcast golden fields (one row out per
+    (url, field); task stage with per-worker broadcast cache)."""
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    fields_map = get_broadcast(golden_ref, _golden_fields, tag="golden-fields")
+    rows = []
+    for u, lang, f, s, txt in zip(
+        t.column("url").to_pylist(),
+        t.column("lang").to_pylist(),
+        t.column("fields").to_pylist(),
+        t.column("field_status").to_pylist(),
+        t.column("extracted_text").to_pylist(),
+    ):
+        if u not in fields_map:
+            continue
+        gf, gs, gtext = fields_map[u]
+        f, s = dict(f or {}), dict(s or {})
+        for fld in set(gs) | set(s):
+            want_status = gs.get(fld, "NOT_FOUND")
+            got_status = s.get(fld, "NOT_FOUND")
+            filling = float(
+                (want_status == STATUS_FOUND) == (got_status == STATUS_FOUND)
+            )
+            want_v, got_v = gf.get(fld), f.get(fld)
+            if want_status == STATUS_FOUND:
+                content = float(got_v == want_v)
+                if got_v and want_v:
+                    d = levenshtein(got_v, want_v)
+                    fuzzy = 1.0 - d / max(len(got_v), len(want_v))
+                else:
+                    fuzzy = content
+            else:  # nothing to extract: correct iff nothing extracted
+                content = fuzzy = float(got_v is None)
+            rows.append(
+                {
+                    "url": u,
+                    "lang": lang,
+                    "field": fld,
+                    "filling": filling,
+                    "content": content,
+                    "fuzzy": fuzzy,
+                    "text_exact": float(txt == gtext),
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("lang", pa.string()),
+                ("field", pa.string()),
+                ("filling", pa.float64()),
+                ("content", pa.float64()),
+                ("fuzzy", pa.float64()),
+                ("text_exact", pa.float64()),
+            ]
+        ),
+    )
 
 
 def score_extraction(
@@ -123,11 +124,7 @@ def score_extraction(
     compute_metrics_for_multiple_jsons, tuning.py:82-167)."""
     ref = ray.put(golden)
     scored = results.map_batches(
-        _Scorer,
-        fn_constructor_kwargs={"golden_ref": (ref,)},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=1,
+        _score_batch, fn_kwargs={"golden_ref": (ref,)}, batch_format="pyarrow"
     )
     df = scored.to_pandas()  # (url x field) rows: small
     metrics = ["filling", "content", "fuzzy", "text_exact"]

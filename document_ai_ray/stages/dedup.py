@@ -114,46 +114,45 @@ def _jaccard_dense(
     sizes = M.sum(axis=1)
     mat_ref = ray.put((ids_arr, sizes, M))
 
-    class DenseScorer:
-        def __init__(self, mat_ref: tuple, threshold: float):
-            self.ids, self.sizes, M = ray.get(mat_ref[0])
-            self.MT = np.ascontiguousarray(M.T)
-            self.t = threshold
+    from document_ai_ray.pipelines.ops import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b_ids, rows = [], []
-            for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-                row = np.zeros(V, dtype=np.float32)
-                row[[col_of[stable64(g)] for g in word_ngrams(txt or "", n)]] = 1.0
-                b_ids.append(i)
-                rows.append(row)
-            B = np.stack(rows)
-            # float32 matmul is exact for integer counts < 2^24; the
-            # DIVISION must be float64 or ROUND(…,6) digits flip vs SQL
-            inter = (B @ self.MT).astype(np.float64)              # (b, n_docs)
-            bsz = B.sum(axis=1).astype(np.float64)
-            union = bsz[:, None] + self.sizes.astype(np.float64)[None, :] - inter
-            with np.errstate(divide="ignore", invalid="ignore"):
-                j = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
-            bid = np.asarray(b_ids, dtype=np.int64)
-            keep = (j >= self.t) & (bid[:, None] < self.ids[None, :])
-            r, c = np.nonzero(keep)
-            jr = np.floor(j[r, c] * 1e6 + 0.5) / 1e6              # ROUND(…, 6)
-            return pa.Table.from_arrays(
-                [
-                    pa.array(bid[r], pa.int64()),
-                    pa.array(self.ids[c], pa.int64()),
-                    pa.array(jr.astype(np.float64), pa.float64()),
-                ],
-                names=["id_a", "id_b", "jaccard"],
-            )
+    def dense_score(t: pa.Table, mat_ref: tuple, thr: float) -> pa.Table:
+        ids_arr, sizes, MT = get_broadcast(
+            mat_ref,
+            lambda v: (v[0], v[1].astype(np.float64), np.ascontiguousarray(v[2].T)),
+            tag="jac-dense",
+        )
+        b_ids, rows = [], []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            row = np.zeros(V, dtype=np.float32)
+            row[[col_of[stable64(g)] for g in word_ngrams(txt or "", n)]] = 1.0
+            b_ids.append(i)
+            rows.append(row)
+        B = np.stack(rows)
+        # float32 matmul is exact for integer counts < 2^24; the
+        # DIVISION must be float64 or ROUND(…,6) digits flip vs SQL
+        inter = (B @ MT).astype(np.float64)                   # (b, n_docs)
+        bsz = B.sum(axis=1).astype(np.float64)
+        union = bsz[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+        bid = np.asarray(b_ids, dtype=np.int64)
+        keep = (j >= thr) & (bid[:, None] < ids_arr[None, :])
+        r, c = np.nonzero(keep)
+        jr = np.floor(j[r, c] * 1e6 + 0.5) / 1e6              # ROUND(…, 6)
+        return pa.Table.from_arrays(
+            [
+                pa.array(bid[r], pa.int64()),
+                pa.array(ids_arr[c], pa.int64()),
+                pa.array(jr.astype(np.float64), pa.float64()),
+            ],
+            names=["id_a", "id_b", "jaccard"],
+        )
 
     return docs.map_batches(
-        DenseScorer,
-        fn_constructor_kwargs={"mat_ref": (mat_ref,), "threshold": threshold},
+        dense_score,
+        fn_kwargs={"mat_ref": (mat_ref,), "thr": threshold},
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
     )
 
 
@@ -232,38 +231,34 @@ def exact_jaccard_pairs(
     df_ref = ray.put(df_map)
 
     # -- pass 2: prefix-filtered inverted index ---------------------------
-    class PrefixExploder:
-        def __init__(self, df_ref: tuple, threshold: float):
-            self.df: dict[int, int] = ray.get(df_ref[0])
-            self.t = threshold
+    from document_ai_ray.pipelines.ops import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids_out, gh_out, bucket_out = [], [], []
-            for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-                hs = [stable64(g) for g in word_ngrams(txt or "", n)]
-                if not hs:
-                    continue
-                hs.sort(key=lambda h: (self.df.get(h, 0), h))  # global (DF, hash) order
-                p = len(hs) - int(np.ceil(self.t * len(hs))) + 1
-                for h in hs[:p]:
-                    ids_out.append(i)
-                    gh_out.append(h)
-                    bucket_out.append(h % N_PAIR_BUCKETS)
-            return pa.Table.from_arrays(
-                [
-                    pa.array(ids_out, pa.int64()),
-                    pa.array(gh_out, pa.uint64()),
-                    pa.array(bucket_out, pa.int32()),
-                ],
-                names=["id", "gh", "bucket"],
-            )
+    def prefix_explode(t: pa.Table, df_ref: tuple, thr: float) -> pa.Table:
+        df_m: dict[int, int] = get_broadcast(df_ref, tag="jac-df")
+        ids_out, gh_out, bucket_out = [], [], []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            hs = [stable64(g) for g in word_ngrams(txt or "", n)]
+            if not hs:
+                continue
+            hs.sort(key=lambda h: (df_m.get(h, 0), h))  # global (DF, hash) order
+            p = len(hs) - int(np.ceil(thr * len(hs))) + 1
+            for h in hs[:p]:
+                ids_out.append(i)
+                gh_out.append(h)
+                bucket_out.append(h % N_PAIR_BUCKETS)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids_out, pa.int64()),
+                pa.array(gh_out, pa.uint64()),
+                pa.array(bucket_out, pa.int32()),
+            ],
+            names=["id", "gh", "bucket"],
+        )
 
     prefix = docs.map_batches(
-        PrefixExploder,
-        fn_constructor_kwargs={"df_ref": (df_ref,), "threshold": threshold},
+        prefix_explode,
+        fn_kwargs={"df_ref": (df_ref,), "thr": threshold},
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
     )
     pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=[])
     cands = prefix.groupby("bucket").map_groups(
@@ -297,9 +292,23 @@ def exact_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# per-worker warm bander instances keyed by their parameters (same
+# amortization as an actor pool, no pool-startup cost — see
+# pipelines/extract.py for the measured tradeoff)
+_BANDERS: dict[tuple, "MinHashBander"] = {}
+
+
+def _band_batch(t: pa.Table, id_col: str, text_col: str, n: int, num_perm: int, bands: int) -> pa.Table:
+    key = (id_col, text_col, n, num_perm, bands)
+    b = _BANDERS.get(key)
+    if b is None:
+        b = _BANDERS[key] = MinHashBander(id_col, text_col, n, num_perm, bands)
+    return b(t)
+
+
 class MinHashBander:
-    """Actor stage: doc -> minhash signature -> (band, band_key, id)
-    exploded rows.  The permutation table lives in actor state."""
+    """Warm stage state: doc -> minhash signature -> (band, band_key,
+    id) exploded rows.  The permutation table is built once per worker."""
 
     def __init__(self, id_col: str, text_col: str, n: int, num_perm: int, bands: int):
         assert num_perm % bands == 0
@@ -332,36 +341,34 @@ class MinHashBander:
         )
 
 
-class JaccardVerifier:
-    """Actor stage verifying candidate pairs with TRUE Jaccard.
+def _verify_batch(t: pa.Table, grams_ref: tuple, threshold: float) -> pa.Table:
+    """Verify candidate pairs with TRUE Jaccard (task stage, per-worker
+    broadcast cache).
 
     Test-scale: the id->shingle-set map is broadcast (ray.put once,
-    ray.get in __init__).  At 10^12 docs this becomes two hash joins of
-    the candidate pairs against the docs table instead.
+    materialized once per worker).  At 10^12 docs this becomes two hash
+    joins of the candidate pairs against the docs table instead.
     """
+    from document_ai_ray.pipelines.ops import get_broadcast
 
-    def __init__(self, grams_ref: tuple, threshold: float):
-        self.grams: dict[int, set[str]] = ray.get(grams_ref[0])
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        id_a = t.column("id_a").to_pylist()
-        id_b = t.column("id_b").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(id_a, id_b):
-            ga, gb = self.grams.get(a), self.grams.get(b)
-            if not ga or not gb:
-                continue
-            inter = len(ga & gb)
-            j = inter / (len(ga) + len(gb) - inter)
-            if j >= self.threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
-        return pa.Table.from_arrays(
-            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()), pa.array(out_j, pa.float64())],
-            names=["id_a", "id_b", "jaccard"],
-        )
+    grams: dict[int, set[str]] = get_broadcast(grams_ref, tag="grams")
+    id_a = t.column("id_a").to_pylist()
+    id_b = t.column("id_b").to_pylist()
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(id_a, id_b):
+        ga, gb = grams.get(a), grams.get(b)
+        if not ga or not gb:
+            continue
+        inter = len(ga & gb)
+        j = inter / (len(ga) + len(gb) - inter)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_arrays(
+        [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()), pa.array(out_j, pa.float64())],
+        names=["id_a", "id_b", "jaccard"],
+    )
 
 
 def minhash_lsh_pairs(
@@ -383,8 +390,8 @@ def minhash_lsh_pairs(
     missed (inherent to LSH).
     """
     bander = docs.map_batches(
-        MinHashBander,
-        fn_constructor_kwargs={
+        _band_batch,
+        fn_kwargs={
             "id_col": id_col,
             "text_col": text_col,
             "n": n,
@@ -392,8 +399,6 @@ def minhash_lsh_pairs(
             "bands": bands,
         },
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
     )
 
     pair_fn = _pairs_by_selfmerge(["band", "key"], carry_cols=[])
@@ -410,11 +415,9 @@ def minhash_lsh_pairs(
 def verify_pairs(cands: rd.Dataset, grams_map: dict[int, set[str]], threshold: float, concurrency: int = 4) -> rd.Dataset:
     ref = ray.put(grams_map)
     return cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"grams_ref": (ref,), "threshold": threshold},
+        _verify_batch,
+        fn_kwargs={"grams_ref": (ref,), "threshold": threshold},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
     )
 
 

@@ -37,13 +37,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceKnn:
-    """Actor stage: batch of vectors vs the broadcast query matrix.
-    Emits (query_id, neighbor_id, cosine) rows for the per-batch local
-    top-k of every query; a final single-partition top-k reduces."""
+# per-worker warm stage instances (no actor-pool startup; see
+# pipelines/extract.py for the measured tradeoff)
+_INSTANCES: dict[tuple, object] = {}
 
-    def __init__(self, queries_ref: tuple, k: int, id_col: str, vec_col: str):
-        q_ids, q_mat = ray.get(queries_ref[0])
+
+class BruteForceKnn:
+    """Warm stage: batch of vectors vs the broadcast query matrix.
+    Emits (query_id, neighbor_id, cosine) rows for the per-batch local
+    top-k of every query; a final coalesced top-k reduces."""
+
+    def __init__(self, q_ids, q_mat, k: int, id_col: str, vec_col: str):
         self.q_ids = np.asarray(q_ids)
         self.q = _normalize(np.asarray(q_mat, dtype=np.float64))  # (Q, d)
         self.k = k
@@ -84,14 +88,24 @@ def knn_bruteforce(
     """Top-k cosine neighbors for each query vector.  Output columns:
     query_id, neighbor_id, rank (1-based; ties broken by neighbor_id)."""
     ref = ray.put((query_ids, query_matrix))
+
+    def bf_batch(t: pa.Table, queries_ref: tuple) -> pa.Table:
+        key = (queries_ref[0].hex(), "bf", k, id_col, vec_col)
+        inst = _INSTANCES.get(key)
+        if inst is None:
+            q_ids, q_mat = ray.get(queries_ref[0])
+            inst = _INSTANCES[key] = BruteForceKnn(q_ids, q_mat, k, id_col, vec_col)
+        return inst(t)
+
     local = vectors.map_batches(
-        BruteForceKnn,
-        fn_constructor_kwargs={"queries_ref": (ref,), "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        bf_batch, fn_kwargs={"queries_ref": (ref,)}, batch_format="pyarrow"
+    )
+    return local.map_batches(
+        _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
     )
 
+
+def _final_topk_fn(k: int):
     def final_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
@@ -99,7 +113,7 @@ def knn_bruteforce(
         df["rank"] = df.groupby("query_id").cumcount() + 1
         return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
 
-    return local.repartition(1).map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    return final_topk
 
 
 def cosine_pairs(
@@ -120,29 +134,27 @@ def cosine_pairs(
     ref_ids_mat = _collect_matrix(vectors, id_col, vec_col)
     ref = ray.put(ref_ids_mat)
 
-    class PairFinder:
-        def __init__(self):
-            ids, mat = ray.get(ref)
-            self.all_ids = ids
-            self.all = _normalize(mat)
+    def pair_batch(t: pa.Table, all_ref: tuple) -> pa.Table:
+        from document_ai_ray.pipelines.ops import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy()
-            m = _normalize(_to_matrix(t.column(vec_col)))
-            sims = m @ self.all.T                     # (n, N)
-            a_out, b_out = [], []
-            mask_cols = self.all_ids
-            for r in range(len(ids)):
-                hits = np.nonzero((sims[r] >= threshold) & (mask_cols > ids[r]))[0]
-                for h in hits:
-                    a_out.append(int(ids[r]))
-                    b_out.append(int(mask_cols[h]))
-            return pa.Table.from_arrays(
-                [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
-                names=["id_a", "id_b"],
-            )
+        all_ids, all_norm = get_broadcast(
+            all_ref, lambda v: (v[0], _normalize(v[1])), tag="cos-pairs"
+        )
+        ids = t.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        sims = m @ all_norm.T                     # (n, N)
+        a_out, b_out = [], []
+        for r in range(len(ids)):
+            hits = np.nonzero((sims[r] >= threshold) & (all_ids > ids[r]))[0]
+            for h in hits:
+                a_out.append(int(ids[r]))
+                b_out.append(int(all_ids[h]))
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+            names=["id_a", "id_b"],
+        )
 
-    return vectors.map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1)
+    return vectors.map_batches(pair_batch, fn_kwargs={"all_ref": (ref,)}, batch_format="pyarrow")
 
 
 def _collect_matrix(vectors: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -181,11 +193,10 @@ def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: in
 class IvfKnn:
     """Probe only the `n_probe` cells nearest to each query."""
 
-    def __init__(self, queries_ref: tuple, cents_ref: tuple, k: int, n_probe: int, id_col: str, vec_col: str):
-        q_ids, q_mat = ray.get(queries_ref[0])
+    def __init__(self, q_ids, q_mat, cents, k: int, n_probe: int, id_col: str, vec_col: str):
         self.q_ids = np.asarray(q_ids)
         self.q = _normalize(np.asarray(q_mat, dtype=np.float64))
-        self.cents = ray.get(cents_ref[0])
+        self.cents = cents
         self.k, self.n_probe = k, n_probe
         self.id_col, self.vec_col = id_col, vec_col
         qc = self.q @ self.cents.T
@@ -227,26 +238,21 @@ def knn_ivf(
 ) -> rd.Dataset:
     q_ref = ray.put((query_ids, query_matrix))
     c_ref = ray.put(centroids)
+
+    def ivf_batch(t: pa.Table, queries_ref: tuple, cents_ref: tuple) -> pa.Table:
+        key = (queries_ref[0].hex(), cents_ref[0].hex(), "ivf", k, n_probe, id_col, vec_col)
+        inst = _INSTANCES.get(key)
+        if inst is None:
+            q_ids, q_mat = ray.get(queries_ref[0])
+            cents = ray.get(cents_ref[0])
+            inst = _INSTANCES[key] = IvfKnn(q_ids, q_mat, cents, k, n_probe, id_col, vec_col)
+        return inst(t)
+
     local = vectors.map_batches(
-        IvfKnn,
-        fn_constructor_kwargs={
-            "queries_ref": (q_ref,),
-            "cents_ref": (c_ref,),
-            "k": k,
-            "n_probe": n_probe,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
+        ivf_batch,
+        fn_kwargs={"queries_ref": (q_ref,), "cents_ref": (c_ref,)},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
     )
-
-    def final_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
-        df = df.groupby("query_id", as_index=False).head(k)
-        df["rank"] = df.groupby("query_id").cumcount() + 1
-        return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
-
-    return local.repartition(1).map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    return local.map_batches(
+        _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
+    )
