@@ -510,3 +510,86 @@ def dedup_exact_docs(sf_dir: str):
 
     hashed = ds.map_batches(add_hash_local_dedup, batch_format="pyarrow")
     return hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregate + sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_1h",
+    oracle="""
+    WITH per_ts AS (
+      SELECT user_id, ts, COUNT(*) AS n, SUM(value) AS v
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT user_id, ts,
+           CAST(SUM(n) OVER w AS BIGINT) AS window_n,
+           ROUND(SUM(v) OVER w, 2) AS window_sum
+    FROM per_ts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h(sf_dir: str):
+    """SLIDING window aggregate (the custom-operator class Ray Data has
+    no primitive for): per (user, ts), events/value-sum over the
+    trailing 1 hour.  Hash-partition by user (groupby), per-group
+    VECTORIZED pandas time rolling after a (user, ts) pre-aggregation —
+    pre-aggregating first makes tie handling identical to SQL's RANGE
+    frame (whole peer groups), and the partitioning assumption is
+    per-user locality only, same as sessionize."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        per_ts = g.groupby(["user_id", "ts"], as_index=False).agg(
+            n=("value", "size"), v=("value", "sum")
+        )
+        per_ts = per_ts.sort_values("ts").set_index("ts")
+        # closed='both' => window [t-1h, t], matching RANGE ... PRECEDING
+        r = per_ts[["n", "v"]].rolling("1h", closed="both").sum()
+        ws = np.copysign(np.floor(np.abs(r["v"].to_numpy()) * 100 + 0.5), r["v"].to_numpy()) / 100
+        return pd.DataFrame(
+            {
+                "user_id": per_ts["user_id"].to_numpy(),
+                "ts": per_ts.index,
+                "window_n": r["n"].to_numpy().astype(np.int64),
+                "window_sum": ws,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+@register(
+    "orders_sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 3
+    """,
+)
+def orders_sample_systematic(sf_dir: str):
+    """Deterministic systematic sample (key mod N) — reproducible across
+    runs/engines, unlike RNG sampling; pairs with `orders_sample_random`
+    for the seeded-RNG variant."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t.column("o_orderkey"),
+            pc.multiply(pc.divide(t.column("o_orderkey"), pa.scalar(20)), pa.scalar(20)),
+        )
+        return t.filter(pc.equal(mod, pa.scalar(3)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+@register("orders_sample_random")
+def orders_sample_random(sf_dir: str):
+    """Seeded fractional random sample via Dataset.random_sample
+    (rows-only: the sampler's RNG is engine-specific)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.random_sample(0.1, seed=42)
