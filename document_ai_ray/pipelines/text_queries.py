@@ -4,6 +4,7 @@ scoring, token counting, fingerprinting)."""
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from document_ai_ray.pipelines.ops import partial_group_agg
 from document_ai_ray.pipelines.registry import register
@@ -98,3 +99,72 @@ def fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint", "simhash"]
     )
+
+
+@register(
+    "normalize_text_fr",
+    oracle="""
+    SELECT doc_id, strip_accents(text) AS norm_text
+    FROM documents WHERE lang = 'fr'
+    """,
+)
+def normalize_text_fr(sf_dir: str):
+    """NFD diacritic strip (≙ normalize_str, /root/reference/utils.py:5)
+    over the French slice, byte-compared against DuckDB strip_accents."""
+    from document_ai_ray.functions.strings import normalize_str
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang"],
+        filter=(pc.field("lang") == "fr"),
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = pa.array([normalize_str(x or "") for x in t.column("text").to_pylist()], pa.string())
+        return pa.Table.from_arrays([t.column("doc_id"), out], names=["doc_id", "norm_text"])
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+@register(
+    "url_parse_parts",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://site' || CAST(i % 37 AS VARCHAR) || '.example/' ||
+             CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                        WHEN 3 THEN 'es' ELSE 'it' END ||
+             '/page' || CAST(i AS VARCHAR) AS url
+      FROM range(300) t(i)
+    )
+    SELECT url,
+           split_part(replace(url, 'https://', ''), '/', 1) AS host,
+           split_part(split_part(replace(url, 'https://', ''), '/', 1), '.', -1) AS tld,
+           '/' || split_part(replace(url, 'https://', ''), '/', 2) || '/' ||
+               split_part(replace(url, 'https://', ''), '/', 3) AS path
+    FROM urls
+    """,
+)
+def url_parse_parts(sf_dir: str):
+    """URL identity parsing: host / tld / path per page (≙ the
+    filename->plate identity parse, /root/reference/performances.py:
+    96-120).  Runs on the synthetic corpus; the oracle reconstructs the
+    same urls from range() — both sides genuinely parse."""
+    from urllib.parse import urlsplit
+
+    import ray.data as rd
+
+    from document_ai_ray.synth import pages_dataset
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        hosts, tlds, paths = [], [], []
+        for u in urls:
+            sp = urlsplit(u)
+            hosts.append(sp.netloc)
+            tlds.append(sp.netloc.rsplit(".", 1)[-1])
+            paths.append(sp.path)
+        return pa.Table.from_arrays(
+            [pa.array(urls), pa.array(hosts), pa.array(tlds), pa.array(paths)],
+            names=["url", "host", "tld", "path"],
+        )
+
+    return pages_dataset(300).select_columns(["url"]).map_batches(parse, batch_format="pyarrow")
