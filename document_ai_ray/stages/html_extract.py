@@ -86,18 +86,16 @@ class Block:
     kept: bool = False
     start: int = -1
     end: int = -1
+    # derived once by finish() after `text` is final (plain attributes:
+    # score_blocks/heading smoothing read these in a tight loop)
+    n_chars: int = 0
+    link_density: float = 0.0
+    score: float = 0.0
 
-    @property
-    def n_chars(self) -> int:
-        return len(self.text)
-
-    @property
-    def link_density(self) -> float:
-        return self.link_chars / self.n_chars if self.n_chars else 0.0
-
-    @property
-    def score(self) -> float:
-        return self.n_chars * (1.0 - self.link_density)
+    def finish(self) -> None:
+        self.n_chars = len(self.text)
+        self.link_density = self.link_chars / self.n_chars if self.n_chars else 0.0
+        self.score = self.n_chars * (1.0 - self.link_density)
 
 
 class _Dom(HTMLParser):
@@ -175,25 +173,212 @@ class _Dom(HTMLParser):
         self._flush()
 
 
-def parse_html_blocks(html_text: str) -> tuple[list[Block], bool]:
+# ---------------------------------------------------------------------------
+# Fast HTML scanner.  Produces the IDENTICAL handle_starttag/handle_
+# endtag/handle_data event stream as stdlib HTMLParser(convert_charrefs
+# =True) single-shot feed+close — verified event-for-event against the
+# stdlib parser in tests (golden corpus + hypothesis mutations) — but
+# ~2x faster by skipping what we never use: attribute materialization,
+# line/column tracking (updatepos), incremental-feed buffering, and
+# comment/decl/PI payload capture.  The stdlib's own tokenization
+# regexes are reused so the tag grammar cannot drift.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+from html.parser import (
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    piclose as _piclose,
+    starttagopen as _starttagopen,
+    tagfind_tolerant as _tagfind,
+)
+from html.parser import attrfind_tolerant as _attrfind
+
+_GT = re.compile(">")
+_MARKEDSECTIONCLOSE = re.compile(r"]\s*]\s*>")
+_MSMARKEDSECTIONCLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_ATTR_TAIL = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_CDATA_CLOSE = {
+    e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE) for e in ("script", "style")
+}
+
+
+def _fast_feed(dom: "_Dom", rawdata: str) -> None:
+    """Single-shot equivalent of HTMLParser.feed(rawdata)+close() for a
+    handler that ignores attributes/comments/decls/PIs (each branch
+    mirrors goahead/parse_* in cpython's html/parser.py)."""
+    handle_data = dom.handle_data
+    handle_start = dom.handle_starttag
+    handle_end = dom.handle_endtag
+    i, n = 0, len(rawdata)
+    cdata_elem: str | None = None
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                return  # unclosed cdata at EOF: stdlib drops the tail
+            j = m.start()
+        if i < j:
+            seg = rawdata[i:j]
+            if cdata_elem is None:
+                handle_data(_unescape(seg) if "&" in seg else seg)
+            else:
+                handle_data(seg)
+        i = j
+        if i == n:
+            break
+        # rawdata[i] == '<'
+        k = -2  # sentinel: branch must set k (-1 = incomplete at EOF)
+        m = _locatestart.match(rawdata, i)                    # < + letter ...
+        if m is not None:                                     # start tag
+            j2 = m.end()
+            nxt = rawdata[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                endpos = j2 + 2 if rawdata.startswith("/>", j2) else -1
+            elif nxt == "" or nxt in _ATTR_TAIL:
+                endpos = -1
+            else:
+                endpos = j2 if j2 > i else i + 1
+            if endpos < 0:
+                k = -1
+            else:
+                tm = _tagfind.match(rawdata, i + 1)
+                tag = tm.group(1).lower()
+                ak = tm.end()
+                while ak < endpos:                            # validate attrs
+                    am = _attrfind.match(rawdata, ak)
+                    if am is None:
+                        break
+                    ak = am.end()
+                end = rawdata[ak:endpos].strip()
+                if end not in (">", "/>"):
+                    handle_data(rawdata[i:endpos])            # junky start tag
+                elif end == "/>":
+                    handle_start(tag, [])
+                    handle_end(tag)
+                else:
+                    handle_start(tag, [])
+                    if tag in ("script", "style"):
+                        cdata_elem = tag
+                k = endpos
+        elif rawdata.startswith("</", i):                     # end tag
+            em = _endtagfind.match(rawdata, i)
+            if em is not None:
+                # well-formed '</name >': the pattern's '>' is the
+                # first '>' after i+1, so gtpos == em.end()
+                elem = em.group(1).lower()
+                if cdata_elem is not None and elem != cdata_elem:
+                    handle_data(rawdata[i : em.end()])
+                    k = em.end()
+                else:
+                    handle_end(elem)
+                    cdata_elem = None
+                    k = em.end()
+            else:
+                gtm = _GT.search(rawdata, i + 1)
+                if gtm is None:
+                    k = -1
+                else:
+                    gtpos = gtm.end()
+                    if cdata_elem is not None:
+                        handle_data(rawdata[i:gtpos])
+                        k = gtpos
+                    else:
+                        nm = _tagfind.match(rawdata, i + 2)
+                        if nm is None:
+                            if rawdata[i : i + 3] == "</>":
+                                k = i + 3
+                            else:                             # bogus comment
+                                pos = rawdata.find(">", i + 2)
+                                k = -1 if pos == -1 else pos + 1
+                        else:
+                            gtpos = rawdata.find(">", nm.end())
+                            handle_end(nm.group(1).lower())
+                            k = gtpos + 1                     # may be 0 if not found (== stdlib)
+        elif rawdata.startswith("<!--", i):                   # comment
+            m = _commentclose.search(rawdata, i + 4)
+            k = -1 if m is None else m.end()
+        elif rawdata.startswith("<?", i):                     # processing instr
+            m = _piclose.search(rawdata, i + 2)
+            k = -1 if m is None else m.end()
+        elif rawdata.startswith("<!", i):                     # declaration
+            if rawdata[i : i + 3] == "<![":                   # marked section
+                nm = _DECLNAME.match(rawdata, i + 3)
+                if nm is None:
+                    raise ValueError("malformed marked section")
+                sect = nm.group().strip().lower()
+                if sect in {"temp", "cdata", "ignore", "include", "rcdata"}:
+                    m = _MARKEDSECTIONCLOSE.search(rawdata, i + 3)
+                elif sect in {"if", "else", "endif"}:
+                    m = _MSMARKEDSECTIONCLOSE.search(rawdata, i + 3)
+                else:
+                    raise ValueError(f"unknown status keyword {sect!r} in marked section")
+                k = -1 if m is None else m.end()
+            elif rawdata[i : i + 9].lower() == "<!doctype":
+                pos = rawdata.find(">", i + 9)
+                k = -1 if pos == -1 else pos + 1
+            else:                                             # bogus comment
+                pos = rawdata.find(">", i + 2)
+                k = -1 if pos == -1 else pos + 1
+        else:                                                 # lone '<'
+            handle_data("<")
+            k = i + 1
+        if k < 0:                                             # incomplete at EOF
+            k = rawdata.find(">", i + 1)
+            if k < 0:
+                k = rawdata.find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            seg = rawdata[i:k]
+            if cdata_elem is None:
+                handle_data(_unescape(seg) if "&" in seg else seg)
+            else:
+                handle_data(seg)
+        i = k
+    if i < n and cdata_elem is None:                          # final flush
+        seg = rawdata[i:n]
+        handle_data(_unescape(seg) if "&" in seg else seg)
+
+
+def parse_html_blocks(html_text: str, engine: str = "fast") -> tuple[list[Block], bool]:
     """-> (blocks with canonical text, parse_ok).  On parser failure,
     falls back to tag-stripping the whole payload into one block
     (≙ the reference's SAM-failure fallback to the uncropped image,
-    /root/reference/analysis/entities.py:126-135)."""
+    /root/reference/analysis/entities.py:126-135).
+
+    engine='fast' (default) uses the event-equivalent scanner above;
+    engine='stdlib' drives html.parser.HTMLParser — kept as the
+    reference implementation for the differential tests."""
     try:
         dom = _Dom()
-        dom.feed(html_text)
-        dom.close()
+        if engine == "fast":
+            _fast_feed(dom, html_text)
+            dom._flush()
+        else:
+            dom.feed(html_text)
+            dom.close()
         blocks = []
         for b in dom.blocks:
             b.text = collapse_ws("".join(b.pieces))
             if b.text:
+                b.finish()
                 blocks.append(b)
         return blocks, True
     except Exception:
         stripped = collapse_ws(_TAG_STRIP_RE.sub(" ", html_text))
         fb = Block(tag_path="(fallback)", heading=False, chrome=False, pieces=[stripped])
         fb.text = stripped
+        fb.finish()
         return ([fb] if stripped else []), False
 
 
@@ -316,6 +501,7 @@ def extract_row(url, warc_ts, lang, payload: bytes, cfg: ExtractConfig) -> dict:
             for pb in pdf_blocks:
                 b = Block(tag_path=f"pdf/size{pb.size}", heading=pb.heading, chrome=False)
                 b.text = collapse_ws(pb.text)
+                b.finish()
                 blocks.append(b)
             candidates = pdf_lines
             parse_ok = True

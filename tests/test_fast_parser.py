@@ -1,0 +1,112 @@
+"""Differential equivalence: fast HTML scanner vs stdlib HTMLParser.
+
+The fast scanner must produce the IDENTICAL block stream (text,
+tag_path, chrome/heading flags, link chars) as the stdlib parser for
+every input we can throw at it: the full synthetic corpus (including
+truncated and bad-charset pages), arbitrary prefixes (EOF mid-
+construct), and hypothesis-mutated documents."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_ai_ray.stages.html_extract import parse_html_blocks
+from document_ai_ray.synth import gen_page
+
+
+def _sig(blocks):
+    return [
+        (b.text, b.tag_path, b.chrome, b.heading, b.heading_level, b.link_chars)
+        for b in blocks
+    ]
+
+
+def _assert_equiv(html_text: str):
+    fast, ok_f = parse_html_blocks(html_text, engine="fast")
+    std, ok_s = parse_html_blocks(html_text, engine="stdlib")
+    assert ok_f == ok_s
+    assert _sig(fast) == _sig(std)
+
+
+def test_equivalence_on_corpus():
+    for i in range(600):
+        p = gen_page(i)
+        if p["html"][:5] == b"%PDF-":
+            continue
+        try:
+            text = p["html"].decode("utf-8")
+        except UnicodeDecodeError:
+            text = p["html"].decode("latin-1")
+        _assert_equiv(text)
+
+
+def test_equivalence_on_prefixes():
+    # EOF in every construct: tags, attrs, comments, scripts, entities
+    p = gen_page(0)
+    text = p["html"].decode("utf-8")
+    for cut in range(0, len(text), 37):
+        _assert_equiv(text[:cut])
+
+
+def test_equivalence_edge_cases():
+    cases = [
+        "",
+        "plain text only",
+        "a &amp; b &lt;tag&gt; &unknown; &#65; &#x41; &#xZZ; tail",
+        "<p>a<p>b</p>",                      # unclosed
+        "<P CLASS='x'>UPPER</P>",            # case
+        "<a href='x>y'>quoted gt</a>",       # '>' inside quoted attr
+        '<a href="x>y">quoted gt</a>',
+        "<br/><hr />text",                   # self-closing
+        "<script>var x = '<p>not a tag</p>';</script>after",
+        "<script>no closer at eof",
+        "<style>p{}</style>done",
+        "<!-- comment <p>inside</p> -->after",
+        "<!-- unterminated comment",
+        "<!DOCTYPE html><p>x</p>",
+        "<!doctype junk",
+        "<?php echo '>' ?>tail",
+        "<?unterminated pi",
+        "</>empty end",
+        "</ bogus>tail",
+        "</123>tail",
+        "< p>not a tag</p>",
+        "<p attr>bare attr</p>",
+        "<p attr=>empty val</p>",
+        "<p/ >weird slash</p>",
+        "<p",                                # EOF in tag
+        "<p class",                          # EOF in attr name
+        "<p class=",                         # EOF before value
+        "<p class='x",                       # EOF in quoted value
+        "text <",                            # lone '<' at EOF
+        "text < x",
+        "a<![CDATA[raw]]>b",
+        "a<![include[x]]>b",
+        "<p>&aamp;half&</p>",
+        "&#",
+        "tail &unterminated",
+    ]
+    for c in cases:
+        _assert_equiv(c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("<>/!&;#abcPSZ '\"=-\n\tä€𝄞")),
+        max_size=80,
+    )
+)
+def test_equivalence_hypothesis_soup(s):
+    _assert_equiv(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 199), st.integers(0, 3000), st.integers(0, 40))
+def test_equivalence_hypothesis_mutations(idx, cut, ins):
+    p = gen_page(idx)
+    if p["html"][:5] == b"%PDF-":
+        return
+    text = p["html"].decode("utf-8", "replace")
+    mutated = text[:cut] + "<scr<!--&am" [: ins % 12] + text[cut + ins :]
+    _assert_equiv(mutated)
