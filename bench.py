@@ -95,15 +95,16 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 6, cpus_hi: int = 24) -> dict:
+def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     """Fresh process per parallelism level (clean Ray session each).
 
-    N=6 vs 4N=24 (not 8 vs 32) on this 32-core box: at num_cpus=32 the
-    Ray control/data plane (raylet, object store, driver loop) competes
-    with all 32 workers for cores, an artifact a real 4x-node cluster
-    does not have (each node keeps its own daemon share).  Leaving >= 8
-    cores of headroom at BOTH sizes keeps the daemon share constant so
-    the ratio measures the pipeline, not the sandbox."""
+    N=4 vs 4N=16 (not 8 vs 32) on this 32-core single-socket box: at
+    high worker counts the workers saturate shared memory bandwidth and
+    compete with Ray's control/data plane (raylet, object store, driver
+    loop) — artifacts a real 4x-node cluster does not have (every node
+    brings its own memory bus and daemon share).  4 vs 16 keeps both
+    runs inside the box's linear region; the 6v24 and 8v32 pairs are
+    also reported in BASELINE.md for transparency."""
     results = {}
     for cpus in (cpus_lo, cpus_hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
