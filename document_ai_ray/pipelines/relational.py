@@ -450,27 +450,47 @@ def events_hourly(sf_dir: str):
     """,
 )
 def events_sessionize(sf_dir: str):
-    """Gap-based sessionization: hash-partition by user, sort each
-    group by ts, cut sessions at >30min gaps (the ordering assumption
-    is per-user, stated here; no global order needed)."""
+    """Gap-based sessionization: hash-BUCKET by user (P buckets, not
+    one shuffle group per user — the per-distinct-group overhead of a
+    native groupby(user) never appears), then ONE vectorized pandas
+    pass per bucket sorts by (user, ts) and cuts sessions at >30 min
+    gaps.  Partitioning assumption: per-user locality only."""
     import numpy as np
     import pandas as pd
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    P = 32
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t.column("user_id"),
+                pc.multiply(pc.divide(t.column("user_id"), pa.scalar(P)), pa.scalar(P)),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gaps = g["ts"].diff()
-        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).astype(np.int64)
-        g = g.assign(session_id=new_s.cumsum())
-        out = (
-            g.groupby("session_id", as_index=False)
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "count"))
-            .assign(user_id=g["user_id"].iloc[0])
+        new_s = (new_user | gaps.isna() | (gaps > pd.Timedelta(minutes=30))).astype(np.int64)
+        sid_global = new_s.cumsum()
+        # session_id restarts at 1 per user (same numbering as the
+        # per-user window-function oracle)
+        first_sid = sid_global.where(new_user).ffill()
+        g = g.assign(session_id=(sid_global - first_sid + 1).astype(np.int64))
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "count")
         )
         return out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: sessionize_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -544,25 +564,45 @@ def events_rolling_1h(sf_dir: str):
     import pandas as pd
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    P = 32
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        per_ts = g.groupby(["user_id", "ts"], as_index=False).agg(
-            n=("value", "size"), v=("value", "sum")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t.column("user_id"),
+                pc.multiply(pc.divide(t.column("user_id"), pa.scalar(P)), pa.scalar(P)),
+            ),
+            pa.int32(),
         )
-        per_ts = per_ts.sort_values("ts").set_index("ts")
-        # closed='both' => window [t-1h, t], matching RANGE ... PRECEDING
-        r = per_ts[["n", "v"]].rolling("1h", closed="both").sum()
-        ws = np.copysign(np.floor(np.abs(r["v"].to_numpy()) * 100 + 0.5), r["v"].to_numpy()) / 100
-        return pd.DataFrame(
-            {
-                "user_id": per_ts["user_id"].to_numpy(),
-                "ts": per_ts.index,
-                "window_n": r["n"].to_numpy().astype(np.int64),
-                "window_sum": ws,
-            }
-        )
+        return t.append_column("bucket", b)
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("user_id", sort=False):
+            per_ts = grp.groupby(["user_id", "ts"], as_index=False).agg(
+                n=("value", "size"), v=("value", "sum")
+            )
+            per_ts = per_ts.sort_values("ts").set_index("ts")
+            # closed='both' => window [t-1h, t], matching RANGE ... PRECEDING
+            r = per_ts[["n", "v"]].rolling("1h", closed="both").sum()
+            ws = np.copysign(np.floor(np.abs(r["v"].to_numpy()) * 100 + 0.5), r["v"].to_numpy()) / 100
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": per_ts["user_id"].to_numpy(),
+                        "ts": per_ts.index,
+                        "window_n": r["n"].to_numpy().astype(np.int64),
+                        "window_sum": ws,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: roll_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
 
 
 @register(
