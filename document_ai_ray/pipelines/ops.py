@@ -273,3 +273,27 @@ def round_cols(t_or_batch: pa.Table, cols: dict[str, int]) -> pa.Table:
         i = out.schema.get_field_index(c)
         out = out.set_column(i, c, pa.array(r, pa.float64()))
     return out
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    keys: list[str],
+    sort_cols: list[tuple[str, bool]],
+    k: int,
+) -> rd.Dataset:
+    """Top-k rows PER KEY GROUP (ROW_NUMBER() <= k shape): per-batch
+    local top-k per key, then one coalesced final pass — the grouped
+    analogue of `topk` (moves k x groups x blocks rows, no shuffle).
+    sort_cols: [(col, ascending)]; ties must be broken by the caller's
+    sort columns for deterministic output."""
+    cols = [c for c, _ in sort_cols]
+    asc = [a for _, a in sort_cols]
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(cols, ascending=asc, kind="mergesort")
+        df = df.groupby(keys, as_index=False, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(local, batch_format="pyarrow").map_batches(
+        local, batch_format="pyarrow", batch_size=1 << 30
+    )

@@ -633,3 +633,26 @@ def orders_sample_random(sf_dir: str):
     (rows-only: the sampler's RNG is engine-specific)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return ds.random_sample(0.1, seed=42)
+
+
+@register(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def top_orders_per_priority(sf_dir: str):
+    """Grouped top-k (top-3 orders by price per priority) via the
+    combiner pattern: per-batch local top-k per key, then one coalesced
+    final top-k — k x groups x blocks rows move, never the table."""
+    from document_ai_ray.pipelines.ops import grouped_topk
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return grouped_topk(
+        ds,
+        keys=["o_orderpriority"],
+        sort_cols=[("o_totalprice", False), ("o_orderkey", True)],
+        k=3,
+    )
