@@ -57,6 +57,48 @@ def extract_flagship_full(sf_dir: str):
     return flagship(sf_dir)
 
 
+@register(
+    "extract_pdf_roundtrip",
+    oracle=(
+        "SELECT 'pdfdoc://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted_text "
+        "FROM documents"
+    ),
+)
+def extract_pdf_roundtrip(sf_dir: str):
+    """Byte-identity through the REAL-PDF branch: each document's text
+    becomes a real-format PDF (objects + FlateDecode content stream,
+    standard Tf/Td/Tj operators), the pipeline parses it back (zlib
+    inflate + content-stream tokenize + reading-order + block grouping)
+    and must return exactly the original text per url."""
+    import pyarrow as pa
+
+    from document_ai_ray.config import PAGES_SCHEMA
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.synth import EPOCH, make_real_pdf_bytes
+
+    def to_pdf_pages(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist(), t.column("lang").to_pylist()
+        ):
+            rows.append(
+                {
+                    "url": f"pdfdoc://{doc_id}",
+                    "warc_ts": EPOCH,
+                    "html": make_real_pdf_bytes("", [text]),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        to_pdf_pages, batch_format="pyarrow"
+    )
+    return extract_pipeline(pages).select_columns(["url", "extracted_text"])
+
+
 @register("extract_synth_corpus")
 def extract_synth_corpus(sf_dir: str):
     """Extraction+validation over the DISTRIBUTED synthetic corpus

@@ -393,3 +393,68 @@ def skewed_pages_table(n: int, seed: int = 42, giant_every: int = 50, giant_mb: 
             ).encode("utf-8")
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def make_real_pdf_bytes(title: str, paragraphs: list[str], compress: bool = True) -> bytes:
+    """A minimal REAL-format single-page PDF (header, catalog/pages/
+    page/font objects, FlateDecode-compressed content stream, xref
+    table, trailer) whose content stream uses the standard text
+    operators (BT/Tf/Td/Tj/ET).  Unlike `make_pdf_bytes` (the bare
+    synthetic subset) this exercises the real-PDF branch of
+    `pdf_extract.parse_pdf`: object/stream scanning + zlib inflate +
+    content-stream tokenization."""
+    import zlib
+
+    lines: list[tuple[float, float, int, str]] = []
+    y = 760.0
+    if title:
+        lines.append((72.0, y, 18, title))
+        y -= 30
+    for p in paragraphs:
+        words, cur = p.split(" "), ""
+        for w in words:
+            if cur and len(cur) + 1 + len(w) > 70:
+                lines.append((72.0, y, 12, cur))
+                y -= 15
+                cur = w
+            else:
+                cur = f"{cur} {w}".strip() if cur else w
+        if cur:
+            lines.append((72.0, y, 12, cur))
+            y -= 15
+        y -= 12
+    parts = []
+    for x, yy, size, text in lines:
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td ({esc}) Tj ET")
+    content = "\n".join(parts).encode("utf-8")
+    if compress:
+        body_stream = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        body_stream = content
+        filt = b""
+
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d %s>>\nstream\n%s\nendstream" % (len(body_stream), filt, body_stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)

@@ -158,3 +158,64 @@ def test_flagship_roundtrip_ray(sf_tiny):
     assert len(rows) == len(want)
     for r in rows:
         assert r["extracted_text"] == want[r["url"]]
+
+
+# ---------------------------------------------------------------------------
+# Real-format PDF branch (objects + FlateDecode content streams)
+# ---------------------------------------------------------------------------
+
+
+def test_real_pdf_roundtrip_compressed_and_raw():
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    paras = [
+        "a first paragraph long enough to wrap across several pdf lines and come back identical",
+        "second paragraph with parentheses (like this) and a backslash \\ inside",
+    ]
+    for compress in (True, False):
+        pdf = make_real_pdf_bytes("Doc Title", paras, compress=compress)
+        blocks, lines, err = parse_pdf(pdf)
+        assert err is None
+        assert blocks[0].text == "Doc Title" and blocks[0].heading
+        assert [b.text for b in blocks[1:]] == paras
+
+
+def test_real_pdf_body_ending_in_newline_byte():
+    # regression: a FlateDecode body whose last byte is 0x0A must not be
+    # truncated by endstream-delimiter scanning (the /Length path)
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    for filler in ("stream line spark the filter", "plain words here instead now"):
+        text = f"join row small a big a {filler} part scan column"
+        pdf = make_real_pdf_bytes("", [text])
+        blocks, _, err = parse_pdf(pdf)
+        assert err is None
+        assert blocks[0].text == text
+
+
+def test_real_pdf_through_extract_row():
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    text = "content of a real pdf document that the flagship extraction path must return byte identical"
+    r = _extract(make_real_pdf_bytes("", [text]))
+    assert r["content_type"] == "application/pdf"
+    assert r["error"] is None
+    assert r["extracted_text"] == text
+
+
+def test_real_pdf_tj_array_and_tm():
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+
+    content = (
+        b"BT /F1 12 Tf 100 700 Td [(hel) -20 (lo wo) 5 (rld)] TJ ET\n"
+        b"BT /F1 12 Tf 1 0 0 1 100 650 Tm (second line) Tj ET\n"
+    )
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n%%%%EOF\n"
+        % (len(content), content)
+    )
+    blocks, lines, err = parse_pdf(pdf)
+    assert err is None
+    assert lines == ["hello world", "second line"]
