@@ -31,6 +31,7 @@ sys.path.insert(0, REPO)
 # LSH dedup, ANN, text analysis).
 BENCH_QUERIES = [
     "extract_flagship_full",
+    "extract_pdf_roundtrip",
     "q1_pricing_summary",
     "lsh_near_dup_pairs",
     "knn_bruteforce",

@@ -76,3 +76,22 @@ def test_exact_jaccard_synthetic_clusters():
     got = exact_jaccard_pairs(ds, threshold=0.5).take_all()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert got[0]["jaccard"] == pytest.approx(6 / 8, abs=1e-6)
+
+
+def test_prefix_path_matches_dense_path():
+    """Force the AllPairs/PPJoin prefix inverted-index path (the
+    large-vocabulary plan) and require the exact same pairs as the
+    dense-matmul path on the same corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.dedup import exact_jaccard_pairs
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    dense = exact_jaccard_pairs(docs, n=2, threshold=0.5).to_pandas()
+    docs2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    prefix = exact_jaccard_pairs(docs2, n=2, threshold=0.5, dense_vocab_max=0).to_pandas()
+
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].itertuples(index=False)))
+    assert key(dense) == key(prefix)
+    assert len(dense) > 0

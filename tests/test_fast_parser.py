@@ -110,3 +110,18 @@ def test_equivalence_hypothesis_mutations(idx, cut, ins):
     text = p["html"].decode("utf-8", "replace")
     mutated = text[:cut] + "<scr<!--&am" [: ins % 12] + text[cut + ins :]
     _assert_equiv(mutated)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_collapse_ws_canon_properties(s):
+    """Whitespace-canon invariants: idempotent, no canonical whitespace
+    other than single ASCII spaces, never leading/trailing space."""
+    from document_ai_ray.functions.strings import collapse_ws
+
+    c = collapse_ws(s)
+    assert collapse_ws(c) == c
+    assert "  " not in c
+    for ch in "\t\r\n\f\v\xa0":
+        assert ch not in c
+    assert c == c.strip(" ")
