@@ -8,11 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": .., "num_cpus": N, ...}
 
---scaling: run the headline extraction pipeline twice in FRESH
-processes (num_cpus=8 then 32) on the same input and report both
-throughputs + scaling efficiency = (thr_32/thr_8)/4.  This is the
-sandbox evidence for the north rule's N vs 4N cluster-size criterion
-(no real multi-node cluster available here).
+--scaling: run the headline extraction pipeline in FRESH processes at
+N=4 and 4N=16 CPUs (see run_scaling for why not 8v32 on this box) on
+the same input and report both throughputs + scaling efficiency =
+(thr_4N/thr_N)/4.  This is the sandbox evidence for the north rule's
+N vs 4N cluster-size criterion (no real multi-node cluster here).
 """
 
 from __future__ import annotations
