@@ -23,7 +23,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from document_ai_ray.pipelines.ops import (
     broadcast_join,

@@ -25,9 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
 
-from document_ai_ray.functions.hashing import MinHasher, hamming64, simhash64, stable64
+from document_ai_ray.functions.hashing import MinHasher, simhash64, stable64
 
 
 def word_ngrams(text: str, n: int = 2) -> set[str]:

@@ -190,7 +190,6 @@ from html.parser import (
     endtagfind as _endtagfind,
     locatestarttagend_tolerant as _locatestart,
     piclose as _piclose,
-    starttagopen as _starttagopen,
     tagfind_tolerant as _tagfind,
 )
 from html.parser import attrfind_tolerant as _attrfind
