@@ -5,14 +5,15 @@ Patterns (scale-first):
   - aggregates: partial (combiner) inside map_batches, tiny global
     groupby over partials (≙ reference metric aggregation,
     /root/reference/performances.py:53-79, done distributed);
-  - small-side joins: broadcast via ray.put + actor-state lookup
-    (≙ /root/reference/performances.py:131 pd.merge, distributed);
+  - small-side joins: broadcast via ray.put + per-worker cached
+    lookup (≙ /root/reference/performances.py:131 pd.merge, distributed);
   - large-large joins: Ray hash-partitioned Dataset.join;
   - top-k: per-batch local top-k then tiny final pass — never a
     global sort (≙ best-template top-1,
     /root/reference/detection/template_matching.py:43-46);
-  - sessionize: groupby(user).map_groups over ts-sorted groups —
-    the streaming-window analogue Ray Data expresses natively.
+  - windows: sessionize / rolling aggregates hash-BUCKET users and
+    run one vectorized pandas pass per bucket (never one shuffle
+    group per user).
 
 Float columns are ROUNDed identically here and in the oracle SQL so
 the driver's value-hash comparison is stable.

@@ -9,13 +9,14 @@ discipline:
   - jaccard: explode (gram, doc_id), group by gram (inverted index),
     count shared grams per pair, one final tiny filter — the all-pairs
     comparison never materializes;
-  - MinHash LSH: signatures per doc (vectorized numpy, actor-held
-    permutation table), band -> bucket groupby, verify candidates only;
+  - MinHash LSH: signatures per doc (vectorized numpy, permutation
+    table warm per worker), band -> bucket groupby, verify candidates;
   - SimHash: 64-bit fingerprint, pigeonhole block banding.
 
 At 10^12 docs the verify step joins candidate pairs back to shingle
 sets via two hash joins on doc id; at driver-test scale the shingle
-sets are broadcast (`ray.put` once, read per actor) — flagged inline.
+sets are broadcast (`ray.put` once, materialized once per worker) —
+flagged inline.
 """
 
 from __future__ import annotations

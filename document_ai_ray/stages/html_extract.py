@@ -17,9 +17,10 @@ Re-expresses the reference's geometric pipeline for web text
   - quality / presence classification       ≙ LMM quality & signature
     stages, made deterministic (/root/reference/analysis/lmm/gpt.py:116-164)
 
-Designed as an ACTOR-POOL stage: ``Extractor`` compiles its regexes and
-binds its config once per actor (``__init__``), then processes Arrow
-batches in ``__call__`` — the fix for the reference's
+``Extractor`` binds its config + tables once per WORKER (built lazily
+and cached module-level by the task stage in pipelines/extract.py;
+``use_actors=True`` keeps the explicit actor-pool form) and processes
+Arrow batches in ``__call__`` — either way the fix for the reference's
 re-instantiate-doctr-per-image bug
 (/root/reference/analysis/cv/boxes_processing.py:8).
 
