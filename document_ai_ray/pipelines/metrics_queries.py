@@ -45,13 +45,27 @@ def metrics_cause_confusion(sf_dir: str):
     return df[["cause", "tp", "fp", "tn", "fn"]]
 
 
-@register("metrics_mismatch_listing")
+@register(
+    "metrics_mismatch_listing",
+    oracle=(
+        "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS cause, "
+        "CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"
+    ),
+)
 def metrics_mismatch_listing(sf_dir: str):
-    """FP/FN listing (≙ get_false_positives_negatives) — empty when the
-    engine matches the labels; rows-only check."""
+    """FP/FN listing (≙ get_false_positives_negatives).  The oracle is
+    the EMPTY set: the engine must produce zero mismatches against the
+    intent labels — any FP/FN row fails the row-count check."""
+    import pandas as pd
+
     from document_ai_ray.pipelines.extract import extract_pipeline
     from document_ai_ray.pipelines.metrics import mismatches
     from document_ai_ray.synth import golden_causes_table, pages_dataset
 
     res = extract_pipeline(pages_dataset(N_METRICS_ROWS))
-    return mismatches(res, golden_causes_table(N_METRICS_ROWS))
+    df = mismatches(res, golden_causes_table(N_METRICS_ROWS)).to_pandas()
+    # an empty Dataset drops its schema through to_pandas; pin the
+    # columns so the (empty) oracle comparison sees the same shape
+    return df.reindex(columns=["url", "cause", "kind"]).astype(str) if len(df) else pd.DataFrame(
+        {"url": pd.Series(dtype=str), "cause": pd.Series(dtype=str), "kind": pd.Series(dtype=str)}
+    )

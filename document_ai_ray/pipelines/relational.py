@@ -656,3 +656,57 @@ def top_orders_per_priority(sf_dir: str):
         sort_cols=[("o_totalprice", False), ("o_orderkey", True)],
         k=3,
     )
+
+
+@register(
+    "orders_asof_prev",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT a.o_orderkey, b.o_orderkey AS prev_orderkey,
+           date_diff('day', b.o_orderdate, a.o_orderdate) AS gap_days
+    FROM o a ASOF LEFT JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderdate > b.o_orderdate
+    """,
+)
+def orders_asof_prev(sf_dir: str):
+    """AS-OF JOIN (the custom-operator class Ray Data has no primitive
+    for): each order joined to the customer's most recent STRICTLY
+    earlier order.  Expressed as hash-bucket by customer + one
+    vectorized per-bucket pass (dedupe ties per (custkey, date) to the
+    max orderkey, sort, per-customer shift) — the sorted-merge as-of
+    semantics with per-key locality as the only partitioning
+    assumption.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    P = 32
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t.column("o_custkey"),
+                pc.multiply(pc.divide(t.column("o_custkey"), pa.scalar(P)), pa.scalar(P)),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            o_orderkey=("o_orderkey", "max")
+        )
+        g = g.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        g["prev_orderkey"] = g.groupby("o_custkey")["o_orderkey"].shift(1)
+        prev_date = g.groupby("o_custkey")["o_orderdate"].shift(1)
+        g["gap_days"] = (g["o_orderdate"] - prev_date).dt.days
+        return g[["o_orderkey", "prev_orderkey", "gap_days"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: asof_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
