@@ -710,3 +710,41 @@ def orders_asof_prev(sf_dir: str):
         .groupby("bucket")
         .map_groups(lambda g: asof_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+_PRICE_EDGES = [0, 1000, 2500, 5000, 10000, 20000, 40000, 80000, 1000000000]
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id, edges[i+1] AS lo, edges[i+2] AS hi
+      FROM (SELECT {_PRICE_EDGES} AS edges), range({len(_PRICE_EDGES) - 1}) t(i)
+    )
+    SELECT l_orderkey, l_linenumber, b.band_id
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    """,
+)
+def range_join_price_bands(sf_dir: str):
+    """RANGE JOIN (interval-containment, non-uniform band edges): each
+    lineitem row joined to the price band containing its extended
+    price.  Ray side: the (sorted, tiny) interval table is broadcast as
+    plain band edges and the join is one vectorized np.searchsorted per
+    batch — the classic sorted-interval range-join kernel, no shuffle.
+    Oracle: an explicit BETWEEN-style range join in DuckDB."""
+    import numpy as np
+
+    edges = np.asarray(_PRICE_EDGES, dtype=np.float64)
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def band(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy()
+        band_id = np.searchsorted(edges, p, side="right") - 1
+        return pa.Table.from_arrays(
+            [t.column("l_orderkey"), t.column("l_linenumber"), pa.array(band_id, pa.int64())],
+            names=["l_orderkey", "l_linenumber", "band_id"],
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow")
