@@ -108,7 +108,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     also reported in BASELINE.md for transparency."""
     results = {}
     for cpus in (cpus_lo, cpus_hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
+                   BENCH_SYNTH_N=os.environ.get("BENCH_SYNTH_N", "400000"))
         proc = subprocess.run(
             # query listed twice -> best-of-2 timing after the warmup
             [sys.executable, os.path.join(REPO, "bench.py"), "--warmup",

@@ -103,13 +103,13 @@ def extract_pdf_roundtrip(sf_dir: str):
 def extract_synth_corpus(sf_dir: str):
     """Extraction+validation over the DISTRIBUTED synthetic corpus
     (generation happens inside tasks; nothing driver-side).  Row count
-    via $BENCH_SYNTH_N (default 400k) — the scaling-benchmark workload:
-    big enough that compute dominates actor-pool startup.  Rows-only
-    check (sf_dir unused)."""
+    via $BENCH_SYNTH_N (default 20k for the driver's correctness pass;
+    bench.py --scaling sets 400k so compute dominates startup).
+    Rows-only check (sf_dir unused)."""
     import os
 
     from document_ai_ray.pipelines.extract import extract_pipeline
     from document_ai_ray.synth import pages_dataset
 
-    n = int(os.environ.get("BENCH_SYNTH_N", "400000"))
+    n = int(os.environ.get("BENCH_SYNTH_N", "20000"))
     return extract_pipeline(pages_dataset(n, parallelism=max(64, n // 2000)))
