@@ -8,8 +8,11 @@ metrics, plus the large-scale training-data operators (dedup, similarity
 search, text analysis, multimodal plumbing).
 
 Everything is expressed as ``ray.data.Dataset`` pipelines of
-``map_batches`` over Arrow batches; stateful stages (warm parsers,
-compiled regexes, broadcast lookup tables) are actor pools.
+``map_batches`` over Arrow batches.  Stateful stages keep their warm
+state (parsers, compiled regexes, broadcast lookup tables) once per
+WORKER — task stages with module-level caches by default (measured
+2-3x faster than actor pools at bench scale; see pipelines/extract.py),
+with the explicit actor-pool form available for heavy model state.
 
 No module in this package calls ``ray.init`` / ``ray.shutdown``; only
 ``bench.py``, CLI entry points and the test fixture own a Ray session.
