@@ -1,0 +1,109 @@
+"""Property-based checks for the core shuffle-minimizing primitives:
+merge_partials / partial_group_agg / distinct_rows / grouped_topk must
+agree with a plain pandas reference on arbitrary keyed data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_ai_ray.pipelines.ops import (
+    distinct_rows,
+    grouped_topk,
+    merge_partials,
+    partial_group_agg,
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),          # key
+        st.integers(-1000, 1000),                        # int value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _ds(rows, blocks=3):
+    t = pa.Table.from_arrays(
+        [pa.array([k for k, _ in rows]), pa.array([v for _, v in rows], pa.int64())],
+        names=["k", "v"],
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows_strategy)
+def test_partial_group_agg_matches_pandas(rows):
+    got = (
+        partial_group_agg(_ds(rows), keys=["k"], sum_cols={"v": "sum_v"}, count_alias="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(rows, columns=["k", "v"])
+        .groupby("k", as_index=False)
+        .agg(sum_v=("v", "sum"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["sum_v"]) == list(want["sum_v"])
+    assert list(got["n"]) == list(want["n"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_strategy)
+def test_merge_partials_min_max(rows):
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "min"), ("v", "max")])
+        return pa.Table.from_arrays(
+            [g.column("k"), g.column("v_min"), g.column("v_max")], names=["k", "lo", "hi"]
+        )
+
+    got = (
+        merge_partials(
+            _ds(rows).map_batches(partial, batch_format="pyarrow"),
+            keys=["k"],
+            agg_funcs={"lo": "min", "hi": "max"},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(rows, columns=["k", "v"])
+        .groupby("k", as_index=False)
+        .agg(lo=("v", "min"), hi=("v", "max"))
+    )
+    assert list(got["lo"]) == list(want["lo"]) and list(got["hi"]) == list(want["hi"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_strategy)
+def test_distinct_rows_matches_pandas(rows):
+    got = distinct_rows(_ds(rows), ["k", "v"]).to_pandas()
+    want = pd.DataFrame(rows, columns=["k", "v"]).drop_duplicates()
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(
+        map(tuple, want.itertuples(index=False))
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_strategy, st.integers(1, 4))
+def test_grouped_topk_matches_pandas(rows, k):
+    got = grouped_topk(_ds(rows), keys=["k"], sort_cols=[("v", False), ("k", True)], k=k).to_pandas()
+    want = (
+        pd.DataFrame(rows, columns=["k", "v"])
+        .sort_values(["v", "k"], ascending=[False, True], kind="mergesort")
+        .groupby("k", as_index=False, sort=False)
+        .head(k)
+    )
+    # same multiset of (k, v) per key (sort order within equal v is
+    # block-dependent distributively, but the selected VALUES must match)
+    g1 = got.groupby("k")["v"].apply(lambda s: sorted(s)).to_dict()
+    g2 = want.groupby("k")["v"].apply(lambda s: sorted(s)).to_dict()
+    assert g1 == g2
