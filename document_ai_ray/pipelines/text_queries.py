@@ -168,3 +168,14 @@ def url_parse_parts(sf_dir: str):
         )
 
     return pages_dataset(300).select_columns(["url"]).map_batches(parse, batch_format="pyarrow")
+
+
+@register("approx_distinct_ngrams")
+def approx_distinct_ngrams(sf_dir: str):
+    """KMV-sketch approximate distinct word-3-grams per lang (rows-only:
+    approximate by nature; the accuracy bound is asserted in tests
+    against the exact count)."""
+    from document_ai_ray.stages.text_analysis import approx_distinct_ngrams_per_lang
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    return approx_distinct_ngrams_per_lang(ds, n=3, k=256)

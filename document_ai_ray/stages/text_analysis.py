@@ -134,3 +134,70 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "fingerprint", pa.array(fps, pa.list_(pa.uint64()))
     ).append_column("simhash", pa.array(shs, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting (KMV sketch) — the mergeable-sketch
+# aggregate for cardinalities where exact COUNT(DISTINCT) would shuffle
+# every distinct value (see functions/sketch.py).
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_ngrams_per_lang(ds, n: int = 3, k: int = 256):
+    """documents(lang, text) -> (lang, approx_distinct, sketch_size):
+    approximate number of distinct word n-grams per language.
+
+    Partial per batch: one KMV sketch per lang (k smallest hashes of
+    the n-grams seen).  Merge: two-level coalesced min-union of the
+    sketches per lang — the same shuffle-free combiner shape as
+    `ops.merge_partials`, with sketch-union instead of sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.functions.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    def grams(text: str):
+        w = (text or "").split()
+        for i in range(len(w) - n + 1):
+            yield " ".join(w[i : i + n])
+
+    def partial(t: pa.Table) -> pa.Table:
+        by_lang: dict[str, list] = {}
+        for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            by_lang.setdefault(lang, []).append(text)
+        rows = []
+        for lang, texts in by_lang.items():
+            sk = kmv_sketch((g for tx in texts for g in grams(tx)), k=k)
+            rows.append({"lang": lang, "sketch": sk.tobytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("lang", pa.string()), ("sketch", pa.binary())])
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        by_lang: dict[str, list] = {}
+        for lang, sk in zip(t.column("lang").to_pylist(), t.column("sketch").to_pylist()):
+            by_lang.setdefault(lang, []).append(np.frombuffer(sk, dtype=np.uint64))
+        rows = [
+            {"lang": lang, "sketch": kmv_merge(sks, k=k).tobytes()}
+            for lang, sks in by_lang.items()
+        ]
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("lang", pa.string()), ("sketch", pa.binary())])
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = []
+        for lang, sk in zip(t.column("lang").to_pylist(), t.column("sketch").to_pylist()):
+            arr = np.frombuffer(sk, dtype=np.uint64)
+            rows.append(
+                {"lang": lang, "approx_distinct": float(kmv_estimate(arr, k=k)),
+                 "sketch_size": len(arr)}
+            )
+        return pa.Table.from_pylist(rows)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=1 << 20)
+    merged = merged.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    return merged.map_batches(finalize, batch_format="pyarrow")

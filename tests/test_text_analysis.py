@@ -95,3 +95,40 @@ def test_multimodal_strict_mode_stubs():
     )
     out = DecodeMedia(strict=True)(t)
     assert out.column("error").to_pylist()[0].startswith("decode_stubbed")
+
+
+def test_kmv_sketch_accuracy_and_merge(sf_small):
+    """KMV estimate within the theoretical error envelope of the exact
+    distinct count, and exact when distinct < k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from document_ai_ray.functions.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    from document_ai_ray.stages.text_analysis import approx_distinct_ngrams_per_lang
+
+    # unit: exact below k
+    sk = kmv_sketch([f"v{i}" for i in range(100)], k=256)
+    assert kmv_estimate(sk, k=256) == 100.0
+    # merge == sketch of union
+    a = kmv_sketch([f"a{i}" for i in range(500)], k=64)
+    b = kmv_sketch([f"b{i}" for i in range(500)], k=64)
+    u = kmv_merge([a, b], k=64)
+    direct = kmv_sketch([f"a{i}" for i in range(500)] + [f"b{i}" for i in range(500)], k=64)
+    assert np.array_equal(u, direct)
+
+    # distributed estimate vs exact per lang
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["lang", "text"])
+    exact = {}
+    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        w = text.split()
+        exact.setdefault(lang, set()).update(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        )
+    got = approx_distinct_ngrams_per_lang(
+        rd.from_arrow(t), n=3, k=256
+    ).to_pandas().set_index("lang")
+    for lang, s in exact.items():
+        est = got.loc[lang, "approx_distinct"]
+        rel = abs(est - len(s)) / len(s)
+        assert rel < 0.25, f"{lang}: est {est} vs exact {len(s)} (rel {rel:.3f})"
