@@ -458,3 +458,68 @@ def make_real_pdf_bytes(title: str, paragraphs: list[str], compress: bool = True
         % (len(objs) + 1, xref_pos)
     )
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# F5 classifier corpus: quality / presence labels encoded BY CONSTRUCTION
+# (≙ the reference's label-in-path few-shot corpus,
+# /root/reference/data/few_shots/{quality,signatures_and_stamps,...}/).
+# ---------------------------------------------------------------------------
+
+_F5_KINDS = [  # (label_quality, label_presence)
+    ("goodQuality", "both"),
+    ("goodQuality", "byline"),
+    ("goodQuality", "contact"),
+    ("goodQuality", "none"),
+    ("badQuality", "none"),      # link farm
+    ("badQuality", "none"),      # tiny content
+    ("goodQuality", "both"),
+    ("badQuality", "contact"),   # tiny but carries a contact line
+]
+
+
+def classifier_corpus(n: int = 80, seed: int = 9) -> pa.Table:
+    """(url, html, label_quality, label_presence) — deterministic pages
+    whose classifier ground truth is encoded by construction:
+    byline = a 'By <name>' line, contact = an email line, badQuality =
+    link-farm or tiny-content page.  The classifier stages must score
+    100% on this corpus (see tests)."""
+    words = WORDS["en"]
+    rows = []
+    for i in range(n):
+        rng = random.Random((seed << 40) ^ i)
+        quality, presence = _F5_KINDS[i % len(_F5_KINDS)]
+        kind = i % len(_F5_KINDS)
+        body: list[str] = []
+        if kind == 4:
+            body_main = f'<ul class="listing">{_links(rng, 30)}</ul>'
+        elif kind in (5, 7):
+            body_main = "<p>Short.</p>"
+        else:
+            body_main = "\n".join(f"<p>{_paragraph(rng, words)}</p>" for _ in range(3))
+        if presence in ("both", "byline"):
+            body.append(f"<p>By {rng.choice(FIRST)} {rng.choice(LAST)}</p>")
+        body.append(body_main)
+        if presence in ("both", "contact"):
+            body.append(f'<p>Contact: <a href="mailto:team{i}@site.example">team{i}@site.example</a></p>')
+        html = (
+            "<!DOCTYPE html><html lang=\"en\"><head><title>t</title></head><body>"
+            f"<nav><ul>{_links(rng, 8)}</ul></nav><main><article>"
+            + "\n".join(body)
+            + "</article></main></body></html>"
+        )
+        rows.append(
+            {
+                "url": f"f5://{i}",
+                "html": html.encode("utf-8"),
+                "label_quality": quality,
+                "label_presence": presence,
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("url", pa.string()), ("html", pa.binary()),
+             ("label_quality", pa.string()), ("label_presence", pa.string())]
+        ),
+    )

@@ -219,3 +219,24 @@ def test_real_pdf_tj_array_and_tm():
     blocks, lines, err = parse_pdf(pdf)
     assert err is None
     assert lines == ["hello world", "second line"]
+
+
+def test_classifier_corpus_accuracy():
+    """F5: quality / presence classifiers score 100% on the
+    label-by-construction corpus (≙ the reference's few-shot corpora,
+    /root/reference/data/few_shots/)."""
+    from document_ai_ray.synth import classifier_corpus
+
+    t = classifier_corpus(80)
+    wrong = []
+    for r in t.to_pylist():
+        res = extract_row(r["url"], TS, "en", r["html"], CFG)
+        q = res["quality"]
+        pred_quality = "goodQuality" if q["is_readable"] else "badQuality"
+        pred_presence = {
+            (True, True): "both", (True, False): "byline",
+            (False, True): "contact", (False, False): "none",
+        }[(q["has_byline"], q["has_contact"])]
+        if pred_quality != r["label_quality"] or pred_presence != r["label_presence"]:
+            wrong.append((r["url"], pred_quality, pred_presence, r["label_quality"], r["label_presence"]))
+    assert not wrong, f"{len(wrong)} misclassified, first 5: {wrong[:5]}"
