@@ -108,6 +108,7 @@ class _Dom(HTMLParser):
         self.stack: list[str] = []
         self.skip_depth = 0
         self.link_depth = 0
+        self.chrome_depth = 0
         self.blocks: list[Block] = []
         self._cur: Block | None = None
 
@@ -125,7 +126,7 @@ class _Dom(HTMLParser):
             self._cur = Block(
                 tag_path=path,
                 heading=last in HEADING_TAGS,
-                chrome=any(t in CHROME_TAGS for t in self.stack),
+                chrome=self.chrome_depth > 0,
                 heading_level=int(last[1]) if last in HEADING_TAGS else 0,
             )
         return self._cur
@@ -141,6 +142,8 @@ class _Dom(HTMLParser):
             self.link_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
+        if tag in CHROME_TAGS:
+            self.chrome_depth += 1
         self.stack.append(tag)
 
     def handle_endtag(self, tag: str) -> None:
@@ -157,9 +160,13 @@ class _Dom(HTMLParser):
         # tolerant pop: unwind to the matching open tag if present
         if tag in self.stack:
             while self.stack and self.stack[-1] != tag:
-                self.stack.pop()
+                popped = self.stack.pop()
+                if popped in CHROME_TAGS:
+                    self.chrome_depth -= 1
             if self.stack:
-                self.stack.pop()
+                popped = self.stack.pop()
+                if popped in CHROME_TAGS:
+                    self.chrome_depth -= 1
 
     def handle_data(self, data: str) -> None:
         if self.skip_depth > 0 or not data or data.isspace():

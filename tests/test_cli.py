@@ -26,7 +26,7 @@ import sys
 sys.path.insert(0, {REPO!r})
 from document_ai_ray.__main__ import main
 rc = main(["extract", "--input", {str(pages)!r}, "--out", {str(out)!r},
-           "--resume", "--shards", "2"])
+           "--resume", "--shards", "2", "--max-block-bytes", "32768"])
 assert rc == 0
 rc = main(["metrics", "--results", {str(out)!r}, "--golden", {str(golden)!r},
            "--out", {str(csv)!r}])
