@@ -8,10 +8,6 @@ probability bound)."""
 
 from __future__ import annotations
 
-import os
-
-import pyarrow.parquet as pq
-
 from document_ai_ray.pipelines.registry import register
 from document_ai_ray.sources.tables import read_table
 from document_ai_ray.stages.dedup import (
@@ -19,7 +15,6 @@ from document_ai_ray.stages.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
     verify_pairs,
-    word_ngrams,
 )
 
 _JACCARD_ORACLE = """
@@ -46,17 +41,14 @@ def ngram_jaccard_pairs(sf_dir: str):
 
 @register("lsh_near_dup_pairs", oracle=_JACCARD_ORACLE)
 def lsh_near_dup_pairs(sf_dir: str):
-    """MinHash+LSH candidates -> exact-Jaccard verification.  Must
-    reproduce the exact operator's output on this corpus (planted dups
-    are deep inside the detectable regime)."""
+    """MinHash+LSH candidates -> DISTRIBUTED exact-Jaccard verification
+    (two bucketed hash joins against the docs dataset; nothing
+    corpus-sized touches the driver).  Must reproduce the exact
+    operator's output on this corpus (planted dups are deep inside the
+    detectable regime)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_pairs(docs, n=2, num_perm=128, bands=16, threshold=0.5)
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    grams_map = {
-        i: word_ngrams(x, 2)
-        for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-    }
-    return verify_pairs(cands, grams_map, threshold=0.5)
+    cands = minhash_lsh_pairs(docs, n=2, num_perm=128, bands=16, threshold=0.5, distinct=False)
+    return verify_pairs(cands, docs, threshold=0.5)
 
 
 @register("simhash_near_dup_pairs")

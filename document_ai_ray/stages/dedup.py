@@ -13,10 +13,11 @@ discipline:
     table warm per worker), band -> bucket groupby, verify candidates;
   - SimHash: 64-bit fingerprint, pigeonhole block banding.
 
-At 10^12 docs the verify step joins candidate pairs back to shingle
-sets via two hash joins on doc id; at driver-test scale the shingle
-sets are broadcast (`ray.put` once, materialized once per worker) —
-flagged inline.
+Verification is DISTRIBUTED: candidate pairs are joined back to the
+doc shingle sets via two bucketed hash joins on doc id
+(`verify_pairs`) — no task or the driver ever holds more than
+~1/n_buckets of the corpus gram sets, and nothing corpus-sized is
+`ray.put`.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -203,7 +205,7 @@ def exact_jaccard_pairs(
             names=["id", "gh"],
         )
 
-    from document_ai_ray.pipelines.ops import distinct_rows, merge_partials
+    from document_ai_ray.pipelines.ops import merge_partials
 
     # -- pass 1: document frequency per gram hash -------------------------
     def df_partial(t: pa.Table) -> pa.Table:
@@ -265,26 +267,10 @@ def exact_jaccard_pairs(
         lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
         batch_format="pandas",
     )
-    cands = distinct_rows(cands, ["id_a", "id_b"])
-
-    # -- pass 3: exact verification over full gram sets -------------------
-    grams_map: dict[int, set[str]] = {}
-    for ref in docs.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [
-                t.column(id_col),
-                pa.array([list(word_ngrams(x or "", n)) for x in t.column(text_col).to_pylist()],
-                         pa.list_(pa.string())),
-            ],
-            names=["id", "grams"],
-        ),
-        batch_format="pyarrow",
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        grams_map.update(
-            (i, set(gs)) for i, gs in zip(t.column("id").to_pylist(), t.column("grams").to_pylist())
-        )
-    return verify_pairs(cands, grams_map, threshold)
+    # -- pass 3: exact verification via two bucketed joins on doc id ------
+    # (verify_pairs dedups candidates in its first join — no separate
+    # distinct shuffle needed)
+    return verify_pairs(cands, docs, threshold, id_col=id_col, text_col=text_col, n=n)
 
 
 # ---------------------------------------------------------------------------
@@ -341,33 +327,158 @@ class MinHashBander:
         )
 
 
-def _verify_batch(t: pa.Table, grams_ref: tuple, threshold: float) -> pa.Table:
-    """Verify candidate pairs with TRUE Jaccard (task stage, per-worker
-    broadcast cache).
+JOIN_BUCKETS = 32
 
-    Test-scale: the id->shingle-set map is broadcast (ray.put once,
-    materialized once per worker).  At 10^12 docs this becomes two hash
-    joins of the candidate pairs against the docs table instead.
-    """
-    from document_ai_ray.pipelines.ops import get_broadcast
+_JOIN_SCHEMA = pa.schema(
+    [
+        pa.field("jid", pa.int64()),
+        pa.field("other", pa.int64()),
+        pa.field("grams", pa.list_(pa.uint64())),
+    ]
+)
 
-    grams: dict[int, set[str]] = get_broadcast(grams_ref, tag="grams")
-    id_a = t.column("id_a").to_pylist()
-    id_b = t.column("id_b").to_pylist()
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(id_a, id_b):
-        ga, gb = grams.get(a), grams.get(b)
-        if not ga or not gb:
-            continue
-        inter = len(ga & gb)
-        j = inter / (len(ga) + len(gb) - inter)
-        if j >= threshold:
-            out_a.append(a)
+
+def _doc_grams_side(docs: rd.Dataset, id_col: str, text_col: str, n: int) -> rd.Dataset:
+    """docs -> (jid=doc_id, other=NULL, grams=[gram hashes]) rows, the
+    build side of a bucketed hash join.  Gram-set Jaccard over stable64
+    hashes equals string-set Jaccard up to a ~n²/2^64 collision
+    probability (same assumption MinHash already makes)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        grams = [
+            [stable64(g) for g in word_ngrams(txt or "", n)]
+            for txt in t.column(text_col).to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(len(ids), pa.int64()),
+                pa.array(grams, pa.list_(pa.uint64())),
+            ],
+            schema=_JOIN_SCHEMA,
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _with_join_bucket(ds: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        j = t.column("jid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (j * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("__jb", pa.array(b.astype(np.int32)))
+
+    # batch_size coalesces the union's many small blocks (grams side +
+    # per-bucket candidate blocks) in the same pass — the downstream
+    # sort-based groupby pays per-block overhead, so fewer, fatter
+    # blocks make the join shuffle ~5x cheaper at test scale
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1 << 18)
+
+
+def _split_group(g: pa.Table) -> tuple[dict[int, list], pa.Table]:
+    """One join bucket -> ({doc_id: grams} for the doc rows, pair rows)."""
+    is_doc = pc.is_null(g.column("other"))
+    docs_t = g.filter(is_doc)
+    pairs_t = g.filter(pc.invert(is_doc))
+    gmap = dict(
+        zip(docs_t.column("jid").to_pylist(), docs_t.column("grams").to_pylist())
+    )
+    return gmap, pairs_t
+
+
+def verify_pairs(
+    cands: rd.Dataset,
+    docs: rd.Dataset,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Verify candidate (id_a, id_b) pairs with TRUE n-gram Jaccard,
+    fully distributed: two bucketed hash joins of the pairs against the
+    docs dataset (re-shingled in-task).  Join 1 buckets on id_a and
+    attaches grams_a; join 2 re-buckets on id_b, attaches grams_b and
+    scores.  Per-task memory is O(corpus/n_buckets) doc gram sets plus
+    that bucket's pairs — nothing corpus-sized is broadcast or held on
+    the driver (the 10^12-doc shape the module docstring promises).
+    Duplicate candidates are deduped in join 1 (same id_a -> same
+    bucket), so callers need not pre-distinct."""
+    grams_side = _doc_grams_side(docs, id_col, text_col, n)
+
+    def pairs_side_a(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("id_a").cast(pa.int64()),
+                t.column("id_b").cast(pa.int64()),
+                pa.nulls(len(t), pa.list_(pa.uint64())),
+            ],
+            schema=_JOIN_SCHEMA,
+        )
+
+    level1 = _with_join_bucket(
+        grams_side.union(cands.map_batches(pairs_side_a, batch_format="pyarrow")),
+        n_buckets,
+    )
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        gmap, pairs_t = _split_group(g)
+        out_b, out_a, out_g = [], [], []
+        seen: set[tuple[int, int]] = set()
+        for a, b in zip(pairs_t.column("jid").to_pylist(), pairs_t.column("other").to_pylist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            ga = gmap.get(a)
+            if not ga:
+                continue
             out_b.append(b)
-            out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
-    return pa.Table.from_arrays(
-        [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()), pa.array(out_j, pa.float64())],
-        names=["id_a", "id_b", "jaccard"],
+            out_a.append(a)
+            out_g.append(ga)
+        # re-keyed on id_b for join 2: jid=id_b, other=id_a, grams=grams_a
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_b, pa.int64()),
+                pa.array(out_a, pa.int64()),
+                pa.array(out_g, pa.list_(pa.uint64())),
+            ],
+            schema=_JOIN_SCHEMA,
+        )
+
+    with_a = level1.groupby("__jb").map_groups(
+        lambda g: attach_a(g.drop_columns(["__jb"])), batch_format="pyarrow"
+    )
+
+    level2 = _with_join_bucket(grams_side.union(with_a), n_buckets)
+
+    def score_b(g: pa.Table) -> pa.Table:
+        gmap, pairs_t = _split_group(g)
+        out_a, out_b, out_j = [], [], []
+        for b, a, ga in zip(
+            pairs_t.column("jid").to_pylist(),
+            pairs_t.column("other").to_pylist(),
+            pairs_t.column("grams").to_pylist(),
+        ):
+            gb = gmap.get(b)
+            if not gb:
+                continue
+            inter = len(set(ga).intersection(gb))
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, pa.int64()),
+                pa.array(out_b, pa.int64()),
+                pa.array(out_j, pa.float64()),
+            ],
+            names=["id_a", "id_b", "jaccard"],
+        )
+
+    return level2.groupby("__jb").map_groups(
+        lambda g: score_b(g.drop_columns(["__jb"])), batch_format="pyarrow"
     )
 
 
@@ -380,9 +491,12 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     concurrency: int = 8,
+    distinct: bool = True,
 ) -> rd.Dataset:
     """CANDIDATE near-dup pairs via MinHash banding (verify with
-    ``verify_pairs`` for final output).
+    ``verify_pairs`` for final output).  Pass ``distinct=False`` when
+    feeding ``verify_pairs`` directly — its first join dedups, so the
+    two-level distinct stages here are redundant work.
 
     bands=16 x rows=8: detection prob ~1-(1-s^8)^16 — ≈0.9999 at
     s=0.9 (the planted-dup regime), so recall vs the exact operator is
@@ -406,19 +520,12 @@ def minhash_lsh_pairs(
         lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
         batch_format="pandas",
     )
+    if not distinct:
+        return cands
     # candidate pairs are sparse -> shuffle-free two-level distinct
     from document_ai_ray.pipelines.ops import distinct_rows
 
     return distinct_rows(cands, ["id_a", "id_b"])
-
-
-def verify_pairs(cands: rd.Dataset, grams_map: dict[int, set[str]], threshold: float, concurrency: int = 4) -> rd.Dataset:
-    ref = ray.put(grams_map)
-    return cands.map_batches(
-        _verify_batch,
-        fn_kwargs={"grams_ref": (ref,), "threshold": threshold},
-        batch_format="pyarrow",
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,11 +50,37 @@ def test_exact_jaccard_matches_brute_force(sf_tiny, docs_texts):
 
 def test_lsh_finds_planted_dups(sf_tiny, docs_texts):
     docs = rd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
-    cands = minhash_lsh_pairs(docs, threshold=0.5)
-    grams_map = {i: word_ngrams(t, 2) for i, t in docs_texts.items()}
-    got = {(r["id_a"], r["id_b"]) for r in verify_pairs(cands, grams_map, 0.5).take_all()}
+    cands = minhash_lsh_pairs(docs, threshold=0.5, distinct=False)
+    got = {(r["id_a"], r["id_b"]) for r in verify_pairs(cands, docs, 0.5).take_all()}
     want = _brute_force_pairs(docs_texts)
     assert got == want  # planted dups are deep in the detectable regime
+
+
+def test_verify_pairs_no_corpus_broadcast(sf_tiny, docs_texts, monkeypatch):
+    """The verification path must never `ray.put` anything O(corpus):
+    intercept ray.put during pipeline CONSTRUCTION + execution and
+    bound every payload (the whole point of the join-based verify)."""
+    import ray
+
+    put_sizes = []
+    real_put = ray.put
+
+    def spy_put(obj, **kw):
+        try:
+            import sys
+
+            put_sizes.append(sys.getsizeof(obj))
+        except Exception:
+            put_sizes.append(0)
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    docs = rd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs, threshold=0.5, distinct=False)
+    got = verify_pairs(cands, docs, 0.5).take_all()
+    assert len(got) > 0
+    # no driver-side broadcast of gram maps / doc tables on this path
+    assert all(s < 1 << 16 for s in put_sizes), put_sizes
 
 
 def test_simhash_pairs_catch_planted_dups(sf_tiny, docs_texts):
