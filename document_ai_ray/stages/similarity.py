@@ -42,6 +42,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 _INSTANCES: dict[tuple, object] = {}
 
 
+def _local_topk_ties(sims_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the local top-k by (cosine DESC, id ASC) — exact ties
+    at the k-th boundary are broken by the smaller id, matching the
+    final deterministic sort, so results never depend on how Ray split
+    the batches."""
+    k = min(k, len(sims_row))
+    if k == len(sims_row):
+        return np.arange(len(sims_row))
+    part = np.argpartition(-sims_row, kth=k - 1)[:k]
+    thresh = sims_row[part].min()
+    gt = np.nonzero(sims_row > thresh)[0]
+    eq = np.nonzero(sims_row == thresh)[0]
+    eq = eq[np.argsort(ids[eq], kind="stable")][: k - len(gt)]
+    return np.concatenate([gt, eq])
+
+
 class BruteForceKnn:
     """Warm stage: batch of vectors vs the broadcast query matrix.
     Emits (query_id, neighbor_id, cosine) rows for the per-batch local
@@ -62,11 +78,9 @@ class BruteForceKnn:
             hit = np.nonzero(ids == qid)[0]
             if hit.size:
                 sims[qi, hit] = -np.inf
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         q_out, n_out, s_out = [], [], []
         for qi in range(sims.shape[0]):
-            cols = part[qi]
+            cols = _local_topk_ties(sims[qi], ids, self.k)
             q_out.extend([int(self.q_ids[qi])] * len(cols))
             n_out.extend(int(x) for x in ids[cols])
             s_out.extend(float(x) for x in sims[qi, cols])
@@ -121,40 +135,119 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 8,
+    n_cells: int = 16,
+    sample_size: int = 2048,
 ) -> rd.Dataset:
-    """All pairs with cosine >= threshold (embedding near-dup).
+    """All pairs with cosine >= threshold (embedding near-dup) —
+    EXACT output via IVF-cell-bucketed pair generation:
 
-    Test-scale: the full normalized matrix is broadcast and each batch
-    compares its rows against all ids greater than its own (upper
-    triangle), one matmul per batch.  At 10^12 vectors this becomes
-    LSH (random-hyperplane bucketing) — see `simhash_pairs` for the
-    banding machinery the hyperplane variant reuses.
+    1. train coarse centroids on a driver-side SAMPLE (small by
+       construction; the only driver-side materialization);
+    2. per-cell angular radius r_c = max angle(member, centroid),
+       computed as a distributed partial-max aggregate;
+    3. prune cell pairs by the triangle inequality — a cross-cell pair
+       (u in i, v in j) can reach cos(u,v) >= t only if
+       angle(c_i, c_j) <= arccos(t) + r_i + r_j, so pruned cell pairs
+       are provably below threshold (the result stays exact even when
+       pruning is weak, e.g. low thresholds on a cosine continuum);
+    4. replicate each vector to the surviving cell-pair groups its cell
+       participates in and score each group with one block matmul
+       (groupby on the cell-pair id) — per-task memory is two cells'
+       members, never the corpus, and each unordered vector pair is
+       examined in exactly one group.
+
+    At near-dup thresholds (t >= ~0.8, arccos(t) <= 37°) pruning kills
+    most of the n_cells² pairs; at loose thresholds the cost degrades
+    toward a block-decomposed all-pairs — which is what exactness costs
+    (the approximate regime belongs to `knn_ivf`).
     """
-    ref_ids_mat = _collect_matrix(vectors, id_col, vec_col)
-    ref = ray.put(ref_ids_mat)
+    from document_ai_ray.pipelines.ops import get_broadcast, merge_partials
 
-    def pair_batch(t: pa.Table, all_ref: tuple) -> pa.Table:
-        from document_ai_ray.pipelines.ops import get_broadcast
+    _, sample = _collect_matrix(vectors.limit(sample_size), id_col, vec_col)
+    cents = train_centroids(sample, n_cells=n_cells)
+    n_cells = len(cents)                               # may be < requested
+    c_ref = ray.put(cents)
 
-        all_ids, all_norm = get_broadcast(
-            all_ref, lambda v: (v[0], _normalize(v[1])), tag="cos-pairs"
-        )
-        ids = t.column(id_col).to_numpy()
+    def radius_partial(t: pa.Table, cents_ref: tuple) -> pa.Table:
+        c = get_broadcast(cents_ref, tag="cos-cells")
         m = _normalize(_to_matrix(t.column(vec_col)))
-        sims = m @ all_norm.T                     # (n, N)
-        a_out, b_out = [], []
-        for r in range(len(ids)):
-            hits = np.nonzero((sims[r] >= threshold) & (all_ids > ids[r]))[0]
-            for h in hits:
-                a_out.append(int(ids[r]))
-                b_out.append(int(all_ids[h]))
+        sims = m @ c.T
+        cell = np.argmax(sims, axis=1)
+        ang = np.arccos(np.clip(sims[np.arange(len(m)), cell], -1.0, 1.0))
+        maxang = np.zeros(len(c))
+        np.maximum.at(maxang, cell, ang)
         return pa.Table.from_arrays(
-            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+            [pa.array(np.arange(len(c)), pa.int32()), pa.array(maxang, pa.float64())],
+            names=["cell", "radius"],
+        )
+
+    radii_rows = merge_partials(
+        vectors.map_batches(
+            radius_partial, fn_kwargs={"cents_ref": (c_ref,)}, batch_format="pyarrow"
+        ),
+        keys=["cell"],
+        agg_funcs={"radius": "max"},
+    ).take_all()                                       # n_cells rows — tiny
+    radius = np.zeros(n_cells)
+    for r in radii_rows:
+        radius[r["cell"]] = r["radius"]
+
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    gid_pair: list[tuple[int, int]] = []
+    cell_gids: dict[int, list[int]] = {c: [] for c in range(n_cells)}
+    for i in range(n_cells):
+        for j in range(i, n_cells):
+            if cang[i, j] <= theta_t + radius[i] + radius[j]:
+                g = len(gid_pair)
+                gid_pair.append((i, j))
+                cell_gids[i].append(g)
+                if j != i:
+                    cell_gids[j].append(g)
+    plan_ref = ray.put((cell_gids,))                   # O(n_cells²) — tiny
+
+    def replicate(t: pa.Table, cents_ref: tuple, plan: tuple) -> pa.Table:
+        c = get_broadcast(cents_ref, tag="cos-cells")
+        (cgids,) = get_broadcast(plan, tag="cos-plan")
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        cell = np.argmax(m @ c.T, axis=1)
+        counts = np.fromiter((len(cgids[x]) for x in cell), dtype=np.int64, count=len(cell))
+        idx = np.repeat(np.arange(len(cell)), counts)
+        gids = np.concatenate([np.asarray(cgids[x], dtype=np.int32) for x in cell]) if len(cell) else np.array([], dtype=np.int32)
+        out = t.select([id_col, vec_col]).take(pa.array(idx))
+        out = out.append_column("__cell", pa.array(cell[idx].astype(np.int32)))
+        return out.append_column("__g", pa.array(gids, pa.int32()))
+
+    rep = vectors.map_batches(
+        replicate,
+        fn_kwargs={"cents_ref": (c_ref,), "plan": (plan_ref,)},
+        batch_format="pyarrow",
+        batch_size=1 << 16,
+    )
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        gid = g.column("__g")[0].as_py()
+        i, j = gid_pair[gid]
+        ids = g.column(id_col).to_numpy()
+        cell = g.column("__cell").to_numpy()
+        m = _normalize(_to_matrix(g.column(vec_col)))
+        if i == j:
+            sims = m @ m.T
+            r, c = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            a, b = ids[r], ids[c]
+        else:
+            ai = cell == i
+            A, B = m[ai], m[~ai]
+            ida, idb = ids[ai], ids[~ai]
+            sims = A @ B.T
+            r, c = np.nonzero(sims >= threshold)
+            a, b = np.minimum(ida[r], idb[c]), np.maximum(ida[r], idb[c])
+        return pa.Table.from_arrays(
+            [pa.array(a.astype(np.int64), pa.int64()), pa.array(b.astype(np.int64), pa.int64())],
             names=["id_a", "id_b"],
         )
 
-    return vectors.map_batches(pair_batch, fn_kwargs={"all_ref": (ref,)}, batch_format="pyarrow")
+    return rep.groupby("__g").map_groups(pair_block, batch_format="pyarrow")
 
 
 def _collect_matrix(vectors: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -214,8 +307,7 @@ class IvfKnn:
                 continue
             sims = m[probe] @ self.q[qi]
             sub_ids = ids[probe]
-            k = min(self.k, len(sub_ids))
-            part = np.argpartition(-sims, kth=k - 1)[:k]
+            part = _local_topk_ties(sims, sub_ids, self.k)
             q_out.extend([int(self.q_ids[qi])] * len(part))
             n_out.extend(int(x) for x in sub_ids[part])
             s_out.extend(float(x) for x in sims[part])

@@ -82,3 +82,57 @@ def test_centroids_deterministic(emb):
     c1 = train_centroids(m, n_cells=8)
     c2 = train_centroids(m, n_cells=8)
     assert np.array_equal(c1, c2)
+
+
+def test_cosine_pairs_exact_at_high_threshold(sf_tiny, emb):
+    """The cell-pair pruning must stay exact where it is actually
+    effective (near-dup thresholds)."""
+    ids, m = emb
+    mn = _normalize(m)
+    S = mn @ mn.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.9
+    }
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(vecs, 0.9).take_all()}
+    assert got == want
+
+
+def test_cosine_pairs_no_corpus_broadcast(sf_tiny, monkeypatch):
+    """cosine_pairs must never ray.put anything O(corpus) — only the
+    centroids and the cell-pair plan (both O(n_cells²))."""
+    import sys
+
+    import ray
+
+    put_sizes = []
+    real_put = ray.put
+
+    def spy_put(obj, **kw):
+        size = sys.getsizeof(obj)
+        if isinstance(obj, np.ndarray):
+            size = obj.nbytes
+        put_sizes.append(size)
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = cosine_pairs(vecs, 0.4).take_all()
+    assert len(got) > 0
+    assert all(s < 1 << 16 for s in put_sizes), put_sizes
+
+
+def test_local_topk_tie_break():
+    from document_ai_ray.stages.similarity import _local_topk_ties
+
+    sims = np.array([0.9, 0.5, 0.5, 0.5, 0.1])
+    ids = np.array([10, 7, 3, 5, 1])
+    # k=2: tie at 0.5 -> the smaller id (3) must win over 7 and 5
+    cols = _local_topk_ties(sims, ids, 2)
+    assert sorted(ids[cols].tolist()) == [3, 10]
+    # k=3: next tie winner is id 5
+    cols = _local_topk_ties(sims, ids, 3)
+    assert sorted(ids[cols].tolist()) == [3, 5, 10]
