@@ -165,34 +165,37 @@ def exact_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     dense_vocab_max: int = 1 << 16,
+    dense_bytes_max: int = 1 << 28,
 ) -> rd.Dataset:
     """All pairs with n-gram Jaccard >= threshold — EXACT, with a
-    vocabulary-size-adaptive plan chosen after a DF pre-pass:
+    size-adaptive plan chosen after a DF pre-pass:
 
-    - SMALL distinct-gram vocabulary (<= dense_vocab_max, e.g. templated
-      or synthetic corpora where every gram is corpus-common and an
-      inverted index degenerates into ~n^2/2 candidate rows): blocked
-      brute force — broadcast the doc x gram incidence matrix once
-      (`ray.put`), each task matmuls its batch's rows against it and
-      emits only pairs above threshold.  O(n^2) compute but pure BLAS,
-      no shuffle, no candidate explosion.
-    - LARGE vocabulary (real web corpora, grams mostly rare): the
-      AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et
-      al., WWW'08): per doc, order grams by ascending (DF, hash) and
-      index only the PREFIX of size |g| - ceil(t*|g|) + 1 — any pair
-      with J >= t must share a prefix gram under a global order, while
-      corpus-common grams ("of the") fall in suffixes and never
-      generate candidates.  bucket-grouped self-merge -> distinct
-      candidate pairs -> verify against full gram sets.
+    - SMALL corpus x vocabulary (vocab <= dense_vocab_max AND the
+      n_docs x vocab float32 incidence matrix fits dense_bytes_max,
+      e.g. templated or synthetic corpora where every gram is
+      corpus-common and an inverted index degenerates into ~n^2/2
+      candidate rows): blocked brute force — broadcast the incidence
+      matrix once (`ray.put`), each task matmuls its batch's rows
+      against it and emits only pairs above threshold.  O(n^2) compute
+      but pure BLAS, no shuffle, no candidate explosion.  Both gates
+      matter: a small vocabulary alone does NOT bound the matrix (1 M
+      docs x 65 536 grams = 260 GB), so large corpora fall through.
+    - otherwise: the AllPairs/PPJoin prefix filter (Bayardo et al.,
+      WWW'07; Xiao et al., WWW'08): per doc, order grams by ascending
+      (DF, hash) and index only the PREFIX of size
+      |g| - ceil(t*|g|) + 1 — any pair with J >= t must share a prefix
+      gram under a global order, while corpus-common grams ("of the")
+      fall in suffixes and never generate candidates.  The DF table is
+      NEVER a driver-side dict: it is a bucketed groupby, attached to
+      the exploded (id, gram) rows by a bucketed hash join on the gram
+      hash, and the per-doc prefix selection is a vectorized pandas
+      pass inside an id-bucketed regroup.  Candidates then flow through
+      the same bucketed self-merge + join-based verification as LSH.
 
-    Broadcast notes (test scale vs 10^12 docs): the DF map, the
-    incidence matrix and the verification gram-sets are `ray.put`
-    broadcasts here; at full scale the DF map becomes a hash join of
-    grams x DF on the gram hash, verification becomes a semi-join of
-    docs against the sparse candidate-id set, and exact ALL-pairs at
-    dense similarity is intractable by nature — that regime belongs to
-    `minhash_lsh_pairs`.
+    Exact ALL-pairs at dense similarity is intractable at 10^12 docs by
+    nature — that regime belongs to `minhash_lsh_pairs`.
     """
+    from document_ai_ray.pipelines.ops import bucketed_group_agg
 
     def explode_all(t: pa.Table) -> pa.Table:
         ids_out, gh_out = [], []
@@ -205,69 +208,105 @@ def exact_jaccard_pairs(
             names=["id", "gh"],
         )
 
-    from document_ai_ray.pipelines.ops import merge_partials
+    exploded = docs.map_batches(explode_all, batch_format="pyarrow")
 
-    # -- pass 1: document frequency per gram hash -------------------------
-    def df_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("gh").aggregate([([], "count_all")])
-        return pa.Table.from_arrays([g.column("gh"), g.column("count_all")], names=["gh", "df"])
+    # -- pass 1: document frequency per gram hash (bucketed groupby —
+    # gram hashes are high-cardinality, so no single-task merge) --------
+    def df_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gh", as_index=False).agg(df=("id", "size"))
 
-    df_tbl = (
-        merge_partials(
-            docs.map_batches(explode_all, batch_format="pyarrow").map_batches(
-                df_partial, batch_format="pyarrow"
+    df_ds = bucketed_group_agg(
+        exploded.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("gh").cast(pa.int64(), safe=False), t.column("id")], names=["gh", "id"]
             ),
-            keys=["gh"],
-            agg_funcs={"df": "sum"},
+            batch_format="pyarrow",
+        ),
+        keys=["gh"],
+        agg_fn=df_per_bucket,
+    ).materialize()
+
+    vocab_size = df_ds.count()
+    n_docs = docs.count()
+    if vocab_size <= dense_vocab_max and n_docs * vocab_size * 4 <= dense_bytes_max:
+        vocab = sorted(
+            v for t in (df_ds.take_all(),) for r in t for v in [r["gh"] % (1 << 64)]
         )
-        .to_arrow_refs()
+        return _jaccard_dense(docs, id_col, text_col, n, threshold, vocab)
+
+    # -- pass 2: attach DF by bucketed join on gram hash ------------------
+    def df_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("gh"), pa.nulls(len(t), pa.int64()), t.column("df").cast(pa.int64())],
+            names=["gh", "id", "df"],
+        )
+
+    def exploded_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("gh").cast(pa.int64(), safe=False), t.column("id"), pa.nulls(len(t), pa.int64())],
+            names=["gh", "id", "df"],
+        )
+
+    def gh_bucket(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (g * np.uint64(2654435761)) % np.uint64(JOIN_BUCKETS)
+        return t.append_column("__jb", pa.array(b.astype(np.int32)))
+
+    union = (
+        df_ds.map_batches(df_side, batch_format="pyarrow")
+        .union(exploded.map_batches(exploded_side, batch_format="pyarrow"))
+        .map_batches(gh_bucket, batch_format="pyarrow", batch_size=1 << 18)
     )
-    df_map: dict[int, int] = {}
-    for ref in df_tbl:
-        t = ray.get(ref)
-        df_map.update(zip(t.column("gh").to_pylist(), t.column("df").to_pylist()))
 
-    if len(df_map) <= dense_vocab_max:
-        return _jaccard_dense(docs, id_col, text_col, n, threshold, sorted(df_map))
-
-    df_ref = ray.put(df_map)
-
-    # -- pass 2: prefix-filtered inverted index ---------------------------
-    from document_ai_ray.pipelines.ops import get_broadcast
-
-    def prefix_explode(t: pa.Table, df_ref: tuple, thr: float) -> pa.Table:
-        df_m: dict[int, int] = get_broadcast(df_ref, tag="jac-df")
-        ids_out, gh_out, bucket_out = [], [], []
-        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            hs = [stable64(g) for g in word_ngrams(txt or "", n)]
-            if not hs:
-                continue
-            hs.sort(key=lambda h: (df_m.get(h, 0), h))  # global (DF, hash) order
-            p = len(hs) - int(np.ceil(thr * len(hs))) + 1
-            for h in hs[:p]:
-                ids_out.append(i)
-                gh_out.append(h)
-                bucket_out.append(h % N_PAIR_BUCKETS)
+    def attach_df(g: pa.Table) -> pa.Table:
+        is_df = pc.is_null(g.column("id"))
+        dft = g.filter(is_df)
+        ext = g.filter(pc.invert(is_df))
+        dmap = dict(zip(dft.column("gh").to_pylist(), dft.column("df").to_pylist()))
+        gh = ext.column("gh").to_pylist()
         return pa.Table.from_arrays(
             [
-                pa.array(ids_out, pa.int64()),
-                pa.array(gh_out, pa.uint64()),
-                pa.array(bucket_out, pa.int32()),
+                ext.column("id"),
+                ext.column("gh"),
+                pa.array([dmap.get(h, 0) for h in gh], pa.int64()),
             ],
-            names=["id", "gh", "bucket"],
+            names=["id", "gh", "df"],
         )
 
-    prefix = docs.map_batches(
-        prefix_explode,
-        fn_kwargs={"df_ref": (df_ref,), "thr": threshold},
-        batch_format="pyarrow",
+    with_df = union.groupby("__jb").map_groups(
+        lambda g: attach_df(g.drop_columns(["__jb"])), batch_format="pyarrow"
     )
+
+    # -- pass 3: per-doc prefix selection, vectorized in an id-bucketed
+    # regroup (sort by (id, df, gh); keep rank < |g| - ceil(t|g|) + 1) ---
+    def id_bucket(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (i * np.uint64(2654435761)) % np.uint64(JOIN_BUCKETS)
+        return t.append_column("__ib", pa.array(b.astype(np.int32)))
+
+    def prefix_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["id", "df", "gh"], kind="mergesort")
+        sizes = df.groupby("id")["gh"].transform("size")
+        rank = df.groupby("id").cumcount()
+        keep = rank < sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        out = df.loc[keep, ["id", "gh"]].copy()
+        out["bucket"] = (out["gh"].to_numpy(dtype=np.uint64) % N_PAIR_BUCKETS).astype(np.int32)
+        return out
+
+    prefix = (
+        with_df.map_batches(id_bucket, batch_format="pyarrow", batch_size=1 << 18)
+        .groupby("__ib")
+        .map_groups(
+            lambda g: prefix_in_bucket(g.drop(columns=["__ib"])), batch_format="pandas"
+        )
+    )
+
     pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=[])
     cands = prefix.groupby("bucket").map_groups(
         lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
         batch_format="pandas",
     )
-    # -- pass 3: exact verification via two bucketed joins on doc id ------
+    # -- pass 4: exact verification via two bucketed joins on doc id ------
     # (verify_pairs dedups candidates in its first join — no separate
     # distinct shuffle needed)
     return verify_pairs(cands, docs, threshold, id_col=id_col, text_col=text_col, n=n)

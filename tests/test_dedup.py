@@ -121,3 +121,18 @@ def test_prefix_path_matches_dense_path():
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].itertuples(index=False)))
     assert key(dense) == key(prefix)
     assert len(dense) > 0
+
+
+def test_dense_gate_falls_through_on_byte_budget():
+    """Even with a tiny vocabulary, a corpus whose n_docs x vocab
+    incidence matrix exceeds the byte budget must take the PPJoin path
+    (the dense matrix is gated on BOTH vocab size and bytes)."""
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f g h"},
+        {"doc_id": 2, "text": "a b c d e f g x"},
+        {"doc_id": 3, "text": "q r s t u v w z"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = exact_jaccard_pairs(ds, threshold=0.5, dense_bytes_max=0).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["jaccard"] == pytest.approx(6 / 8, abs=1e-6)
