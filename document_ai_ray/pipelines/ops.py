@@ -71,6 +71,12 @@ def merge_partials(
 
     agg_funcs: {column: fn} with fn an Arrow group_by aggregate whose
     merge is itself (sum/min/max — NOT count or mean).
+
+    The final level runs after `repartition(1)`, which guarantees ONE
+    block -> ONE merge task by construction (a huge batch_size alone
+    relies on Ray's block bundling never splitting — if it ever did,
+    duplicate keys would leak out silently).  repartition(1) on the
+    tiny consolidated partials measures <0.1 s.
     """
     assert all(f in ("sum", "min", "max") for f in agg_funcs.values())
 
@@ -83,7 +89,9 @@ def merge_partials(
         return pa.Table.from_arrays(cols, names=names)
 
     consolidated = partials.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
-    return consolidated.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    return consolidated.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 30
+    )
 
 
 def distinct_rows(ds: rd.Dataset, keys: list[str], chunk_rows: int = 1 << 20) -> rd.Dataset:
@@ -95,7 +103,11 @@ def distinct_rows(ds: rd.Dataset, keys: list[str], chunk_rows: int = 1 << 20) ->
         return t.group_by(keys).aggregate([])
 
     consolidated = ds.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
-    return consolidated.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    # repartition(1): one block -> exactly one final dedup task (see
+    # merge_partials)
+    return consolidated.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 30
+    )
 
 
 def bucketed_group_agg(
@@ -216,9 +228,9 @@ def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int, columns: list[str
             t = t.select(columns)
         return t.sort_by(sort_keys).slice(0, k)
 
-    # final merge coalesces all k-row partials into ONE batch via
-    # batch_size (no repartition all-to-all needed for k*blocks rows)
-    return ds.map_batches(local, batch_format="pyarrow").map_batches(
+    # repartition(1): one block -> exactly one final top-k task (see
+    # merge_partials; >1 final task would silently emit >k rows)
+    return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=1 << 30
     )
 
@@ -236,8 +248,8 @@ def distinct_values(ds: rd.Dataset, col: str) -> pa.Table:
 
 
 def _keyset_batch(batch: pa.Table, keys_ref: tuple, key: str, anti: bool) -> pa.Table:
-    """Semi/anti join via broadcast key set (at 10^12 rows the set
-    becomes a Bloom filter; the plumbing is identical)."""
+    """Semi/anti join via broadcast key set (the small-keyset branch of
+    `semi_anti_join_auto`)."""
     value_set = get_broadcast(keys_ref, lambda ks: pa.array(sorted(set(ks))), tag="keyset")
     mask = pc.is_in(batch.column(key), value_set=value_set)
     if anti:
@@ -254,6 +266,165 @@ def semi_anti_join(
         fn_kwargs={"keys_ref": (ref,), "key": key, "anti": anti},
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered semi/anti join — the large-keyset scale path.  The
+# Bloom filter is FIXED-SIZE (bits chosen from the distinct-key count,
+# capped), built distributed (per-batch partial bit arrays OR-merged),
+# and broadcast for a vectorized pre-filter; because Bloom filters have
+# false positives but no false negatives, probe-positive rows are then
+# EXACTLY verified with a hash join against the key dataset — results
+# are hash-exact in both branches.
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound arithmetic)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _key_hashes(col: pa.ChunkedArray | pa.Array, col_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 hash pairs per value for double hashing
+    (Kirsch-Mitzenmacher: position_i = h1 + i*h2)."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        from document_ai_ray.functions.hashing import stable64
+
+        v = np.fromiter(
+            (stable64(str(x)) for x in col.to_pylist()), dtype=np.uint64, count=len(col)
+        )
+    h1 = _mix64(v)
+    h2 = _mix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    return h1, h2
+
+
+BLOOM_K = 7
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, i: int) -> np.ndarray:
+    return (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def build_bloom(keys_ds: rd.Dataset, col: str, m_bits: int) -> np.ndarray:
+    """Distributed Bloom build: each batch sets bits in a local
+    fixed-size array, partial arrays are OR-merged in two coalescing
+    levels (a bit-array is its own combiner), the driver receives ONE
+    m_bits/8-byte blob — never the keys."""
+    n_words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        h1, h2 = _key_hashes(t.column(col), col)
+        for i in range(BLOOM_K):
+            pos = _bloom_positions(h1, h2, m_bits, i)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.Table.from_arrays([pa.array([words.tobytes()], pa.binary())], names=["bits"])
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for blob in t.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.Table.from_arrays([pa.array([acc.tobytes()], pa.binary())], names=["bits"])
+
+    merged = (
+        keys_ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=1 << 10)
+        .repartition(1)
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=1 << 30)
+        .take_all()
+    )
+    return np.frombuffer(merged[0]["bits"], dtype=np.uint64)
+
+
+def _bloom_mask(batch_col, col_name: str, words: np.ndarray, m_bits: int) -> np.ndarray:
+    h1, h2 = _key_hashes(batch_col, col_name)
+    mask = np.ones(len(h1), dtype=bool)
+    for i in range(BLOOM_K):
+        pos = _bloom_positions(h1, h2, m_bits, i)
+        mask &= (words[(pos >> np.uint64(6)).astype(np.int64)]
+                 >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return mask
+
+
+def semi_anti_join_auto(
+    ds: rd.Dataset,
+    keys_ds: rd.Dataset,
+    key: str,
+    right_key: str,
+    anti: bool = False,
+    max_broadcast_keys: int = 1_000_000,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Semi/anti join of `ds` against the distinct keys of `keys_ds`,
+    plan chosen by distinct-key count:
+
+    - <= max_broadcast_keys: exact broadcast key set (`ray.put` once,
+      vectorized `is_in` per batch) — bounded by the threshold.
+    - larger: fixed-size Bloom filter built DISTRIBUTED (OR-merged
+      partial bit arrays), broadcast, vectorized probe per batch; then
+      probe-positive rows (true matches + Bloom false positives) are
+      exactly resolved with a hash-partitioned join against the key
+      dataset.  For anti joins, probe-NEGATIVE rows are kept outright
+      (no false negatives) and unioned with the exactly-verified
+      positives — results identical to the broadcast branch.
+
+    Keys must be non-null.  ~10 bits/key keeps the false-positive rate
+    (and thus the exact-verify join size) near 1%.
+    """
+    cols = list(ds.schema().names)
+    kd = distinct_rows(keys_ds, [right_key]).materialize()
+    n_keys = kd.count()
+    if n_keys <= max_broadcast_keys:
+        keys = kd.to_arrow_refs()
+        vals: list[Any] = []
+        for ref in keys:
+            vals.extend(ray.get(ref).column(right_key).to_pylist())
+        return semi_anti_join(ds, vals, key, anti=anti)
+
+    m_bits = 1 << max(13, int(np.ceil(np.log2(max(1, n_keys * 10)))))
+    m_bits = min(m_bits, 1 << 30)                      # cap: 128 MB of bits
+    words = build_bloom(kd, right_key, m_bits)
+    w_ref = ray.put(words)
+
+    def probe(t: pa.Table, bloom_ref: tuple, keep_positive: bool) -> pa.Table:
+        w = get_broadcast(bloom_ref, tag=f"bloom:{right_key}")
+        mask = _bloom_mask(t.column(key), key, w, m_bits)
+        return t.filter(pa.array(mask if keep_positive else ~mask))
+
+    positives = ds.map_batches(
+        probe, fn_kwargs={"bloom_ref": (w_ref,), "keep_positive": True},
+        batch_format="pyarrow",
+    )
+    if anti:
+        marked = kd.map_batches(
+            lambda t: t.append_column("__hit", pa.array(np.ones(len(t), dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+        verified = (
+            positives.join(
+                marked, join_type="left_outer", num_partitions=num_partitions,
+                on=(key,), right_on=(right_key,),
+            )
+            .map_batches(
+                lambda t: t.filter(pc.is_null(t.column("__hit"))).select(cols),
+                batch_format="pyarrow",
+            )
+        )
+        negatives = ds.map_batches(
+            probe, fn_kwargs={"bloom_ref": (w_ref,), "keep_positive": False},
+            batch_format="pyarrow",
+        )
+        return negatives.select_columns(cols).union(verified)
+    return positives.join(
+        kd, join_type="inner", num_partitions=num_partitions,
+        on=(key,), right_on=(right_key,),
+    ).select_columns(cols)
 
 
 def round_cols(t_or_batch: pa.Table, cols: dict[str, int]) -> pa.Table:
@@ -293,6 +464,6 @@ def grouped_topk(
         df = df.groupby(keys, as_index=False, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return ds.map_batches(local, batch_format="pyarrow").map_batches(
+    return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=1 << 30
     )

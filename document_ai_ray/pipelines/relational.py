@@ -31,7 +31,7 @@ from document_ai_ray.pipelines.ops import (
     large_join,
     partial_group_agg,
     round_cols,
-    semi_anti_join,
+    semi_anti_join_auto,
     topk,
 )
 from document_ai_ray.pipelines.registry import register
@@ -362,14 +362,15 @@ def join_large_priority(sf_dir: str):
     """,
 )
 def anti_join_customers(sf_dir: str):
-    """Anti join via broadcast key set (Bloom filter at real scale):
-    customers with no urgent order."""
+    """Anti join, plan picked by distinct-key count: broadcast key set
+    below the threshold, distributed Bloom pre-filter + exact verify
+    join above it (ops.semi_anti_join_auto) — customers with no urgent
+    order."""
     orders = read_table(
         sf_dir, "orders", columns=["o_custkey"], filter=(pc.field("o_orderpriority") == "1-URGENT")
     )
-    keys = distinct_values(orders, "o_custkey").column("o_custkey").to_pylist()
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return semi_anti_join(cust, keys, "c_custkey", anti=True)
+    return semi_anti_join_auto(cust, orders, "c_custkey", "o_custkey", anti=True)
 
 
 @register(
@@ -381,9 +382,8 @@ def anti_join_customers(sf_dir: str):
 )
 def semi_join_parts(sf_dir: str):
     li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
-    keys = distinct_values(li, "l_partkey").column("l_partkey").to_pylist()
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
-    return semi_anti_join(part, keys, "p_partkey", anti=False)
+    return semi_anti_join_auto(part, li, "p_partkey", "l_partkey", anti=False)
 
 
 @register(

@@ -114,7 +114,8 @@ def knn_bruteforce(
     local = vectors.map_batches(
         bf_batch, fn_kwargs={"queries_ref": (ref,)}, batch_format="pyarrow"
     )
-    return local.map_batches(
+    # repartition(1): exactly one final top-k task by construction
+    return local.repartition(1).map_batches(
         _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
     )
 
@@ -345,6 +346,6 @@ def knn_ivf(
         fn_kwargs={"queries_ref": (q_ref,), "cents_ref": (c_ref,)},
         batch_format="pyarrow",
     )
-    return local.map_batches(
+    return local.repartition(1).map_batches(
         _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
     )

@@ -199,5 +199,7 @@ def approx_distinct_ngrams_per_lang(ds, n: int = 3, k: int = 256):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=1 << 20)
-    merged = merged.map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    # repartition(1): exactly one final sketch-merge task (see
+    # ops.merge_partials for why batch_size alone is not a guarantee)
+    merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     return merged.map_batches(finalize, batch_format="pyarrow")

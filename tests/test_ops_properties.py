@@ -107,3 +107,40 @@ def test_grouped_topk_matches_pandas(rows, k):
     g1 = got.groupby("k")["v"].apply(lambda s: sorted(s)).to_dict()
     g2 = want.groupby("k")["v"].apply(lambda s: sorted(s)).to_dict()
     assert g1 == g2
+
+
+def test_bloom_semi_anti_join_matches_broadcast(sf_tiny):
+    """Force the Bloom path (max_broadcast_keys=0) and require
+    hash-identical results vs the exact broadcast-keyset branch for
+    both semi and anti joins."""
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import semi_anti_join_auto
+
+    import pyarrow.compute as pc
+
+    # semi: parts referenced by lineitem; anti: customers with no
+    # URGENT order — both non-empty at sf0.001
+    cases = [
+        (False, "part", ["p_partkey", "p_name"], "p_partkey", "lineitem", ["l_partkey"], "l_partkey", None),
+        (True, "customer", ["c_custkey", "c_name"], "c_custkey", "orders", ["o_custkey"], "o_custkey",
+         pc.field("o_orderpriority") == "1-URGENT"),
+    ]
+    for anti, lt, lcols, lkey, rt, rcols, rkey, rfilter in cases:
+        def load():
+            left = rd.read_parquet(f"{sf_tiny}/{lt}.parquet", columns=lcols)
+            right = rd.read_parquet(f"{sf_tiny}/{rt}.parquet", columns=rcols, filter=rfilter)
+            return left, right
+
+        left, right = load()
+        want = (
+            semi_anti_join_auto(left, right, lkey, rkey, anti=anti)
+            .to_pandas().sort_values(lkey).reset_index(drop=True)
+        )
+        left, right = load()
+        got = (
+            semi_anti_join_auto(left, right, lkey, rkey, anti=anti, max_broadcast_keys=0)
+            .to_pandas().sort_values(lkey).reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert got.equals(want), f"anti={anti}"
