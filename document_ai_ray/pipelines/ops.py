@@ -171,12 +171,13 @@ def get_broadcast(ref_tuple: tuple, build=None, tag: str = ""):
 
 
 def _bjoin_batch(batch: pa.Table, small_ref: tuple, key: str, right_key: str, how: str) -> pa.Table:
-    small_df = get_broadcast(
-        small_ref, lambda t: t.to_pandas().set_index(right_key, drop=True), tag=f"bjoin:{right_key}"
-    )
-    df = batch.to_pandas()
-    joined = df.join(small_df, on=key, how=how)
-    return pa.Table.from_pandas(joined, preserve_index=False)
+    """Arrow-native hash join per batch — no pandas round-trip (the
+    measured conversion overhead sat on the join_broadcast_segment hot
+    path).  `pa.Table.join` drops the right key column, matching the
+    previous pandas set_index semantics."""
+    small = get_broadcast(small_ref, lambda t: t.combine_chunks(), tag=f"bjoin:{right_key}")
+    join_type = "inner" if how == "inner" else "left outer"
+    return batch.join(small, keys=[key], right_keys=[right_key], join_type=join_type)
 
 
 def broadcast_join(

@@ -577,26 +577,32 @@ def events_rolling_1h(sf_dir: str):
         return t.append_column("bucket", b)
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, grp in g.groupby("user_id", sort=False):
-            per_ts = grp.groupby(["user_id", "ts"], as_index=False).agg(
-                n=("value", "size"), v=("value", "sum")
-            )
-            per_ts = per_ts.sort_values("ts").set_index("ts")
-            # closed='both' => window [t-1h, t], matching RANGE ... PRECEDING
-            r = per_ts[["n", "v"]].rolling("1h", closed="both").sum()
-            ws = np.copysign(np.floor(np.abs(r["v"].to_numpy()) * 100 + 0.5), r["v"].to_numpy()) / 100
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": per_ts["user_id"].to_numpy(),
-                        "ts": per_ts.index,
-                        "window_n": r["n"].to_numpy().astype(np.int64),
-                        "window_sum": ws,
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+        # fully vectorized: one (user, ts) pre-aggregation + ONE
+        # group-keyed time rolling over the whole bucket — no per-user
+        # Python loop
+        per_ts = (
+            g.groupby(["user_id", "ts"], as_index=False)
+            .agg(n=("value", "size"), v=("value", "sum"))
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        )
+        # closed='both' => window [t-1h, t], matching RANGE ... PRECEDING
+        r = (
+            per_ts.set_index("ts")
+            .groupby("user_id")[["n", "v"]]
+            .rolling("1h", closed="both")
+            .sum()
+            .reset_index(drop=True)
+        )
+        v = r["v"].to_numpy()
+        ws = np.copysign(np.floor(np.abs(v) * 100 + 0.5), v) / 100
+        return pd.DataFrame(
+            {
+                "user_id": per_ts["user_id"].to_numpy(),
+                "ts": per_ts["ts"].to_numpy(),
+                "window_n": r["n"].to_numpy().astype(np.int64),
+                "window_sum": ws,
+            }
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

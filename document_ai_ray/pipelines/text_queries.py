@@ -19,8 +19,15 @@ from document_ai_ray.stages.text_analysis import (
 
 @register(
     "token_counts",
-    oracle="""
-    SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens
+    # whitespace-robust oracle: collapse runs, trim, and count 0 for
+    # whitespace-only text — the exact semantics of Python str.split()
+    # (the old `len(string_split(text, ' '))` only agreed on strictly
+    # single-space corpora)
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+           END AS n_ws_tokens
     FROM documents
     """,
 )

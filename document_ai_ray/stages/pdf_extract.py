@@ -37,17 +37,28 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 def _iter_streams(payload: bytes):
     """Yield raw stream bodies.  Uses the dict's /Length when it is a
     direct integer (binary bodies may legally END with newline bytes, so
-    delimiter scanning alone can truncate them); falls back to
-    endstream-delimiter scanning for indirect /Length references."""
-    consumed_via_length = False
+    delimiter scanning alone can truncate them); streams whose /Length
+    is an indirect reference (or absent) fall back to PER-STREAM
+    endstream-delimiter scanning — a mixed PDF loses no streams."""
+    any_dict = False
     for dm in _DICT_STREAM_RE.finditer(payload):
-        lm = _LENGTH_RE.search(dm.group(1))
-        if lm is None:
-            continue
+        any_dict = True
         start = dm.end()
-        yield payload[start : start + int(lm.group(1))]
-        consumed_via_length = True
-    if not consumed_via_length:
+        lm = _LENGTH_RE.search(dm.group(1))
+        if lm is not None:
+            yield payload[start : start + int(lm.group(1))]
+            continue
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            continue
+        body = payload[start:end]
+        # strip the single EOL the writer puts before `endstream`
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith(b"\n") or body.endswith(b"\r"):
+            body = body[:-1]
+        yield body
+    if not any_dict:                     # dict-less streams: raw delimiter scan
         for sm in _STREAM_RE.finditer(payload):
             yield sm.group(1)
 # content-stream tokens we care about: strings, numbers, names, operators

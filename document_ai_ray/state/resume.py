@@ -96,14 +96,43 @@ def write_manifest(out_dir: str, shard: int, num_shards: int, shard_dir: str) ->
     return manifest
 
 
-def _shard_filter(num_shards: int, shard: int):
+def _pending_filter(num_shards: int, shards: set[int]):
     def fn(t: pa.Table) -> pa.Table:
         mask = pa.array(
-            [stable64(u) % num_shards == shard for u in t.column("url").to_pylist()]
+            [stable64(u) % num_shards in shards for u in t.column("url").to_pylist()]
         )
         return t.filter(mask)
 
     return fn
+
+
+def _clean_stale_layout(out_dir: str, num_shards: int) -> None:
+    """Remove shard dirs and manifests left by a run with a DIFFERENT
+    --shards value: their indices/contents do not line up with the
+    current layout, and read_output would silently duplicate rows if
+    out-of-range dirs survived."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith("shard-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+                stale = m.get("num_shards") != num_shards
+            except (json.JSONDecodeError, ValueError):
+                stale = True
+            if stale:
+                os.remove(os.path.join(mdir, name))
+    for d in os.listdir(out_dir):
+        if not d.startswith("shard="):
+            continue
+        try:
+            idx = int(d.split("=", 1)[1])
+        except ValueError:
+            idx = -1
+        if not (0 <= idx < num_shards):
+            shutil.rmtree(os.path.join(out_dir, d))
 
 
 def run_resumable(
@@ -113,46 +142,82 @@ def run_resumable(
     num_shards: int = 8,
     fail_after: int | None = None,
 ) -> list[int]:
-    """Run `pipeline` over `make_pages()` shard by shard, committing a
-    manifest per shard; returns the list of shards processed THIS run
-    (completed shards from previous runs are skipped).
+    """Run `pipeline` over `make_pages()` and write every PENDING shard
+    from ONE input scan (keyed partitioned write on the url-hash shard),
+    then commit a lineage manifest per shard; returns the shards
+    processed THIS run (completed shards from previous runs are
+    skipped, and never re-read beyond the single pending-set filter).
+
+    The pipeline must preserve the `url` column (the per-row partition
+    key — true of every extraction pipeline here).  A crash mid-write
+    leaves pending shard dirs without manifests; the next run rebuilds
+    exactly those, so the kill/restart contract is unchanged while the
+    old one-scan-PER-SHARD multiplier is gone.
 
     `fail_after=k` injects a crash after k shards (test hook for the
-    kill/restart contract).
+    kill/restart contract): only the first k pending shards are written
+    and committed this run, then the run aborts.
     """
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_layout(out_dir, num_shards)
     done = completed_shards(out_dir, num_shards)
-    processed: list[int] = []
-    for s in range(num_shards):
-        if s in done:
-            continue
-        if fail_after is not None and len(processed) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} shards")
+    pending = [s for s in range(num_shards) if s not in done]
+    inject_failure = fail_after is not None and fail_after < len(pending)
+    if inject_failure:
+        pending = pending[:fail_after]
+    if not pending:
+        return []
+    for s in pending:
         shard_dir = os.path.join(out_dir, f"shard={s:05d}")
         # a shard dir without a manifest is a partial write from a
         # crashed run -> rebuild it from scratch
         if os.path.isdir(shard_dir):
             shutil.rmtree(shard_dir)
-        # NOTE(test-scale): shard selection is a post-read filter here;
-        # at 10^12 rows the input is bucketed by the same url-hash and
-        # this becomes a path-prefix read (no full scan per shard).
-        pages = make_pages().map_batches(
-            _shard_filter(num_shards, s), batch_format="pyarrow"
+    # NOTE(test-scale): pending-shard selection is a post-read filter
+    # here; at 10^12 rows the input is bucketed by the same url-hash
+    # and this becomes a path-prefix read (no full scan of done shards).
+    pages = make_pages().map_batches(
+        _pending_filter(num_shards, set(pending)), batch_format="pyarrow"
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__shard",
+            pa.array([f"{stable64(u) % num_shards:05d}" for u in t.column("url").to_pylist()]),
         )
-        result = pipeline(pages)
-        result.write_parquet(shard_dir)
+
+    result = pipeline(pages).map_batches(add_shard, batch_format="pyarrow")
+    result.write_parquet(out_dir, partition_cols=["__shard"])
+    for s in pending:
+        src = os.path.join(out_dir, f"__shard={s:05d}")
+        shard_dir = os.path.join(out_dir, f"shard={s:05d}")
+        if os.path.isdir(src):
+            os.replace(src, shard_dir)
+        else:
+            os.makedirs(shard_dir, exist_ok=True)      # shard with zero rows
         write_manifest(out_dir, s, num_shards, shard_dir)
-        processed.append(s)
-    return processed
+    if inject_failure:
+        raise RuntimeError(f"injected failure after {fail_after} shards")
+    return pending
 
 
 def read_output(out_dir: str) -> rd.Dataset:
-    """Read a resumable run's output (all shards)."""
-    files = sorted(
-        os.path.join(out_dir, d, f)
-        for d in os.listdir(out_dir)
-        if d.startswith("shard=")
-        for f in os.listdir(os.path.join(out_dir, d))
-        if f.endswith(".parquet")
-    )
+    """Read a resumable run's output — ONLY files certified by a
+    complete manifest (stale dirs from older layouts are never read).
+    All complete manifests must agree on the shard layout."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    files: list[str] = []
+    layouts: set[int] = set()
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("shard-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        if not m.get("complete"):
+            continue
+        layouts.add(m["num_shards"])
+        shard_dir = os.path.join(out_dir, f"shard={m['shard']:05d}")
+        files.extend(os.path.join(shard_dir, fn) for fn in m["files"])
+    if len(layouts) > 1:
+        raise ValueError(f"mixed shard layouts in {out_dir}: {sorted(layouts)}")
     return rd.read_parquet(files)

@@ -240,3 +240,24 @@ def test_classifier_corpus_accuracy():
         if pred_quality != r["label_quality"] or pred_presence != r["label_presence"]:
             wrong.append((r["url"], pred_quality, pred_presence, r["label_quality"], r["label_presence"]))
     assert not wrong, f"{len(wrong)} misclassified, first 5: {wrong[:5]}"
+
+
+def test_pdf_mixed_direct_and_indirect_length_streams():
+    """A PDF mixing direct /Length streams with indirect (`N 0 R`)
+    /Length references must extract text from BOTH — the indirect ones
+    fall back to per-stream endstream scanning, never silent skips."""
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+
+    c1 = b"BT /F1 12 Tf 72.0 700.0 Td (Alpha) Tj ET"
+    c2 = b"BT /F1 12 Tf 72.0 650.0 Td (Beta) Tj ET"
+    payload = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    blocks, lines, err = parse_pdf(payload)
+    assert err is None
+    assert lines == ["Alpha", "Beta"]

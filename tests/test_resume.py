@@ -111,3 +111,20 @@ def test_split_blocks_by_bytes_dataset_roundtrip():
     ds = split_blocks_by_bytes(rd.from_arrow(t), max_bytes=32 << 10)
     out = extract_pipeline(ds).to_pandas()
     assert sorted(out["url"]) == sorted(t.column("url").to_pylist())
+
+
+def test_shard_layout_change_does_not_duplicate(tmp_path):
+    """Re-running with a SMALLER --shards on the same out dir must not
+    leave stale out-of-range shard dirs/manifests behind: read_output
+    reads only manifest-certified files of the current layout."""
+    out = str(tmp_path / "relayout")
+    run_resumable(_make_pages, extract_pipeline, out, num_shards=8)
+    processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=2)
+    assert sorted(processed) == [0, 1]  # full rebuild under the new layout
+    got = sorted(read_output(out).to_pandas()["url"])
+    want = sorted(pages_table(N).column("url").to_pylist())
+    assert got == want  # every row exactly once, no stale-dir duplicates
+    # no stale 8-shard dirs or manifests survive
+    assert not any(
+        d.startswith("shard=") and int(d.split("=")[1]) >= 2 for d in os.listdir(out)
+    )
