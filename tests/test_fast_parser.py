@@ -1,6 +1,7 @@
-"""Differential equivalence: fast HTML scanner vs stdlib HTMLParser.
+"""Differential equivalence: fast scanner AND fused scanner+block-
+builder vs stdlib HTMLParser.
 
-The fast scanner must produce the IDENTICAL block stream (text,
+Both fast engines must produce the IDENTICAL block stream (text,
 tag_path, chrome/heading flags, link chars) as the stdlib parser for
 every input we can throw at it: the full synthetic corpus (including
 truncated and bad-charset pages), arbitrary prefixes (EOF mid-
@@ -23,9 +24,12 @@ def _sig(blocks):
 
 def _assert_equiv(html_text: str):
     fast, ok_f = parse_html_blocks(html_text, engine="fast")
+    fused, ok_u = parse_html_blocks(html_text, engine="fused")
     std, ok_s = parse_html_blocks(html_text, engine="stdlib")
-    assert ok_f == ok_s
-    assert _sig(fast) == _sig(std)
+    assert ok_f == ok_s == ok_u
+    sig_std = _sig(std)
+    assert _sig(fast) == sig_std
+    assert _sig(fused) == sig_std
 
 
 def test_equivalence_on_corpus():
