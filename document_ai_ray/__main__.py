@@ -69,6 +69,37 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """Analyze ONE document now — no Ray session (≙ reference
+    app/api.py:27-75 request path)."""
+    from document_ai_ray.api import analyze_document
+
+    with open(args.input, "rb") as f:
+        payload = f.read()
+    row = analyze_document(payload, url=args.url or args.input, lang=args.lang)
+    row.pop("warc_ts", None)                      # not JSON-serializable; CLI-only view
+    print(json.dumps(row, ensure_ascii=False, default=str))
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    import pyarrow.parquet as pq
+
+    from document_ai_ray.pipelines.metrics import cause_confusion
+    from document_ai_ray.pipelines.report import render_confusion_report
+    from document_ai_ray.state.resume import read_output
+
+    df = cause_confusion(read_output(args.results), pq.read_table(args.golden))
+    text = render_confusion_report(df)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    print(text)
+    ray.shutdown()
+    return 0
+
+
 def cmd_sweep(args: argparse.Namespace) -> int:
     ray = _ray_init()
     import pyarrow.parquet as pq
@@ -102,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--golden", required=True, help="golden causes parquet (url, causes, validated)")
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_metrics)
+
+    a = sub.add_parser("analyze", help="analyze ONE html/pdf file now (no Ray) -> JSON result")
+    a.add_argument("--input", required=True, help="path to an html or pdf payload")
+    a.add_argument("--url", default=None)
+    a.add_argument("--lang", default=None)
+    a.set_defaults(fn=cmd_analyze)
+
+    r = sub.add_parser("report", help="per-cause precision/recall markdown report")
+    r.add_argument("--results", required=True, help="extract output dir (sharded)")
+    r.add_argument("--golden", required=True, help="golden causes parquet")
+    r.add_argument("--out", default=None, help="write the report here as well")
+    r.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("sweep", help="seeded random hyperparameter search vs golden fixtures")
     s.add_argument("--golden", required=True)
