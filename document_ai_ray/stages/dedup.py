@@ -37,6 +37,43 @@ def word_ngrams(text: str, n: int = 2) -> set[str]:
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
 
+# Per-worker word-hash cache: corpus vocabularies are tiny relative to
+# token counts, so hashing each DISTINCT word once (blake2b) and
+# combining word hashes per gram with a vectorized uint64 mix replaces
+# one blake2b call per gram occurrence (~70 per doc) with ~0 amortized.
+# The combined hash is internal only — candidates are verified with
+# true Jaccard, so any well-mixed 64-bit gram hash yields identical
+# final output (up to the same ~n²/2^64 collision caveat as before).
+_WORD_H: dict[str, int] = {}
+_WORD_H_MAX = 1 << 20
+
+
+def _mix2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Combine two uint64 hash arrays (order-sensitive, wraparound)."""
+    x = (a ^ np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x + b) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(29))
+
+
+def gram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word-n-gram hashes of `text` as a uint64 array."""
+    words = (text or "").split()
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    if len(_WORD_H) > _WORD_H_MAX:
+        _WORD_H.clear()
+    wh = _WORD_H
+    hw = np.fromiter(
+        (wh[w] if w in wh else wh.setdefault(w, stable64(w)) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    g = hw[: len(hw) - n + 1]
+    for k in range(1, n):
+        g = _mix2(g, hw[k : len(hw) - n + 1 + k])
+    return np.unique(g)
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount for uint64 arrays (numpy<2 has no
     bitwise_count)."""
@@ -96,7 +133,7 @@ def _jaccard_dense(
         ids, idx_lists = [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             ids.append(i)
-            idx_lists.append([col_of[stable64(g)] for g in word_ngrams(txt or "", n)])
+            idx_lists.append([col_of[int(h)] for h in gram_hashes(txt, n)])
         return pa.Table.from_arrays(
             [pa.array(ids, pa.int64()), pa.array(idx_lists, pa.list_(pa.int32()))],
             names=["id", "cols"],
@@ -127,7 +164,7 @@ def _jaccard_dense(
         b_ids, rows = [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             row = np.zeros(V, dtype=np.float32)
-            row[[col_of[stable64(g)] for g in word_ngrams(txt or "", n)]] = 1.0
+            row[[col_of[int(h)] for h in gram_hashes(txt, n)]] = 1.0
             b_ids.append(i)
             rows.append(row)
         B = np.stack(rows)
@@ -200,11 +237,14 @@ def exact_jaccard_pairs(
     def explode_all(t: pa.Table) -> pa.Table:
         ids_out, gh_out = [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            for g in word_ngrams(txt or "", n):
-                ids_out.append(i)
-                gh_out.append(stable64(g))
+            hs = gram_hashes(txt, n)
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            gh_out.append(hs)
         return pa.Table.from_arrays(
-            [pa.array(ids_out, pa.int64()), pa.array(gh_out, pa.uint64())],
+            [
+                pa.array(np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)),
+                pa.array(np.concatenate(gh_out) if gh_out else np.empty(0, np.uint64)),
+            ],
             names=["id", "gh"],
         )
 
@@ -345,9 +385,7 @@ class MinHashBander:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids_out, bands_out, keys_out, bucket_out = [], [], [], []
         for i, txt in zip(t.column(self.id_col).to_pylist(), t.column(self.text_col).to_pylist()):
-            gs = word_ngrams(txt or "", self.n)
-            hs = np.fromiter((stable64(g) for g in gs), dtype=np.uint64, count=len(gs))
-            sig = self.mh.signature(hs)
+            sig = self.mh.signature(gram_hashes(txt, self.n))
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
                 k = stable64(chunk.tobytes())
@@ -385,10 +423,7 @@ def _doc_grams_side(docs: rd.Dataset, id_col: str, text_col: str, n: int) -> rd.
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
-        grams = [
-            [stable64(g) for g in word_ngrams(txt or "", n)]
-            for txt in t.column(text_col).to_pylist()
-        ]
+        grams = [gram_hashes(txt, n) for txt in t.column(text_col).to_pylist()]
         return pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
@@ -461,7 +496,12 @@ def verify_pairs(
     )
 
     def attach_a(g: pa.Table) -> pa.Table:
-        gmap, pairs_t = _split_group(g)
+        is_doc = pc.is_null(g.column("other"))
+        docs_t = g.filter(is_doc)
+        pairs_t = g.filter(pc.invert(is_doc))
+        gmap = dict(
+            zip(docs_t.column("jid").to_pylist(), docs_t.column("grams").to_pylist())
+        )
         out_b, out_a, out_g = [], [], []
         seen: set[tuple[int, int]] = set()
         for a, b in zip(pairs_t.column("jid").to_pylist(), pairs_t.column("other").to_pylist()):
@@ -474,8 +514,12 @@ def verify_pairs(
             out_b.append(b)
             out_a.append(a)
             out_g.append(ga)
-        # re-keyed on id_b for join 2: jid=id_b, other=id_a, grams=grams_a
-        return pa.Table.from_arrays(
+        # pairs re-keyed on id_b for join 2 (jid=id_b, other=id_a,
+        # grams=grams_a) — and the DOC rows are passed straight through,
+        # so join 2 reuses them instead of re-shingling the corpus
+        # (they re-bucket to the same key: one logical shuffle, not two
+        # gram computations)
+        pairs_out = pa.Table.from_arrays(
             [
                 pa.array(out_b, pa.int64()),
                 pa.array(out_a, pa.int64()),
@@ -483,12 +527,13 @@ def verify_pairs(
             ],
             schema=_JOIN_SCHEMA,
         )
+        return pa.concat_tables([docs_t.select(["jid", "other", "grams"]).cast(_JOIN_SCHEMA), pairs_out])
 
     with_a = level1.groupby("__jb").map_groups(
         lambda g: attach_a(g.drop_columns(["__jb"])), batch_format="pyarrow"
     )
 
-    level2 = _with_join_bucket(grams_side.union(with_a), n_buckets)
+    level2 = _with_join_bucket(with_a, n_buckets)
 
     def score_b(g: pa.Table) -> pa.Table:
         gmap, pairs_t = _split_group(g)
