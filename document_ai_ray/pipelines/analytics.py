@@ -1,0 +1,252 @@
+"""Advanced analytics operators: cumulative windows, LAG, exact group
+quantiles, correlation, pivot, ordered string aggregation — each
+oracle-checked against DuckDB (SURVEY.md §2.5/§2.9 widening).
+
+Scale shapes:
+  - cumulative / LAG: hash-BUCKET the partition key, ONE vectorized
+    pandas pass per bucket (same partitioning assumption as
+    sessionize/rolling: per-key locality only);
+  - quantiles / correlation: per-group exact computation after a
+    keyed shuffle — groups are few, so giant groups stream through
+    the sort; the approximate 100 TB path for high-cardinality keys
+    is a mergeable sketch (KMV precedent in functions/sketch.py);
+  - pivot: combiner aggregation on (key, category), pivoted in the
+    tiny final merge — categories never shuffle wide rows;
+  - string_agg: ordered join inside the per-key group task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from document_ai_ray.pipelines.ops import (
+    broadcast_join,
+    partial_group_agg,
+    round_cols,
+)
+from document_ai_ray.pipelines.registry import register
+from document_ai_ray.sources.tables import read_table
+
+P_BUCKETS = 32
+
+
+def _user_bucket(t: pa.Table, col: str = "user_id") -> pa.Table:
+    b = pc.cast(
+        pc.subtract(
+            t.column(col),
+            pc.multiply(pc.divide(t.column(col), pa.scalar(P_BUCKETS)), pa.scalar(P_BUCKETS)),
+        ),
+        pa.int32(),
+    )
+    return t.append_column("bucket", b)
+
+
+@register(
+    "events_cumulative",
+    oracle="""
+    WITH per_ts AS (
+      SELECT user_id, ts, COUNT(*) AS n, SUM(value) AS v
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT user_id, ts,
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+           ROUND(SUM(v) OVER w, 2) AS cum_sum
+    FROM per_ts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def events_cumulative(sf_dir: str):
+    """Running totals per user (RANGE-frame cumulative window): hash-
+    bucket users, per-bucket vectorized (user, ts) pre-aggregation +
+    group-keyed cumsum — no per-user Python loop, no per-user group."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_ts = (
+            g.groupby(["user_id", "ts"], as_index=False)
+            .agg(n=("value", "size"), v=("value", "sum"))
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        )
+        gb = per_ts.groupby("user_id")
+        cum_n = gb["n"].cumsum().to_numpy(dtype=np.int64)
+        cs = gb["v"].cumsum().to_numpy()
+        cum_sum = np.copysign(np.floor(np.abs(cs) * 100 + 0.5), cs) / 100
+        return pd.DataFrame(
+            {
+                "user_id": per_ts["user_id"].to_numpy(),
+                "ts": per_ts["ts"].to_numpy(),
+                "cum_n": cum_n,
+                "cum_sum": cum_sum,
+            }
+        )
+
+    return (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: cum_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+@register(
+    "lag_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+    FROM orders
+    """,
+)
+def lag_orders(sf_dir: str):
+    """LAG window: each order with its customer's previous order price.
+    Bucket customers, per-bucket sort + group-keyed shift (NULL for a
+    customer's first order, same as SQL LAG)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        prev = g.groupby("o_custkey")["o_totalprice"].shift(1).to_numpy()
+        with np.errstate(invalid="ignore"):
+            prev = np.where(np.isnan(prev), np.nan, np.copysign(np.floor(np.abs(prev) * 100 + 0.5), prev) / 100)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "prev_price": prev,
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _user_bucket(t, "o_custkey"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: lag_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+@register(
+    "price_quantiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_quantiles_by_priority(sf_dir: str):
+    """EXACT per-group quantiles (linear interpolation — the
+    PERCENTILE_CONT definition numpy's default method implements).
+    Keyed shuffle, one numpy pass per group; for high-cardinality keys
+    at 100 TB the mergeable-sketch route applies (KMV precedent in
+    functions/sketch.py)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def q_group(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["o_totalprice"].to_numpy(dtype=np.float64)
+        qs = np.quantile(x, [0.25, 0.5, 0.75])
+        qs = np.copysign(np.floor(np.abs(qs) * 100 + 0.5), qs) / 100
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]],
+             "p25": [qs[0]], "p50": [qs[1]], "p75": [qs[2]]}
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(q_group, batch_format="pandas")
+
+
+@register(
+    "corr_price_qty",
+    oracle="""
+    SELECT l_returnflag, ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_price_qty(sf_dir: str):
+    """Pearson correlation per group.  Two-pass (means then residual
+    co-moments) inside the group task for numerical stability — naive
+    sum-of-products combiners lose ~10 digits on 1e5-scale values and
+    flip ROUND(...,6)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def corr_group(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["l_extendedprice"].to_numpy(dtype=np.float64)
+        y = g["l_quantity"].to_numpy(dtype=np.float64)
+        xc, yc = x - x.mean(), y - y.mean()
+        r = (xc * yc).sum() / np.sqrt((xc * xc).sum() * (yc * yc).sum())
+        r = np.copysign(np.floor(abs(r) * 1e6 + 0.5), r) / 1e6
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]], "corr_pq": [r]})
+
+    return ds.groupby("l_returnflag").map_groups(corr_group, batch_format="pandas")
+
+
+@register(
+    "priority_pivot",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS n_high,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS n_other
+    FROM orders GROUP BY 1
+    """,
+)
+def priority_pivot(sf_dir: str):
+    """Pivot (crosstab): combiner aggregation on (month, priority),
+    pivoted to fixed category columns in the tiny final merge — the
+    wide rows never shuffle."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        return pa.Table.from_arrays(
+            [month, t.column("o_orderpriority")], names=["month", "prio"]
+        )
+
+    agg = partial_group_agg(
+        ds.map_batches(derive, batch_format="pyarrow"), ["month", "prio"], count_alias="n"
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cat"] = np.where(
+            df["prio"] == "1-URGENT", "n_urgent",
+            np.where(df["prio"] == "2-HIGH", "n_high", "n_other"),
+        )
+        out = (
+            df.groupby(["month", "cat"], as_index=False)["n"].sum()
+            .pivot(index="month", columns="cat", values="n")
+            .reindex(columns=["n_urgent", "n_high", "n_other"])
+            .fillna(0).astype(np.int64).reset_index()
+        )
+        out.columns.name = None
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the merged (month, prio) table is tiny: pivot in one final task
+    return agg.repartition(1).map_batches(pivot, batch_format="pyarrow", batch_size=1 << 30)
+
+
+@register(
+    "region_nations_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_nations_agg(sf_dir: str):
+    """Ordered string aggregation per key (LISTAGG shape): broadcast
+    dim join, then the ordered join happens inside the per-key group
+    task."""
+    nation = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    joined = broadcast_join(
+        nation, pa.Table.from_pandas(region), key="n_regionkey", right_key="r_regionkey"
+    )
+
+    def agg_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"r_name": [g["r_name"].iloc[0]],
+             "nations": [",".join(sorted(g["n_name"]))]}
+        )
+
+    return joined.groupby("r_name").map_groups(agg_group, batch_format="pandas")

@@ -48,6 +48,7 @@ def _load_all() -> None:
         return
     from document_ai_ray.pipelines import extract_queries  # noqa: F401
     from document_ai_ray.pipelines import relational  # noqa: F401
+    from document_ai_ray.pipelines import analytics  # noqa: F401
     from document_ai_ray.pipelines import dedup_queries  # noqa: F401
     from document_ai_ray.pipelines import similarity_queries  # noqa: F401
     from document_ai_ray.pipelines import text_queries  # noqa: F401

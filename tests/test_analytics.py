@@ -1,0 +1,62 @@
+"""Advanced analytics operators vs pandas recomputations (the DuckDB
+oracles are the primary gate; these pin semantics in pytest too)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from document_ai_ray.pipelines.analytics import (
+    corr_price_qty,
+    events_cumulative,
+    lag_orders,
+    price_quantiles_by_priority,
+    priority_pivot,
+    region_nations_agg,
+)
+
+
+def test_events_cumulative_matches_pandas(sf_tiny):
+    got = events_cumulative(sf_tiny).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    ev = pq.read_table(f"{sf_tiny}/events.parquet", columns=["user_id", "ts", "value"]).to_pandas()
+    per_ts = ev.groupby(["user_id", "ts"], as_index=False).agg(n=("value", "size"), v=("value", "sum"))
+    per_ts = per_ts.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    want_n = per_ts.groupby("user_id")["n"].cumsum().to_numpy()
+    assert np.array_equal(got["cum_n"].to_numpy(), want_n)
+    want_s = per_ts.groupby("user_id")["v"].cumsum().to_numpy()
+    assert np.allclose(got["cum_sum"].to_numpy(), np.round(want_s, 2), atol=1e-9)
+
+
+def test_lag_orders_first_order_is_null(sf_tiny):
+    got = lag_orders(sf_tiny).to_pandas()
+    orders = pq.read_table(f"{sf_tiny}/orders.parquet").to_pandas()
+    first = (
+        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby("o_custkey").head(1)["o_orderkey"]
+    )
+    by_key = got.set_index("o_orderkey")["prev_price"]
+    assert by_key.loc[first].isna().all()          # every first order has no LAG
+    assert len(got) == len(orders)
+
+
+def test_quantiles_and_corr_shapes(sf_tiny):
+    q = price_quantiles_by_priority(sf_tiny).to_pandas()
+    assert (q["p25"] <= q["p50"]).all() and (q["p50"] <= q["p75"]).all()
+    c = corr_price_qty(sf_tiny).to_pandas()
+    assert ((c["corr_pq"] >= -1) & (c["corr_pq"] <= 1)).all()
+    assert len(c) == 3
+
+
+def test_priority_pivot_row_conservation(sf_tiny):
+    got = priority_pivot(sf_tiny).to_pandas()
+    n_orders = pq.read_metadata(f"{sf_tiny}/orders.parquet").num_rows
+    assert int(got[["n_urgent", "n_high", "n_other"]].to_numpy().sum()) == n_orders
+    assert got["month"].is_unique
+
+
+def test_region_nations_agg_sorted(sf_tiny):
+    got = region_nations_agg(sf_tiny).to_pandas()
+    assert len(got) == 5
+    for s in got["nations"]:
+        parts = s.split(",")
+        assert parts == sorted(parts) and len(parts) >= 1
