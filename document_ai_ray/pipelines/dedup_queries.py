@@ -51,6 +51,48 @@ def lsh_near_dup_pairs(sf_dir: str):
     return verify_pairs(cands, docs, threshold=0.5)
 
 
+_CLUSTER_ORACLE = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS u, doc_id AS label FROM documents
+  UNION
+  SELECT e.v AS u, r.label FROM edges e JOIN reach r ON r.u = e.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@register("near_dup_clusters", oracle=_CLUSTER_ORACLE)
+def near_dup_clusters(sf_dir: str):
+    """Connected components over the exact near-dup pair graph:
+    (doc_id, cluster_id = min id in component) for EVERY document,
+    singletons included — the canonical-document assignment a dedup
+    pass keys its keep-one filter on.  Distributed min-label
+    propagation with a sum(label) monotone convergence certificate
+    (stages/cluster.py); the oracle is a recursive CTE reachability."""
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = connected_components(pairs)
+    docs2 = read_table(sf_dir, "documents", columns=["doc_id"])
+    return assign_clusters(docs2, comps)
+
+
 @register("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(sf_dir: str):
     """SimHash banding near-dup pairs (rows-only: no SQL analogue of

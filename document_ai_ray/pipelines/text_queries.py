@@ -186,3 +186,32 @@ def approx_distinct_ngrams(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
     return approx_distinct_ngrams_per_lang(ds, n=3, k=256)
+
+
+@register(
+    "tfidf_top_terms",
+    # rank by the ROUNDED score on both sides so tie-breaking cannot
+    # diverge on sub-1e-6 float noise
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w2 AS (SELECT doc_id, word FROM w WHERE word != ''),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) <= 5
+    """,
+)
+def tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document: exact per-doc term counts,
+    bucketed DF groupby, bucketed DF join, shuffle-free grouped top-k
+    (stages/tfidf.py)."""
+    from document_ai_ray.stages.tfidf import tfidf_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=5)

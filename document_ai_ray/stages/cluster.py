@@ -1,0 +1,183 @@
+"""Near-dup cluster assignment: connected components over candidate
+pair edges via distributed min-label propagation.
+
+The operator an LLM training-data pipeline runs right after near-dup
+detection: collapse each connected component of near-dup pairs to one
+canonical document (cluster_id = min doc id in the component), so a
+"keep one per cluster" filter falls out of a groupby.
+
+Scale shape: edges are output-sized but at web dup rates still
+O(corpus), so NOTHING here is driver-side —
+  - labels start as (node, node) over the distinct edge endpoints;
+  - each round, one bucketed groupby co-locates every node's current
+    label with its incident edges and emits min-label messages to the
+    neighbors; a second bucketed groupby takes the min per node;
+  - labels only ever DECREASE, so sum(label) is a strict monotone:
+    the loop stops when it is unchanged (convergence certificate, no
+    fixed iteration guess).  Rounds needed = graph diameter in the
+    label-propagation metric (tiny for near-dup clusters).
+  - per-round datasets are materialize()d: an iterative LAZY chain
+    would re-execute the whole history every round.
+Docs not in any pair are their own singleton cluster (attached with a
+final bucketed join against the docs table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+CC_BUCKETS = 32
+
+
+def _bucket_on(ds: rd.Dataset, col: str, n_buckets: int) -> rd.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (v * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("__cb", pa.array(b.astype(np.int32)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1 << 18)
+
+
+_CC_SCHEMA = pa.schema(
+    [pa.field("node", pa.int64()), pa.field("peer", pa.int64()), pa.field("label", pa.int64())]
+)
+
+
+def connected_components(
+    edges: rd.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_buckets: int = CC_BUCKETS,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """(node, cluster_id) for every node appearing in `edges`;
+    cluster_id = min node id of the connected component."""
+
+    def sym_batch(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([a, b])),
+                pa.array(np.concatenate([b, a])),
+                pa.nulls(2 * len(a), pa.int64()),
+            ],
+            schema=_CC_SCHEMA,
+        )
+
+    sym_edges = edges.map_batches(sym_batch, batch_format="pyarrow").materialize()
+
+    # initial labels: label[node] = node, from the distinct endpoints
+    def init_labels(g: pa.Table) -> pa.Table:
+        nodes = pc.unique(g.column("node"))
+        return pa.Table.from_arrays(
+            [nodes, pa.nulls(len(nodes), pa.int64()), nodes], schema=_CC_SCHEMA
+        )
+
+    labels = (
+        _bucket_on(sym_edges, "node", n_buckets)
+        .groupby("__cb")
+        .map_groups(lambda g: init_labels(g.drop_columns(["__cb"])), batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        # round: co-locate labels with incident edges, emit messages
+        def propagate(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            is_lab = df["peer"].isna()
+            lab = df.loc[is_lab, ["node", "label"]]
+            edg = df.loc[~is_lab, ["node", "peer"]]
+            # self rows keep the current label; message rows carry it to
+            # peers — one vectorized merge per bucket
+            msgs = edg.merge(lab, on="node")[["peer", "label"]].rename(columns={"peer": "node"})
+            out = pd.concat([lab, msgs], ignore_index=True)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out["node"].to_numpy(dtype=np.int64)),
+                    pa.nulls(len(out), pa.int64()),
+                    pa.array(out["label"].to_numpy(dtype=np.int64)),
+                ],
+                schema=_CC_SCHEMA,
+            )
+
+        def min_label(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            out = df.groupby("node", as_index=False)["label"].min()
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out["node"].to_numpy(), pa.int64()),
+                    pa.nulls(len(out), pa.int64()),
+                    pa.array(out["label"].to_numpy(), pa.int64()),
+                ],
+                schema=_CC_SCHEMA,
+            )
+
+        messages = (
+            _bucket_on(labels.union(sym_edges), "node", n_buckets)
+            .groupby("__cb")
+            .map_groups(lambda g: propagate(g.drop_columns(["__cb"])), batch_format="pyarrow")
+        )
+        labels = (
+            _bucket_on(messages, "node", n_buckets)
+            .groupby("__cb")
+            .map_groups(lambda g: min_label(g.drop_columns(["__cb"])), batch_format="pyarrow")
+            .materialize()
+        )
+        # labels only decrease -> sum(label) strictly decreases until fixed point
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("node"), t.column("label")], names=["node", "cluster_id"]
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def assign_clusters(
+    docs: rd.Dataset,
+    components: rd.Dataset,
+    id_col: str = "doc_id",
+    n_buckets: int = CC_BUCKETS,
+) -> rd.Dataset:
+    """(doc_id, cluster_id) for EVERY document: component label if the
+    doc is in any near-dup pair, else its own id (singleton cluster).
+    Bucketed hash join — nothing driver-side."""
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [ids, pa.nulls(len(t), pa.int64())], names=["node", "cluster_id"]
+        )
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        return t.select(["node", "cluster_id"])
+
+    union = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        components.map_batches(comp_rows, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lab = df[df["cluster_id"].notna()]
+        lmap = dict(zip(lab["node"], lab["cluster_id"]))
+        d = df[df["cluster_id"].isna()]
+        nodes = d["node"].to_numpy(dtype=np.int64)
+        out = np.fromiter((lmap.get(n, n) for n in nodes), dtype=np.int64, count=len(nodes))
+        return pa.Table.from_arrays(
+            [pa.array(nodes), pa.array(out)], names=["doc_id", "cluster_id"]
+        )
+
+    return (
+        _bucket_on(union, "node", n_buckets)
+        .groupby("__cb")
+        .map_groups(lambda g: resolve(g.drop_columns(["__cb"])), batch_format="pyarrow")
+    )

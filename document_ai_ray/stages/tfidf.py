@@ -1,0 +1,136 @@
+"""TF-IDF top terms per document — the classic corpus-statistics
+operator an LLM training-data pipeline needs (keyword extraction,
+quality filtering, near-template detection).
+
+Scale shape mirrors the PPJoin DF machinery in stages/dedup.py:
+term frequencies are exact per batch (each document is one row),
+document frequencies are a bucketed groupby over hashed words, the DF
+join back to term rows is a bucketed hash join on the word hash, and
+the final per-doc top-k is the shuffle-free grouped_topk pattern.
+Nothing vocabulary-sized or corpus-sized touches the driver.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from document_ai_ray.functions.hashing import stable64
+
+TFIDF_BUCKETS = 32
+
+
+def _wh(words: list[str]) -> np.ndarray:
+    from document_ai_ray.stages.dedup import _WORD_H, _WORD_H_MAX
+
+    if len(_WORD_H) > _WORD_H_MAX:
+        _WORD_H.clear()
+    return np.fromiter(
+        (_WORD_H[w] if w in _WORD_H else _WORD_H.setdefault(w, stable64(w)) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+
+
+def tfidf_topk(
+    docs: rd.Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = TFIDF_BUCKETS,
+) -> rd.Dataset:
+    """Top-k terms per document by tf * ln(N/df), ties broken by word
+    ascending.  Output columns: (doc_id, word, tfidf)."""
+    n_docs = docs.count()
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        ids_out, words_out, tf_out = [], [], []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            for w, c in Counter((txt or "").split()).items():
+                ids_out.append(i)
+                words_out.append(w)
+                tf_out.append(c)
+        out = pa.Table.from_arrays(
+            [
+                pa.array(ids_out, pa.int64()),
+                pa.array(words_out, pa.string()),
+                pa.array(tf_out, pa.int64()),
+            ],
+            names=["doc_id", "word", "tf"],
+        )
+        h = _wh(words_out)
+        return out.append_column("wh", pa.array(h, pa.uint64()))
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow")
+
+    # -- document frequency per word hash (bucketed groupby) --------------
+    def wh_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("wh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (h * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("__wb", pa.array(b.astype(np.int32)))
+
+    def df_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one (doc, word) row per doc by construction -> df = group size
+        out = g.groupby("wh", as_index=False).agg(df=("doc_id", "size"))
+        return out
+
+    df_side = (
+        tf.select_columns(["doc_id", "wh"])
+        .map_batches(wh_bucket, batch_format="pyarrow", batch_size=1 << 18)
+        .groupby("__wb")
+        .map_groups(lambda g: df_in_bucket(g.drop(columns=["__wb"])), batch_format="pandas")
+    )
+
+    # -- bucketed join: attach df to tf rows on the word hash -------------
+    def df_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.nulls(len(t), pa.int64()),
+                pa.nulls(len(t), pa.string()),
+                t.column("df").cast(pa.int64()),
+                t.column("wh"),
+            ],
+            names=["doc_id", "word", "tf", "wh"],
+        )
+
+    # tf rows carry tf in "tf"; df rows carry df in "tf" with doc_id NULL
+    union = tf.union(df_side.map_batches(df_rows, batch_format="pyarrow")).map_batches(
+        wh_bucket, batch_format="pyarrow", batch_size=1 << 18
+    )
+
+    log_n = float(np.log(float(n_docs)))  # noqa: F841  (kept for clarity)
+
+    def score_in_bucket(g: pa.Table) -> pa.Table:
+        is_df = pc.is_null(g.column("doc_id"))
+        dft = g.filter(is_df)
+        tft = g.filter(pc.invert(is_df))
+        dmap = dict(zip(dft.column("wh").to_pylist(), dft.column("tf").to_pylist()))
+        wh = tft.column("wh").to_pylist()
+        dfv = np.fromiter((dmap.get(h, 1) for h in wh), dtype=np.float64, count=len(wh))
+        tfv = tft.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # tf * ln(N/df), computed exactly as the SQL oracle does
+        score = tfv * np.log(float(n_docs) / dfv)
+        score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6  # ROUND(...,6); score >= 0
+        return pa.Table.from_arrays(
+            [
+                tft.column("doc_id"),
+                tft.column("word"),
+                pa.array(score, pa.float64()),
+            ],
+            names=["doc_id", "word", "tfidf"],
+        )
+
+    scored = union.groupby("__wb").map_groups(
+        lambda g: score_in_bucket(g.drop_columns(["__wb"])), batch_format="pyarrow"
+    )
+
+    from document_ai_ray.pipelines.ops import grouped_topk
+
+    return grouped_topk(
+        scored, keys=["doc_id"], sort_cols=[("tfidf", False), ("word", True)], k=k
+    )

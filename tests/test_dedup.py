@@ -136,3 +136,24 @@ def test_dense_gate_falls_through_on_byte_budget():
     got = exact_jaccard_pairs(ds, threshold=0.5, dense_bytes_max=0).take_all()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert got[0]["jaccard"] == pytest.approx(6 / 8, abs=1e-6)
+
+
+def test_connected_components_multi_hop_chain():
+    """Label propagation must cross multi-hop chains (convergence by
+    the sum(label) monotone, not a fixed round guess): a 6-node path,
+    a triangle, and an isolated pair."""
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),   # path
+             (20, 21), (21, 22), (20, 22),                       # triangle
+             (30, 31)]                                           # pair
+    et = pa.Table.from_pylist([{"id_a": a, "id_b": b} for a, b in edges])
+    comps = connected_components(rd.from_arrow(et))
+    got = {r["node"]: r["cluster_id"] for r in comps.take_all()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    docs = pa.Table.from_pylist([{"doc_id": i} for i in [10, 13, 15, 22, 31, 99]])
+    full = assign_clusters(rd.from_arrow(docs), connected_components(rd.from_arrow(et)))
+    m = {r["doc_id"]: r["cluster_id"] for r in full.take_all()}
+    assert m == {10: 10, 13: 10, 15: 10, 22: 20, 31: 30, 99: 99}  # 99 = singleton
