@@ -43,3 +43,74 @@ def kmv_estimate(sketch: np.ndarray, k: int = 256) -> float:
         return float(n)
     v_k = (float(sketch[k - 1]) + 1.0) / _U64_MAX
     return (k - 1) / v_k
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (weighted-centroid digest, t-digest without
+# the scale function).  The approximate companion to the EXACT
+# per-group quantiles in pipelines/analytics.py: at 10^12 rows or
+# high-cardinality keys, shipping every value to one task is off the
+# table; each partial compresses its values into <= K equal-weight
+# (mean, weight) centroids, merge = concat + recompress — associative
+# up to re-compression, deterministic (stable sort by value).  Mid-
+# quantile error ~ O(1/K); accuracy vs exact asserted in tests.
+# ---------------------------------------------------------------------------
+
+
+def qsketch_compress(vals: np.ndarray, wts: np.ndarray, k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """(values, weights) -> <= k equal-weight centroids, sorted by value."""
+    order = np.argsort(vals, kind="stable")
+    vals, wts = np.asarray(vals, dtype=np.float64)[order], np.asarray(wts, dtype=np.float64)[order]
+    if len(vals) <= k:
+        return vals, wts
+    total = wts.sum()
+    cum = np.cumsum(wts)
+    # bucket of each input centroid: which of the k equal-weight slots
+    # its cumulative weight midpoint falls into
+    mid = cum - wts / 2.0
+    seg = np.minimum((mid / total * k).astype(np.int64), k - 1)
+    out_v = np.zeros(k)
+    out_w = np.zeros(k)
+    np.add.at(out_w, seg, wts)
+    np.add.at(out_v, seg, vals * wts)
+    nz = out_w > 0
+    return out_v[nz] / out_w[nz], out_w[nz]
+
+
+def qsketch_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    if not parts:
+        return np.empty(0), np.empty(0)
+    v = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    return qsketch_compress(v, w, k)
+
+
+def qsketch_quantile(sketch: tuple[np.ndarray, np.ndarray], q: float) -> float:
+    """Quantile estimate by linear interpolation between centroid
+    midpoints (standard digest estimator)."""
+    v, w = sketch
+    if len(v) == 0:
+        return float("nan")
+    if len(v) == 1:
+        return float(v[0])
+    total = w.sum()
+    mids = np.cumsum(w) - w / 2.0
+    target = q * total
+    if target <= mids[0]:
+        return float(v[0])
+    if target >= mids[-1]:
+        return float(v[-1])
+    j = np.searchsorted(mids, target) - 1
+    frac = (target - mids[j]) / (mids[j + 1] - mids[j])
+    return float(v[j] + frac * (v[j + 1] - v[j]))
+
+
+def qsketch_to_bytes(sketch: tuple[np.ndarray, np.ndarray]) -> bytes:
+    v, w = sketch
+    return np.concatenate([v.astype(np.float64), w.astype(np.float64)]).tobytes()
+
+
+def qsketch_from_bytes(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    a = np.frombuffer(b, dtype=np.float64)
+    h = len(a) // 2
+    return a[:h].copy(), a[h:].copy()

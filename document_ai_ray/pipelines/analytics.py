@@ -250,3 +250,61 @@ def region_nations_agg(sf_dir: str):
         )
 
     return joined.groupby("r_name").map_groups(agg_group, batch_format="pandas")
+
+
+@register("approx_price_quantiles")
+def approx_price_quantiles(sf_dir: str):
+    """MERGEABLE quantile-sketch per group (rows-only: approximate by
+    nature; accuracy vs the exact quantiles is asserted in
+    tests/test_analytics.py).  This is the 100 TB companion of
+    `price_quantiles_by_priority`: per-batch centroid digests, two
+    coalescing merge levels, one final task — values never shuffle,
+    only <= K centroids per (batch, key)."""
+    from document_ai_ray.functions.sketch import (
+        qsketch_compress,
+        qsketch_from_bytes,
+        qsketch_merge,
+        qsketch_quantile,
+        qsketch_to_bytes,
+    )
+
+    K = 256
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for key, g in df.groupby("o_orderpriority"):
+            x = g["o_totalprice"].to_numpy(dtype=np.float64)
+            sk = qsketch_compress(x, np.ones(len(x)), K)
+            rows.append({"o_orderpriority": key, "sketch": qsketch_to_bytes(sk)})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("o_orderpriority", pa.string()), ("sketch", pa.binary())])
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for key, g in df.groupby("o_orderpriority"):
+            sk = qsketch_merge([qsketch_from_bytes(b) for b in g["sketch"]], K)
+            rows.append({"o_orderpriority": key, "sketch": qsketch_to_bytes(sk)})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("o_orderpriority", pa.string()), ("sketch", pa.binary())])
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = []
+        for key, b in zip(t.column("o_orderpriority").to_pylist(), t.column("sketch").to_pylist()):
+            sk = qsketch_from_bytes(b)
+            rows.append(
+                {"o_orderpriority": key,
+                 "p25": qsketch_quantile(sk, 0.25),
+                 "p50": qsketch_quantile(sk, 0.50),
+                 "p75": qsketch_quantile(sk, 0.75)}
+            )
+        return pa.Table.from_pylist(rows)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=1 << 10)
+    merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    return merged.map_batches(finalize, batch_format="pyarrow")

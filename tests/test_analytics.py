@@ -60,3 +60,35 @@ def test_region_nations_agg_sorted(sf_tiny):
     for s in got["nations"]:
         parts = s.split(",")
         assert parts == sorted(parts) and len(parts) >= 1
+
+
+def test_approx_quantiles_close_to_exact(sf_tiny):
+    from document_ai_ray.pipelines.analytics import approx_price_quantiles
+
+    exact = price_quantiles_by_priority(sf_tiny).to_pandas().set_index("o_orderpriority")
+    approx = approx_price_quantiles(sf_tiny).to_pandas().set_index("o_orderpriority")
+    assert set(exact.index) == set(approx.index)
+    for key in exact.index:
+        iqr = exact.loc[key, "p75"] - exact.loc[key, "p25"] or 1.0
+        for c in ("p25", "p50", "p75"):
+            err = abs(approx.loc[key, c] - exact.loc[key, c]) / iqr
+            assert err < 0.05, (key, c, err)
+
+
+def test_qsketch_merge_associativity_and_bounds():
+    from document_ai_ray.functions.sketch import (
+        qsketch_compress,
+        qsketch_merge,
+        qsketch_quantile,
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.lognormal(4, 1, size=20000)
+    parts = [qsketch_compress(c, np.ones(len(c)), 256) for c in np.array_split(x, 37)]
+    merged = qsketch_merge(parts, 256)
+    assert len(merged[0]) <= 256
+    assert abs(merged[1].sum() - len(x)) < 1e-6          # weight conservation
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        est = qsketch_quantile(merged, q)
+        true = np.quantile(x, q)
+        assert abs(est - true) / true < 0.05, (q, est, true)

@@ -157,3 +157,18 @@ def test_connected_components_multi_hop_chain():
     full = assign_clusters(rd.from_arrow(docs), connected_components(rd.from_arrow(et)))
     m = {r["doc_id"]: r["cluster_id"] for r in full.take_all()}
     assert m == {10: 10, 13: 10, 15: 10, 22: 20, 31: 30, 99: 99}  # 99 = singleton
+
+
+def test_gram_hashes_consistent_with_string_ngrams(sf_tiny, docs_texts):
+    """The cached-word-hash gram representation must be collision-free
+    on real corpora: |gram_hashes| == |word_ngrams| per doc, and the
+    hash-set Jaccard equals the string-set Jaccard."""
+    from document_ai_ray.stages.dedup import gram_hashes
+
+    items = list(docs_texts.items())[:100]
+    for _, txt in items:
+        assert len(gram_hashes(txt, 2)) == len(word_ngrams(txt, 2))
+    (i1, t1), (i2, t2) = items[0], items[1]
+    hs1, hs2 = set(gram_hashes(t1, 2)), set(gram_hashes(t2, 2))
+    g1, g2 = word_ngrams(t1, 2), word_ngrams(t2, 2)
+    assert len(hs1 & hs2) == len(g1 & g2)
