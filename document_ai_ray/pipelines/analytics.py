@@ -308,3 +308,68 @@ def approx_price_quantiles(sf_dir: str):
     merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=1 << 10)
     merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "ntile_orders",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS tile
+    FROM orders
+    """,
+)
+def ntile_orders(sf_dir: str):
+    """NTILE window: equal-depth quartile assignment per priority.
+    Keyed shuffle, one vectorized pass per partition (SQL's first-
+    (n mod k)-tiles-are-larger rule reproduced exactly)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ntile_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        n, k = len(g), 4
+        size, rem = n // k, n % k
+        idx = np.arange(n)
+        big = rem * (size + 1)
+        tile = np.where(idx < big, idx // (size + 1), rem + (idx - big) // max(size, 1))
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "tile": (tile + 1).astype(np.int64)}
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(ntile_group, batch_format="pandas")
+
+
+def _set_op(sf_dir: str, op: str):
+    from document_ai_ray.pipelines.ops import set_op_keys
+
+    a = read_table(sf_dir, "orders", columns=["o_orderkey"], filter=(pc.field("o_totalprice") > 100000))
+    b = read_table(sf_dir, "orders", columns=["o_orderkey"], filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    return set_op_keys(a, b, "o_orderkey", op)
+
+
+@register(
+    "intersect_high_urgent",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def intersect_high_urgent(sf_dir: str):
+    """Distributed INTERSECT (distinct keys present on BOTH sides) via
+    one bucketed groupby over side-tagged keys."""
+    return _set_op(sf_dir, "intersect")
+
+
+@register(
+    "except_high_urgent",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def except_high_urgent(sf_dir: str):
+    """Distributed EXCEPT (distinct keys on A and not on B), same
+    machinery."""
+    return _set_op(sf_dir, "except")

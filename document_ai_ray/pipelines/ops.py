@@ -428,6 +428,50 @@ def semi_anti_join_auto(
     ).select_columns(cols)
 
 
+def set_op_keys(
+    a: rd.Dataset, b: rd.Dataset, col: str, op: str, n_buckets: int = 32
+) -> rd.Dataset:
+    """Distributed INTERSECT / EXCEPT on one key column (SQL set-op
+    semantics: DISTINCT output).  Keys are side-tagged, hash-bucketed,
+    and each bucket resolves membership with one vectorized pandas
+    pass — keys shuffle once, rows never do."""
+    assert op in ("intersect", "except")
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            bk = (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(v),
+                    pa.array(np.full(len(v), side, dtype=np.int8)),
+                    pa.array(bk.astype(np.int32)),
+                ],
+                names=[col, "__side", "__sb"],
+            )
+
+        return fn
+
+    union = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def resolve(g) -> "pa.Table":
+        df = g.to_pandas()
+        sides = df.groupby(col)["__side"].agg(["min", "max"])
+        if op == "intersect":
+            keep = sides[(sides["min"] == 0) & (sides["max"] == 1)]
+        else:
+            keep = sides[sides["max"] == 0]
+        return pa.Table.from_arrays(
+            [pa.array(keep.index.to_numpy(dtype=np.int64))], names=[col]
+        )
+
+    return union.groupby("__sb").map_groups(
+        lambda g: resolve(g.drop_columns(["__sb"])), batch_format="pyarrow"
+    )
+
+
 def round_cols(t_or_batch: pa.Table, cols: dict[str, int]) -> pa.Table:
     """Round float columns (both the Ray pipeline and the oracle SQL
     round identically so value-hash comparison is stable).

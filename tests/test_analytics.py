@@ -92,3 +92,33 @@ def test_qsketch_merge_associativity_and_bounds():
         est = qsketch_quantile(merged, q)
         true = np.quantile(x, q)
         assert abs(est - true) / true < 0.05, (q, est, true)
+
+
+def test_ntile_sizes_differ_by_at_most_one(sf_tiny):
+    from document_ai_ray.pipelines.analytics import ntile_orders
+
+    got = ntile_orders(sf_tiny).to_pandas()
+    orders = pq.read_table(f"{sf_tiny}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    m = orders.merge(got, on="o_orderkey")
+    for _, g in m.groupby("o_orderpriority"):
+        sizes = g.groupby("tile").size()
+        assert set(sizes.index) <= {1, 2, 3, 4}
+        assert sizes.max() - sizes.min() <= 1
+
+
+def test_set_op_keys_matches_python_sets(sf_tiny):
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import set_op_keys
+
+    orders = pq.read_table(f"{sf_tiny}/orders.parquet").to_pandas()
+    A = set(orders.loc[orders.o_totalprice > 100000, "o_orderkey"])
+    B = set(orders.loc[orders.o_orderpriority == "1-URGENT", "o_orderkey"])
+
+    def mk(keys):
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({"o_orderkey": sorted(keys)}))
+
+    inter = {r["o_orderkey"] for r in set_op_keys(mk(A), mk(B), "o_orderkey", "intersect").take_all()}
+    exc = {r["o_orderkey"] for r in set_op_keys(mk(A), mk(B), "o_orderkey", "except").take_all()}
+    assert inter == A & B and exc == A - B and len(inter) > 0
