@@ -144,3 +144,33 @@ def test_bloom_semi_anti_join_matches_broadcast(sf_tiny):
         )
         assert len(want) > 0
         assert got.equals(want), f"anti={anti}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=200, unique=True),
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=200, unique=True),
+)
+def test_bloom_probe_no_false_negatives(keys, probes):
+    """Every inserted key must probe positive (Bloom filters may lie
+    positive, never negative) — the property the anti-join's
+    keep-negatives-outright shortcut rests on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import BLOOM_K, _bloom_mask, _bloom_positions, _key_hashes
+
+    m_bits = 1 << 13
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1, h2 = _key_hashes(pa.array(keys, pa.int64()), "k")
+    for i in range(BLOOM_K):
+        pos = _bloom_positions(h1, h2, m_bits, i)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    mask = _bloom_mask(pa.array(keys, pa.int64()), "k", words, m_bits)
+    assert mask.all()                                  # no false negatives
+    pm = _bloom_mask(pa.array(probes, pa.int64()), "k", words, m_bits)
+    ks = set(keys)
+    for v, hit in zip(probes, pm):
+        if v in ks:
+            assert hit
