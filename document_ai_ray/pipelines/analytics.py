@@ -373,3 +373,61 @@ def except_high_urgent(sf_dir: str):
     """Distributed EXCEPT (distinct keys on A and not on B), same
     machinery."""
     return _set_op(sf_dir, "except")
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10 = 0
+    """,
+)
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified systematic sample: every 10th document
+    per language in doc_id order — the reproducible per-stratum
+    downsample a corpus-mixing pipeline uses (random-seeded variants
+    share the shape; this one is oracle-checkable).  Keyed shuffle on
+    the stratum, vectorized rank + modulo per group."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return g.iloc[::10][["doc_id", "lang"]]
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(sf_dir: str):
+    """ROLLUP aggregate: leaf combiner aggregation once, super-group
+    levels re-aggregated FROM THE LEAVES in the tiny final task — the
+    fact rows are scanned exactly once for all three levels."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    leaf = partial_group_agg(
+        ds, ["l_returnflag", "l_linestatus"], {"l_quantity": "sum_qty"}, count_alias="n"
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lvl1 = df.groupby("l_returnflag", as_index=False).agg(sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+        lvl1["l_linestatus"] = None
+        total = pd.DataFrame(
+            {"l_returnflag": [None], "l_linestatus": [None],
+             "sum_qty": [df["sum_qty"].sum()], "n": [df["n"].sum()]}
+        )
+        out = pd.concat([df, lvl1, total], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+        ]
+        out["sum_qty"] = np.floor(np.abs(out["sum_qty"].to_numpy()) * 100 + 0.5) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return leaf.repartition(1).map_batches(rollup, batch_format="pyarrow", batch_size=1 << 30)
