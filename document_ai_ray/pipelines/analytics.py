@@ -431,3 +431,50 @@ def rollup_pricing(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return leaf.repartition(1).map_batches(rollup, batch_format="pyarrow", batch_size=1 << 30)
+
+
+@register(
+    "funnel_signup_purchase",
+    oracle="""
+    SELECT COUNT(DISTINCT s.user_id) AS n_users
+    FROM events s JOIN events p
+      ON p.user_id = s.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def funnel_signup_purchase(sf_dir: str):
+    """Funnel step analysis: users with a signup followed by a purchase
+    within 1 hour.  Pruned read of only the two funnel event types,
+    hash-bucketed by user, ONE vectorized merge_asof per bucket (the
+    sequential-pattern shape sessionize cannot express), then a
+    single-task count merge."""
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type").isin(["signup", "purchase"])),
+    )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"][["user_id", "ts"]].sort_values("ts", kind="mergesort")
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]].sort_values("ts", kind="mergesort")
+        if s.empty or p.empty:
+            return pd.DataFrame({"n_users": pd.Series([0], dtype="int64")})
+        m = pd.merge_asof(
+            s, p.rename(columns={"ts": "p_ts"}), left_on="ts", right_on="p_ts",
+            by="user_id", direction="forward", tolerance=pd.Timedelta("1h"),
+        )
+        n = m.loc[m["p_ts"].notna(), "user_id"].nunique()
+        return pd.DataFrame({"n_users": pd.Series([n], dtype="int64")})
+
+    per_bucket = (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: count_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([pc.sum(t.column("n_users")).as_py() or 0], pa.int64())], names=["n_users"]
+        )
+
+    return per_bucket.repartition(1).map_batches(total, batch_format="pyarrow", batch_size=1 << 30)
