@@ -43,9 +43,22 @@ def token_counts(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-@register("token_stats")
+@register(
+    "token_stats",
+    # the BPE-ish pattern is RE2-compatible, so DuckDB can count the
+    # identical matches ('' escapes the literal quote in SQL)
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+           END AS n_ws_tokens,
+           len(regexp_extract_all(text, '''?[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def token_stats(sf_dir: str):
-    """Full token statistics incl. BPE-ish regex tokens (rows-only)."""
+    """Full token statistics incl. BPE-ish regex tokens — oracle-checked
+    (the tokenizer pattern runs verbatim under DuckDB's RE2)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_ws_tokens", "n_bpe_tokens"]
@@ -90,12 +103,53 @@ def langid_docs(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-@register("quality_scores")
+@register(
+    "quality_scores",
+    # the full feature battery is SQL-expressible: \p{L} matches the
+    # same unicode letter classes as Python isalpha / [^\W\d_], the
+    # stopword table is inlined, and the composite-score arithmetic is
+    # written in the identical operation order (ROUND(...,6) both sides)
+    oracle=r"""
+    WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\p{L}+')) AS wd FROM documents),
+    ws AS (SELECT doc_id, lower(wd) AS w, len(wd) AS l FROM w),
+    st AS (SELECT doc_id, COUNT(*) AS n_words,
+                  SUM(l)/CAST(COUNT(*) AS DOUBLE) AS mean_word_len,
+                  SUM(CASE WHEN w IN ('a','about','across','al','am','an','and','are','as','at','au','auf','aux','avec','be','bei','by','ce','cette','che','con','dans','das','de','dei','del','della','delle','dem','den','der','des','di','die','donde','dove','du','e','ein','eine','einen','el','elle','en','es','est','et','for','from','für','gli','hacia','i','il','im','in','is','ist','it','la','las','le','les','lo','los','mentre','mientras','mit','nach','near','not','of','on','or','over','où','par','para','pendant','per','por','pour','que','qui','se','sind','sobre','son','sono','sont','sopra','su','sur','that','the','this','to','toward','un','una','und','une','vers','verso','von','was','where','while','with','wo','während','y','zu','è','über') THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE) AS stopword_ratio
+           FROM ws GROUP BY doc_id),
+    ch AS (SELECT doc_id,
+                  CASE WHEN len(text)=0 THEN 0.0
+                       ELSE len(regexp_extract_all(text, '\p{L}'))/CAST(len(text) AS DOUBLE) END AS alpha_ratio
+           FROM documents),
+    f AS (SELECT d.doc_id,
+                 COALESCE(st.n_words, 0) AS n_words,
+                 ch.alpha_ratio,
+                 COALESCE(st.stopword_ratio, 0.0) AS stopword_ratio,
+                 COALESCE(st.mean_word_len, 0.0) AS mean_word_len
+          FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id JOIN ch ON ch.doc_id = d.doc_id),
+    sc AS (SELECT *,
+                  GREATEST(0.0, LEAST(1.0, 1.0 - abs(mean_word_len - 5.0) / 5.0)) AS wlen_sane
+           FROM f)
+    SELECT doc_id, n_words,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(GREATEST(0.0, LEAST(1.0, 0.4 * alpha_ratio + 0.3 * LEAST(stopword_ratio / 0.3, 1.0) + 0.3 * wlen_sane))
+                 * (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+    FROM sc
+""",
+)
 def quality_scores(sf_dir: str):
-    """Quality features + composite score per document (rows-only)."""
+    """Quality features + composite score per document, oracle-checked
+    feature-for-feature against a pure-SQL recomputation."""
+    from document_ai_ray.pipelines.ops import round_cols
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
+    out = ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_words", "alpha_ratio", "stopword_ratio", "mean_word_len", "quality_score"]
+    )
+    return out.map_batches(
+        lambda t: round_cols(t, {"alpha_ratio": 6, "stopword_ratio": 6, "mean_word_len": 6, "quality_score": 6}),
+        batch_format="pyarrow",
     )
 
 
