@@ -84,10 +84,32 @@ def doc_length_hist(sf_dir: str):
     return partial_group_agg(ds.map_batches(derive, batch_format="pyarrow"), ["bucket"], count_alias="n")
 
 
-@register("langid_docs")
+@register(
+    "langid_docs",
+    # the stopword-hit argmax IS SQL-expressible: per-language inlined
+    # hit counts, GREATEST + first-in-sorted-order tie-break (exactly
+    # the `hits > best_hits` loop over sorted languages), 'und' at 0
+    oracle=r"""
+    WITH w AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '\p{L}+'))) AS w FROM documents),
+    st AS (SELECT doc_id,
+                  SUM(CASE WHEN w IN ('am','auf','bei','das','dem','den','der','des','die','ein','eine','einen','für','im','ist','mit','nach','sind','und','von','wo','während','zu','über') THEN 1 ELSE 0 END) AS h_de,
+                  SUM(CASE WHEN w IN ('a','about','across','an','and','are','as','at','be','by','for','from','in','is','it','near','not','of','on','or','over','that','the','this','to','toward','was','where','while','with') THEN 1 ELSE 0 END) AS h_en,
+                  SUM(CASE WHEN w IN ('al','con','de','del','donde','el','en','es','hacia','la','las','los','mientras','para','por','que','se','sobre','son','su','un','una','y') THEN 1 ELSE 0 END) AS h_es,
+                  SUM(CASE WHEN w IN ('au','aux','avec','ce','cette','dans','de','des','du','elle','est','et','il','la','le','les','où','par','pendant','pour','que','qui','sont','sur','un','une','vers') THEN 1 ELSE 0 END) AS h_fr,
+                  SUM(CASE WHEN w IN ('che','con','dei','del','della','delle','di','dove','e','gli','i','il','in','la','le','lo','mentre','per','sono','sopra','su','un','una','verso','è') THEN 1 ELSE 0 END) AS h_it
+           FROM w GROUP BY doc_id),
+    g AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_it) AS g FROM st),
+    p AS (SELECT doc_id,
+                 CASE WHEN g = 0 THEN 'und' WHEN h_de = g THEN 'de' WHEN h_en = g THEN 'en' WHEN h_es = g THEN 'es' WHEN h_fr = g THEN 'fr' ELSE 'it' END AS pred_lang
+          FROM g)
+    SELECT d.doc_id, COALESCE(p.pred_lang, 'und') AS pred_lang,
+           COALESCE(p.pred_lang, 'und') = d.lang AS agrees
+    FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+""",
+)
 def langid_docs(sf_dir: str):
     """Heuristic language ID per document + agreement with the declared
-    lang column (rows-only: the stopword heuristic has no SQL form)."""
+    lang column, oracle-checked against the pure-SQL recomputation."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
