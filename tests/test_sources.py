@@ -54,3 +54,35 @@ def test_write_metrics_csv(tmp_path):
     out = tmp_path / "m.csv"
     write_metrics_csv(pd.DataFrame({"cause": ["a"], "tp": [1]}), str(out))
     assert "cause,tp" in out.read_text()
+
+
+def test_warc_roundtrip_plain_and_gzip(tmp_path):
+    """pages -> WARC file (plain + gzip) -> read_warc -> identical
+    url/warc_ts/html; the extraction pipeline runs unchanged on WARC
+    input (Common-Crawl-native ingestion)."""
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.sources.warc import parse_warc_records, read_warc, write_warc_file
+    from document_ai_ray.synth import pages_table
+
+    t = pages_table(40)
+    rows = t.to_pylist()
+    plain = tmp_path / "a.warc"
+    gz = tmp_path / "b.warc.gz"
+    write_warc_file(rows[:25], str(plain))
+    write_warc_file(rows[25:], str(gz), compress=True)
+
+    ds = read_warc([str(plain), str(gz)])
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == sorted(r["url"] for r in rows)
+    by_url = {r["url"]: r["html"] for r in rows}
+    for u, h in zip(got["url"], got["html"]):
+        assert bytes(h) == bytes(by_url[u])          # payload byte-identity
+
+    # extraction over WARC input == extraction over the parquet-shaped input
+    out = extract_pipeline(read_warc([str(plain)])).to_pandas()
+    assert len(out) == 25 and out["error"].isna().all()
+
+    # truncated archive yields its intact prefix, no exception
+    data = plain.read_bytes()
+    recs = parse_warc_records(data[: len(data) // 2])
+    assert 0 < len(recs) < 25
