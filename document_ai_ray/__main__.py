@@ -34,7 +34,12 @@ def cmd_extract(args: argparse.Namespace) -> int:
     from document_ai_ray.state.resume import completed_shards, run_resumable
 
     def make_pages():
-        ds = rd.read_parquet(args.input)
+        if args.format == "warc":
+            from document_ai_ray.sources.warc import read_warc
+
+            ds = read_warc(args.input)
+        else:
+            ds = rd.read_parquet(args.input)
         if args.max_block_bytes:
             ds = split_blocks_by_bytes(ds, max_bytes=args.max_block_bytes)
         return ds
@@ -126,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="shard-wise run with lineage manifests (re-run skips complete shards)")
     e.add_argument("--max-block-bytes", type=int, default=0,
                    help="re-block input so no block's payload exceeds this (skew mitigation)")
+    e.add_argument("--format", choices=["parquet", "warc"], default="parquet",
+                   help="input format (warc = Common-Crawl archives, plain or .gz)")
     e.set_defaults(fn=cmd_extract)
 
     m = sub.add_parser("metrics", help="per-cause confusion vs golden causes -> CSV")

@@ -94,3 +94,27 @@ def test_render_confusion_report():
     text = render_confusion_report(df)
     assert "| too_short | 8 | 2 | 0 | 0.800 | 1.000 |" in text
     assert "micro-avg" in text and "link_farm" in text
+
+
+def test_cli_extract_from_warc(tmp_path):
+    from document_ai_ray.sources.warc import write_warc_file
+    from document_ai_ray.synth import pages_table
+
+    warc = tmp_path / "crawl.warc.gz"
+    write_warc_file(pages_table(30).to_pylist(), str(warc), compress=True)
+    out = tmp_path / "out"
+    script = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from document_ai_ray.__main__ import main
+rc = main(["extract", "--input", {str(warc)!r}, "--out", {str(out)!r},
+           "--format", "warc"])
+assert rc == 0
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    n = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+            for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n == 30
