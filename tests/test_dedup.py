@@ -172,3 +172,32 @@ def test_gram_hashes_consistent_with_string_ngrams(sf_tiny, docs_texts):
     hs1, hs2 = set(gram_hashes(t1, 2)), set(gram_hashes(t2, 2))
     g1, g2 = word_ngrams(t1, 2), word_ngrams(t2, 2)
     assert len(hs1 & hs2) == len(g1 & g2)
+
+
+def test_empty_edges_and_no_candidates_edge_cases():
+    """Zero near-dup pairs must flow through cleanly: empty component
+    set, every doc a singleton, empty verified-pair output."""
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "epsilon zeta eta theta"},
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = exact_jaccard_pairs(docs, threshold=0.5)
+    assert pairs.count() == 0
+    comps = connected_components(pairs)
+    assert comps.count() == 0
+    full = assign_clusters(
+        rd.from_arrow(pa.Table.from_pylist([{"doc_id": 1}, {"doc_id": 2}])), comps
+    )
+    assert {r["doc_id"]: r["cluster_id"] for r in full.take_all()} == {1: 1, 2: 2}
+
+    # verify_pairs with an empty candidate set -> empty, no crash
+    empty = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())], names=["id_a", "id_b"]
+        )
+    )
+    docs2 = rd.from_arrow(pa.Table.from_pylist(rows))
+    assert verify_pairs(empty, docs2, 0.5).count() == 0
