@@ -103,8 +103,6 @@ def tfidf_topk(
         wh_bucket, batch_format="pyarrow", batch_size=1 << 18
     )
 
-    log_n = float(np.log(float(n_docs)))  # noqa: F841  (kept for clarity)
-
     def score_in_bucket(g: pa.Table) -> pa.Table:
         is_df = pc.is_null(g.column("doc_id"))
         dft = g.filter(is_df)
