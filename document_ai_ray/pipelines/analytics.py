@@ -426,7 +426,8 @@ def rollup_pricing(sf_dir: str):
         out = pd.concat([df, lvl1, total], ignore_index=True)[
             ["l_returnflag", "l_linestatus", "sum_qty", "n"]
         ]
-        out["sum_qty"] = np.floor(np.abs(out["sum_qty"].to_numpy()) * 100 + 0.5) / 100
+        sq = out["sum_qty"].to_numpy()
+        out["sum_qty"] = np.copysign(np.floor(np.abs(sq) * 100 + 0.5), sq) / 100
         out["n"] = out["n"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 

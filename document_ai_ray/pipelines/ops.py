@@ -431,21 +431,24 @@ def semi_anti_join_auto(
 def set_op_keys(
     a: rd.Dataset, b: rd.Dataset, col: str, op: str, n_buckets: int = 32
 ) -> rd.Dataset:
-    """Distributed INTERSECT / EXCEPT on one key column (SQL set-op
-    semantics: DISTINCT output).  Keys are side-tagged, hash-bucketed,
-    and each bucket resolves membership with one vectorized pandas
-    pass — keys shuffle once, rows never do."""
+    """Distributed INTERSECT / EXCEPT on one key column of ANY hashable
+    type (SQL set-op semantics: DISTINCT output).  Keys are side-tagged,
+    hash-bucketed (integers directly, other types via stable64 — same
+    scheme as the Bloom join's `_key_hashes`), and each bucket resolves
+    membership with one vectorized pandas pass — keys shuffle once,
+    rows never do."""
     assert op in ("intersect", "except")
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-            bk = (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
+            keys = t.column(col).combine_chunks()
+            h1, _ = _key_hashes(keys, col)
+            bk = (h1 % np.uint64(n_buckets)).astype(np.int32)
             return pa.Table.from_arrays(
                 [
-                    pa.array(v),
-                    pa.array(np.full(len(v), side, dtype=np.int8)),
-                    pa.array(bk.astype(np.int32)),
+                    keys,
+                    pa.array(np.full(len(t), side, dtype=np.int8)),
+                    pa.array(bk),
                 ],
                 names=[col, "__side", "__sb"],
             )
@@ -455,6 +458,8 @@ def set_op_keys(
     union = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow")
     )
+    sch = a.schema()
+    key_type = dict(zip(sch.names, sch.types))[col]
 
     def resolve(g) -> "pa.Table":
         df = g.to_pandas()
@@ -464,7 +469,7 @@ def set_op_keys(
         else:
             keep = sides[sides["max"] == 0]
         return pa.Table.from_arrays(
-            [pa.array(keep.index.to_numpy(dtype=np.int64))], names=[col]
+            [pa.array(keep.index.tolist(), type=key_type)], names=[col]
         )
 
     return union.groupby("__sb").map_groups(

@@ -85,6 +85,7 @@ def connected_components(
         .materialize()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # round: co-locate labels with incident edges, emit messages
         def propagate(g: pa.Table) -> pa.Table:
@@ -131,8 +132,16 @@ def connected_components(
         # labels only decrease -> sum(label) strictly decreases until fixed point
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # never return silently-wrong labels: a component whose
+        # propagation distance exceeds max_rounds has unstable labels
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            "(a component's diameter exceeds max_rounds); raise max_rounds"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

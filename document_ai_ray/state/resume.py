@@ -125,6 +125,13 @@ def _clean_stale_layout(out_dir: str, num_shards: int) -> None:
             if stale:
                 os.remove(os.path.join(mdir, name))
     for d in os.listdir(out_dir):
+        # "__shard=" staging dirs are partial writes from a crashed run:
+        # write_parquet APPENDS into an existing dir, so leaving them
+        # would mix old+new files when the dir is promoted and the
+        # manifest would certify duplicated rows.  Always remove.
+        if d.startswith("__shard="):
+            shutil.rmtree(os.path.join(out_dir, d))
+            continue
         if not d.startswith("shard="):
             continue
         try:
@@ -154,17 +161,17 @@ def run_resumable(
     exactly those, so the kill/restart contract is unchanged while the
     old one-scan-PER-SHARD multiplier is gone.
 
-    `fail_after=k` injects a crash after k shards (test hook for the
-    kill/restart contract): only the first k pending shards are written
-    and committed this run, then the run aborts.
+    `fail_after=k` injects a crash INSIDE the commit window (test hook
+    for the kill/restart contract): all pending shards are written by
+    write_parquet, but only the first k are promoted + manifested before
+    the run aborts — leaving the rest as raw `__shard=` staging dirs,
+    exactly the state a real mid-commit crash leaves behind.
     """
     os.makedirs(out_dir, exist_ok=True)
     _clean_stale_layout(out_dir, num_shards)
     done = completed_shards(out_dir, num_shards)
     pending = [s for s in range(num_shards) if s not in done]
     inject_failure = fail_after is not None and fail_after < len(pending)
-    if inject_failure:
-        pending = pending[:fail_after]
     if not pending:
         return []
     for s in pending:
@@ -188,7 +195,8 @@ def run_resumable(
 
     result = pipeline(pages).map_batches(add_shard, batch_format="pyarrow")
     result.write_parquet(out_dir, partition_cols=["__shard"])
-    for s in pending:
+    commit = pending[:fail_after] if inject_failure else pending
+    for s in commit:
         src = os.path.join(out_dir, f"__shard={s:05d}")
         shard_dir = os.path.join(out_dir, f"shard={s:05d}")
         if os.path.isdir(src):
@@ -197,8 +205,11 @@ def run_resumable(
             os.makedirs(shard_dir, exist_ok=True)      # shard with zero rows
         write_manifest(out_dir, s, num_shards, shard_dir)
     if inject_failure:
+        # un-promoted __shard= staging dirs are deliberately left behind:
+        # the next run's _clean_stale_layout must remove them (see the
+        # duplicate-rows crash-window test).
         raise RuntimeError(f"injected failure after {fail_after} shards")
-    return pending
+    return commit
 
 
 def read_output(out_dir: str) -> rd.Dataset:

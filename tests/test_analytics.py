@@ -122,3 +122,22 @@ def test_set_op_keys_matches_python_sets(sf_tiny):
     inter = {r["o_orderkey"] for r in set_op_keys(mk(A), mk(B), "o_orderkey", "intersect").take_all()}
     exc = {r["o_orderkey"] for r in set_op_keys(mk(A), mk(B), "o_orderkey", "except").take_all()}
     assert inter == A & B and exc == A - B and len(inter) > 0
+
+
+def test_set_op_keys_string_keys(sf_tiny):
+    """set_op_keys must work on non-integer key columns (ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import set_op_keys
+
+    A = {"alpha", "beta", "gamma", "delta"}
+    B = {"beta", "delta", "epsilon"}
+
+    def mk(keys):
+        return rd.from_arrow(pa.table({"k": sorted(keys)}))
+
+    inter = {r["k"] for r in set_op_keys(mk(A), mk(B), "k", "intersect").take_all()}
+    exc = {r["k"] for r in set_op_keys(mk(A), mk(B), "k", "except").take_all()}
+    assert inter == A & B
+    assert exc == A - B

@@ -60,11 +60,18 @@ def test_resume_after_crash_skips_completed(tmp_path):
             _make_pages, extract_pipeline, out, num_shards=SHARDS, fail_after=2
         )
     assert len(completed_shards(out, SHARDS)) == 2
+    # the injected crash happens mid-commit: the uncommitted shards'
+    # parquet data sits in raw __shard= staging dirs (the real crash
+    # window — write_parquet done, promote/manifest not)
+    staging = [d for d in os.listdir(out) if d.startswith("__shard=")]
+    assert len(staging) == SHARDS - 2
 
     processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
     assert len(processed) == SHARDS - 2  # only the missing shards ran
+    assert not any(d.startswith("__shard=") for d in os.listdir(out))
 
     got = sorted(read_output(out).to_pandas()["url"])
+    # EXACTLY once: a stale staging dir would double rows here
     assert got == sorted(pages_table(N).column("url").to_pylist())
 
 
