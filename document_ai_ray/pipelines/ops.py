@@ -500,10 +500,19 @@ def grouped_topk(
     keys: list[str],
     sort_cols: list[tuple[str, bool]],
     k: int,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Top-k rows PER KEY GROUP (ROW_NUMBER() <= k shape): per-batch
-    local top-k per key, then one coalesced final pass — the grouped
-    analogue of `topk` (moves k x groups x blocks rows, no shuffle).
+    local top-k per key, then a final pass over the pruned rows.
+
+    With `n_buckets=None` (LOW-cardinality keys, e.g. 5 priorities) the
+    final pass is one coalesced task — it holds only k x n_keys rows.
+    With `n_buckets` set (HIGH-cardinality keys, e.g. per-doc top
+    terms) the final pass hash-buckets on keys[0] instead: key groups
+    are disjoint across buckets, so each bucket finishes its own top-k
+    and no task ever holds the k x n_keys global output (the r2-verdict
+    scale fix).  Size n_buckets with `functions.scale.auto_buckets`.
+
     sort_cols: [(col, ascending)]; ties must be broken by the caller's
     sort columns for deterministic output."""
     cols = [c for c, _ in sort_cols]
@@ -514,6 +523,24 @@ def grouped_topk(
         df = df.groupby(keys, as_index=False, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
-        local, batch_format="pyarrow", batch_size=1 << 30
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    if n_buckets is None:
+        return pruned.repartition(1).map_batches(
+            local, batch_format="pyarrow", batch_size=1 << 30
+        )
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        h1, _ = _key_hashes(t.column(keys[0]), keys[0])
+        return t.append_column(
+            "__kb", pa.array((h1 % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(cols, ascending=asc, kind="mergesort")
+        return df.groupby(keys, as_index=False, sort=False).head(k)
+
+    return (
+        pruned.map_batches(add_kb, batch_format="pyarrow", batch_size=1 << 18)
+        .groupby("__kb")
+        .map_groups(lambda g: final(g.drop(columns=["__kb"])), batch_format="pandas")
     )

@@ -30,7 +30,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-CC_BUCKETS = 32
+from document_ai_ray.functions.scale import auto_buckets
+
+CC_BUCKETS = 32  # fallback when a caller passes an explicit count
 
 
 def _bucket_on(ds: rd.Dataset, col: str, n_buckets: int) -> rd.Dataset:
@@ -51,11 +53,15 @@ def connected_components(
     edges: rd.Dataset,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    n_buckets: int = CC_BUCKETS,
+    n_buckets: int | None = None,
     max_rounds: int = 64,
 ) -> rd.Dataset:
     """(node, cluster_id) for every node appearing in `edges`;
-    cluster_id = min node id of the connected component."""
+    cluster_id = min node id of the connected component.
+
+    n_buckets=None sizes the label-propagation buckets from the
+    (materialized) symmetric edge count, so per-round task memory
+    stays flat as the graph grows."""
 
     def sym_batch(t: pa.Table) -> pa.Table:
         a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -70,6 +76,8 @@ def connected_components(
         )
 
     sym_edges = edges.map_batches(sym_batch, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        n_buckets = auto_buckets(sym_edges.count())
 
     # initial labels: label[node] = node, from the distinct endpoints
     def init_labels(g: pa.Table) -> pa.Table:

@@ -30,6 +30,7 @@ import ray
 import ray.data as rd
 
 from document_ai_ray.functions.hashing import MinHasher, simhash64, stable64
+from document_ai_ray.functions.scale import auto_buckets
 
 
 def word_ngrams(text: str, n: int = 2) -> set[str]:
@@ -80,19 +81,52 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.astype(np.uint64).view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
 
 
+# Fallback pair-bucket count for callers that pass an explicit count;
+# pipeline entry points size buckets via auto_buckets instead.
 N_PAIR_BUCKETS = 64
 
+# Distinct word-n-grams per web document, rough estimate: sizes the
+# bucketed DF groupby/join stages from the (cheaply known) doc count
+# without a pre-pass over the exploded rows.
+_GRAMS_PER_DOC_EST = 96
 
-def _pairs_by_selfmerge(match_cols: list[str], carry_cols: list[str]):
+# Degenerate-key guard (standard LSH skew mitigation): a single
+# (band, key) group of m rows self-merges into m(m-1)/2 pairs — one
+# poisoned signature shared by 10^5 near-empty docs would emit 5*10^9
+# rows from ONE task.  Groups above this size emit the STAR pairing
+# (group-min id x every other member, m-1 pairs) instead: connectivity
+# — and therefore downstream connected-components clustering — is
+# preserved, while non-star pairs inside the oversized group are
+# deliberately not enumerated.
+MAX_SELF_MERGE_GROUP = 4096
+
+
+def _pairs_by_selfmerge(
+    match_cols: list[str], carry_cols: list[str], max_group: int = MAX_SELF_MERGE_GROUP
+):
     """Build a map_groups fn: within one hash bucket, generate all
     co-occurring (id_a < id_b) pairs by a VECTORIZED pandas self-merge
     on the match columns and pre-aggregate the intersection counts —
     one merge per bucket instead of one Python call per group (the
-    per-gram map_groups version was ~20x slower)."""
+    per-gram map_groups version was ~20x slower).  Match-key groups
+    larger than `max_group` rows fall back to star pairing (see
+    MAX_SELF_MERGE_GROUP above)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        big = None
+        if len(df) > max_group:
+            sizes = df.groupby(match_cols)["id"].transform("size").to_numpy()
+            big = df[sizes > max_group]
+            df = df[sizes <= max_group]
         m = df.merge(df, on=match_cols, suffixes=("_a", "_b"))
         m = m[m["id_a"] < m["id_b"]]
+        if big is not None and len(big):
+            gmin = big.groupby(match_cols)["id"].transform("min").to_numpy()
+            ids = big["id"].to_numpy()
+            star = big[ids == gmin].merge(
+                big[ids > gmin], on=match_cols, suffixes=("_a", "_b")
+            )
+            m = pd.concat([m, star], ignore_index=True)
         if m.empty:
             cols = {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "i": pd.Series([], dtype="int64")}
             for c in carry_cols:
@@ -234,6 +268,11 @@ def exact_jaccard_pairs(
     """
     from document_ai_ray.pipelines.ops import bucketed_group_agg
 
+    n_docs = docs.count()
+    # bucket counts scale with the exploded (id, gram) row estimate so
+    # per-task memory stays flat as the corpus grows (r2-verdict item)
+    join_buckets = auto_buckets(n_docs * _GRAMS_PER_DOC_EST)
+
     def explode_all(t: pa.Table) -> pa.Table:
         ids_out, gh_out = [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
@@ -264,10 +303,10 @@ def exact_jaccard_pairs(
         ),
         keys=["gh"],
         agg_fn=df_per_bucket,
+        n_buckets=join_buckets,
     ).materialize()
 
     vocab_size = df_ds.count()
-    n_docs = docs.count()
     if vocab_size <= dense_vocab_max and n_docs * vocab_size * 4 <= dense_bytes_max:
         vocab = sorted(
             v for t in (df_ds.take_all(),) for r in t for v in [r["gh"] % (1 << 64)]
@@ -289,7 +328,7 @@ def exact_jaccard_pairs(
 
     def gh_bucket(t: pa.Table) -> pa.Table:
         g = t.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (g * np.uint64(2654435761)) % np.uint64(JOIN_BUCKETS)
+        b = (g * np.uint64(2654435761)) % np.uint64(join_buckets)
         return t.append_column("__jb", pa.array(b.astype(np.int32)))
 
     union = (
@@ -299,16 +338,29 @@ def exact_jaccard_pairs(
     )
 
     def attach_df(g: pa.Table) -> pa.Table:
+        # vectorized pandas merge instead of a per-row dict probe
+        # (r2-verdict efficiency item): one hash join per bucket
         is_df = pc.is_null(g.column("id"))
         dft = g.filter(is_df)
         ext = g.filter(pc.invert(is_df))
-        dmap = dict(zip(dft.column("gh").to_pylist(), dft.column("df").to_pylist()))
-        gh = ext.column("gh").to_pylist()
+        d = pd.DataFrame(
+            {
+                "gh": dft.column("gh").to_numpy(zero_copy_only=False),
+                "df": dft.column("df").to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        e = pd.DataFrame(
+            {
+                "id": ext.column("id").to_numpy(zero_copy_only=False),
+                "gh": ext.column("gh").to_numpy(zero_copy_only=False),
+            }
+        )
+        m = e.merge(d, on="gh", how="left")
         return pa.Table.from_arrays(
             [
-                ext.column("id"),
-                ext.column("gh"),
-                pa.array([dmap.get(h, 0) for h in gh], pa.int64()),
+                pa.array(m["id"].to_numpy(dtype=np.int64)),
+                pa.array(m["gh"].to_numpy(dtype=np.int64)),
+                pa.array(m["df"].fillna(0.0).to_numpy(dtype=np.int64)),
             ],
             names=["id", "gh", "df"],
         )
@@ -321,7 +373,7 @@ def exact_jaccard_pairs(
     # regroup (sort by (id, df, gh); keep rank < |g| - ceil(t|g|) + 1) ---
     def id_bucket(t: pa.Table) -> pa.Table:
         i = t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (i * np.uint64(2654435761)) % np.uint64(JOIN_BUCKETS)
+        b = (i * np.uint64(2654435761)) % np.uint64(join_buckets)
         return t.append_column("__ib", pa.array(b.astype(np.int32)))
 
     def prefix_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -330,7 +382,7 @@ def exact_jaccard_pairs(
         rank = df.groupby("id").cumcount()
         keep = rank < sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
         out = df.loc[keep, ["id", "gh"]].copy()
-        out["bucket"] = (out["gh"].to_numpy(dtype=np.uint64) % N_PAIR_BUCKETS).astype(np.int32)
+        out["bucket"] = (out["gh"].to_numpy(dtype=np.uint64) % np.uint64(join_buckets)).astype(np.int32)
         return out
 
     prefix = (
@@ -363,11 +415,14 @@ def exact_jaccard_pairs(
 _BANDERS: dict[tuple, "MinHashBander"] = {}
 
 
-def _band_batch(t: pa.Table, id_col: str, text_col: str, n: int, num_perm: int, bands: int) -> pa.Table:
-    key = (id_col, text_col, n, num_perm, bands)
+def _band_batch(
+    t: pa.Table, id_col: str, text_col: str, n: int, num_perm: int, bands: int,
+    n_buckets: int,
+) -> pa.Table:
+    key = (id_col, text_col, n, num_perm, bands, n_buckets)
     b = _BANDERS.get(key)
     if b is None:
-        b = _BANDERS[key] = MinHashBander(id_col, text_col, n, num_perm, bands)
+        b = _BANDERS[key] = MinHashBander(id_col, text_col, n, num_perm, bands, n_buckets)
     return b(t)
 
 
@@ -375,11 +430,15 @@ class MinHashBander:
     """Warm stage state: doc -> minhash signature -> (band, band_key,
     id) exploded rows.  The permutation table is built once per worker."""
 
-    def __init__(self, id_col: str, text_col: str, n: int, num_perm: int, bands: int):
+    def __init__(
+        self, id_col: str, text_col: str, n: int, num_perm: int, bands: int,
+        n_buckets: int = N_PAIR_BUCKETS,
+    ):
         assert num_perm % bands == 0
         self.id_col, self.text_col, self.n = id_col, text_col, n
         self.rows_per_band = num_perm // bands
         self.bands = bands
+        self.n_buckets = n_buckets
         self.mh = MinHasher(num_perm=num_perm)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -392,7 +451,7 @@ class MinHashBander:
                 ids_out.append(i)
                 bands_out.append(b)
                 keys_out.append(k)
-                bucket_out.append(k % N_PAIR_BUCKETS)
+                bucket_out.append(k % self.n_buckets)
         return pa.Table.from_arrays(
             [
                 pa.array(ids_out, pa.int64()),
@@ -403,8 +462,6 @@ class MinHashBander:
             names=["id", "band", "key", "bucket"],
         )
 
-
-JOIN_BUCKETS = 32
 
 _JOIN_SCHEMA = pa.schema(
     [
@@ -467,7 +524,7 @@ def verify_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
-    n_buckets: int = JOIN_BUCKETS,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Verify candidate (id_a, id_b) pairs with TRUE n-gram Jaccard,
     fully distributed: two bucketed hash joins of the pairs against the
@@ -477,7 +534,13 @@ def verify_pairs(
     that bucket's pairs — nothing corpus-sized is broadcast or held on
     the driver (the 10^12-doc shape the module docstring promises).
     Duplicate candidates are deduped in join 1 (same id_a -> same
-    bucket), so callers need not pre-distinct."""
+    bucket), so callers need not pre-distinct.
+
+    n_buckets=None sizes the join buckets from the doc count: grams
+    rows are ~1 KB each, so the per-bucket target is lower than the
+    generic auto_buckets default."""
+    if n_buckets is None:
+        n_buckets = auto_buckets(docs.count(), rows_per_bucket=1 << 15)
     grams_side = _doc_grams_side(docs, id_col, text_col, n)
 
     def pairs_side_a(t: pa.Table) -> pa.Table:
@@ -576,6 +639,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     concurrency: int = 8,
     distinct: bool = True,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """CANDIDATE near-dup pairs via MinHash banding (verify with
     ``verify_pairs`` for final output).  Pass ``distinct=False`` when
@@ -587,6 +651,9 @@ def minhash_lsh_pairs(
     ~1 for well-separated corpora; pairs near the threshold can be
     missed (inherent to LSH).
     """
+    if n_buckets is None:
+        # one exploded row per (doc, band)
+        n_buckets = auto_buckets(docs.count() * bands)
     bander = docs.map_batches(
         _band_batch,
         fn_kwargs={
@@ -595,6 +662,7 @@ def minhash_lsh_pairs(
             "n": n,
             "num_perm": num_perm,
             "bands": bands,
+            "n_buckets": n_buckets,
         },
         batch_format="pyarrow",
     )
@@ -624,6 +692,7 @@ def simhash_pairs(
     n: int = 2,
     n_blocks: int = 8,
     max_hamming: int = 10,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs via 64-bit SimHash + pigeonhole block banding.
 
@@ -631,6 +700,9 @@ def simhash_pairs(
     to share a block; 8..max_hamming pairs are caught with high
     probability.  Candidates are verified by exact hamming distance.
     """
+    if n_buckets is None:
+        # one exploded row per (doc, block)
+        n_buckets = auto_buckets(docs.count() * n_blocks)
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
 
@@ -649,7 +721,7 @@ def simhash_pairs(
                 blocks_out.append(b)
                 keys_out.append(k)
                 sh_out.append(sh)
-                bucket_out.append((k * 2654435761 + b * 40503) % N_PAIR_BUCKETS)
+                bucket_out.append((k * 2654435761 + b * 40503) % n_buckets)
         return pa.Table.from_arrays(
             [
                 pa.array(ids_out, pa.int64()),

@@ -164,7 +164,7 @@ def cosine_pairs(
     """
     from document_ai_ray.pipelines.ops import get_broadcast, merge_partials
 
-    _, sample = _collect_matrix(vectors.limit(sample_size), id_col, vec_col)
+    sample = sample_vectors(vectors, sample_size, id_col, vec_col)
     cents = train_centroids(sample, n_cells=n_cells)
     n_cells = len(cents)                               # may be < requested
     c_ref = ray.put(cents)
@@ -193,18 +193,7 @@ def cosine_pairs(
     for r in radii_rows:
         radius[r["cell"]] = r["radius"]
 
-    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
-    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
-    gid_pair: list[tuple[int, int]] = []
-    cell_gids: dict[int, list[int]] = {c: [] for c in range(n_cells)}
-    for i in range(n_cells):
-        for j in range(i, n_cells):
-            if cang[i, j] <= theta_t + radius[i] + radius[j]:
-                g = len(gid_pair)
-                gid_pair.append((i, j))
-                cell_gids[i].append(g)
-                if j != i:
-                    cell_gids[j].append(g)
+    gid_pair, cell_gids = plan_cell_pairs(cents, radius, threshold)
     plan_ref = ray.put((cell_gids,))                   # O(n_cells²) — tiny
 
     def replicate(t: pa.Table, cents_ref: tuple, plan: tuple) -> pa.Table:
@@ -249,6 +238,51 @@ def cosine_pairs(
         )
 
     return rep.groupby("__g").map_groups(pair_block, batch_format="pyarrow")
+
+
+def sample_vectors(
+    vectors: rd.Dataset,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> np.ndarray:
+    """Seeded UNIFORM row sample (~sample_size rows) for centroid
+    training.  `limit()` would take the FIRST blocks — on id-sorted or
+    cluster-ordered input that biases the centroids toward the head
+    clusters, inflating tail-cell radii and degrading the
+    triangle-inequality cell-pair pruning toward all-pairs (r2-verdict
+    item).  random_sample keeps each row independently, so the sample
+    covers every cluster regardless of the input's physical order."""
+    n = vectors.count()
+    frac = min(1.0, sample_size / max(1, n))
+    ds = vectors if frac >= 1.0 else vectors.random_sample(frac, seed=seed)
+    _, m = _collect_matrix(ds, id_col, vec_col)
+    return m
+
+
+def plan_cell_pairs(
+    cents: np.ndarray, radius: np.ndarray, threshold: float
+) -> tuple[list[tuple[int, int]], dict[int, list[int]]]:
+    """Triangle-inequality cell-pair pruning plan: the surviving
+    (i, j) cell pairs and, per cell, the group ids it must replicate
+    into.  A cross-cell pair (u in i, v in j) can reach
+    cos(u, v) >= threshold only if
+    angle(c_i, c_j) <= arccos(threshold) + r_i + r_j."""
+    n_cells = len(cents)
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    gid_pair: list[tuple[int, int]] = []
+    cell_gids: dict[int, list[int]] = {c: [] for c in range(n_cells)}
+    for i in range(n_cells):
+        for j in range(i, n_cells):
+            if cang[i, j] <= theta_t + radius[i] + radius[j]:
+                g = len(gid_pair)
+                gid_pair.append((i, j))
+                cell_gids[i].append(g)
+                if j != i:
+                    cell_gids[j].append(g)
+    return gid_pair, cell_gids
 
 
 def _collect_matrix(vectors: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:

@@ -21,8 +21,11 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from document_ai_ray.functions.hashing import stable64
+from document_ai_ray.functions.scale import auto_buckets
 
-TFIDF_BUCKETS = 32
+# rough distinct-terms-per-document estimate used to size the DF-join
+# buckets from the (known) doc count without a pre-pass over tf rows
+_TERMS_PER_DOC_EST = 128
 
 
 def _wh(words: list[str]) -> np.ndarray:
@@ -42,11 +45,17 @@ def tfidf_topk(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = TFIDF_BUCKETS,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Top-k terms per document by tf * ln(N/df), ties broken by word
-    ascending.  Output columns: (doc_id, word, tfidf)."""
+    ascending.  Output columns: (doc_id, word, tfidf).
+
+    n_buckets=None sizes the DF-join buckets from the doc count
+    (auto_buckets over an estimated tf-row count), so per-task memory
+    stays flat as the corpus grows."""
     n_docs = docs.count()
+    if n_buckets is None:
+        n_buckets = auto_buckets(n_docs * _TERMS_PER_DOC_EST)
 
     def tf_batch(t: pa.Table) -> pa.Table:
         ids_out, words_out, tf_out = [], [], []
@@ -104,13 +113,26 @@ def tfidf_topk(
     )
 
     def score_in_bucket(g: pa.Table) -> pa.Table:
+        # vectorized pandas merge instead of a per-row dict probe
+        # (r2-verdict efficiency item): one hash join per bucket
         is_df = pc.is_null(g.column("doc_id"))
         dft = g.filter(is_df)
         tft = g.filter(pc.invert(is_df))
-        dmap = dict(zip(dft.column("wh").to_pylist(), dft.column("tf").to_pylist()))
-        wh = tft.column("wh").to_pylist()
-        dfv = np.fromiter((dmap.get(h, 1) for h in wh), dtype=np.float64, count=len(wh))
-        tfv = tft.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = pd.DataFrame(
+            {
+                "wh": dft.column("wh").to_numpy(zero_copy_only=False),
+                "df": dft.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        t = pd.DataFrame(
+            {
+                "wh": tft.column("wh").to_numpy(zero_copy_only=False),
+                "tf": tft.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        m = t.merge(d, on="wh", how="left")
+        dfv = m["df"].fillna(1.0).to_numpy()
+        tfv = m["tf"].to_numpy()
         # tf * ln(N/df), computed exactly as the SQL oracle does
         score = tfv * np.log(float(n_docs) / dfv)
         score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6  # ROUND(...,6); score >= 0
@@ -129,6 +151,13 @@ def tfidf_topk(
 
     from document_ai_ray.pipelines.ops import grouped_topk
 
+    # doc_id is HIGH-cardinality (one group per document): the final
+    # top-k pass must be hash-bucketed on doc_id, never a single
+    # repartition(1) task holding the whole k x n_docs output
     return grouped_topk(
-        scored, keys=["doc_id"], sort_cols=[("tfidf", False), ("word", True)], k=k
+        scored,
+        keys=["doc_id"],
+        sort_cols=[("tfidf", False), ("word", True)],
+        k=k,
+        n_buckets=auto_buckets(n_docs * k),
     )

@@ -201,3 +201,58 @@ def test_empty_edges_and_no_candidates_edge_cases():
     )
     docs2 = rd.from_arrow(pa.Table.from_pylist(rows))
     assert verify_pairs(empty, docs2, 0.5).count() == 0
+
+
+def test_auto_buckets_grows_with_input():
+    from document_ai_ray.functions.scale import auto_buckets
+
+    small = auto_buckets(10_000)
+    mid = auto_buckets(10_000_000)
+    big = auto_buckets(1_000_000_000)
+    assert small <= mid < big          # bucket count grows with rows
+    assert small >= 8                  # parallelism floor
+    # per-bucket slice stays ~flat once past the floor
+    assert 10_000_000 / mid <= (1 << 17)
+    assert 1_000_000_000 / big <= (1 << 17)
+
+
+def test_selfmerge_degenerate_group_star_guard():
+    """A match-key group above MAX_SELF_MERGE_GROUP must emit the
+    bounded star pairing (m-1 pairs), not the quadratic m(m-1)/2."""
+    import pandas as pd
+
+    from document_ai_ray.stages.dedup import _pairs_by_selfmerge
+
+    m = 10_000
+    df = pd.DataFrame({"key": np.zeros(m, dtype=np.int64), "id": np.arange(m, dtype=np.int64)})
+    out = _pairs_by_selfmerge(["key"], carry_cols=[])(df)
+    assert len(out) == m - 1                       # star, not quadratic
+    assert (out["id_a"] == 0).all()                # hub = group-min id
+    assert set(out["id_b"]) == set(range(1, m))    # connectivity preserved
+
+    # small groups still get the full pairing
+    small = pd.DataFrame({"key": np.zeros(4, dtype=np.int64), "id": np.arange(4, dtype=np.int64)})
+    assert len(_pairs_by_selfmerge(["key"], carry_cols=[])(small)) == 6
+
+
+def test_lsh_identical_signature_corpus_bounded():
+    """10k identical docs (one giant LSH bucket per band) completes in
+    bounded time/output and still clusters into ONE component."""
+    from document_ai_ray.stages.cluster import connected_components
+    from document_ai_ray.stages.dedup import minhash_lsh_pairs
+
+    m = 10_000
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(m, dtype=np.int64),
+                "text": ["the same exact document text every single time"] * m,
+            }
+        )
+    )
+    cands = minhash_lsh_pairs(docs, distinct=False)
+    n_cands = cands.count()
+    assert 0 < n_cands <= 20 * m       # star per band, never ~m^2/2
+    comps = connected_components(cands)
+    labels = {r["cluster_id"] for r in comps.take_all()}
+    assert labels == {0} and comps.count() == m

@@ -174,3 +174,31 @@ def test_bloom_probe_no_false_negatives(keys, probes):
     for v, hit in zip(probes, pm):
         if v in ks:
             assert hit
+
+
+def test_grouped_topk_bucketed_matches_single_task():
+    """High-cardinality bucketed final pass must produce exactly the
+    rows of the repartition(1) path (r2-verdict scale fix)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 400, n).astype(np.int64),
+            "v": rng.standard_normal(n),
+            "tie": np.arange(n, dtype=np.int64),
+        }
+    )
+    sort_cols = [("v", False), ("tie", True)]
+    one = grouped_topk(rd.from_arrow(t), ["g"], sort_cols, k=3).to_pandas()
+    bk = grouped_topk(rd.from_arrow(t), ["g"], sort_cols, k=3, n_buckets=16).to_pandas()
+    key = ["g", "tie"]
+    a = one.sort_values(key).reset_index(drop=True)
+    b = bk.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
