@@ -137,22 +137,49 @@ def lag_orders(sf_dir: str):
 )
 def price_quantiles_by_priority(sf_dir: str):
     """EXACT per-group quantiles (linear interpolation — the
-    PERCENTILE_CONT definition numpy's default method implements).
-    Keyed shuffle, one numpy pass per group; for high-cardinality keys
-    at 100 TB the mergeable-sketch route applies (KMV precedent in
-    functions/sketch.py)."""
+    PERCENTILE_CONT definition), scale-safe: a range-partitioned
+    distributed sort with offset-merged ranks (`with_group_ranks`)
+    instead of one task per group.  Each block keeps only the rows
+    whose global in-group rank is a quantile boundary (floor/ceil of
+    h = (n-1)q), so the final interpolation sees <= 6 rows per group —
+    output-sized, never a corpus partition.  The mergeable-sketch route
+    (`approx_price_quantiles`) remains the approximate path."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    ranked = with_group_ranks(ds, "o_orderpriority", ["o_totalprice"])
+    qs = (0.25, 0.50, 0.75)
 
-    def q_group(g: pd.DataFrame) -> pd.DataFrame:
-        x = g["o_totalprice"].to_numpy(dtype=np.float64)
-        qs = np.quantile(x, [0.25, 0.5, 0.75])
-        qs = np.copysign(np.floor(np.abs(qs) * 100 + 0.5), qs) / 100
-        return pd.DataFrame(
-            {"o_orderpriority": [g["o_orderpriority"].iloc[0]],
-             "p25": [qs[0]], "p50": [qs[1]], "p75": [qs[2]]}
+    def pick_boundaries(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for q in qs:
+            h = (n - 1) * q
+            keep |= (r == np.floor(h)) | (r == np.ceil(h))
+        return t.filter(pa.array(keep))
+
+    # <= 6 boundary rows per group — output-sized, safe to collect
+    rows = ranked.map_batches(pick_boundaries, batch_format="pyarrow").take_all()
+    by_g: dict[str, dict[int, tuple[float, int]]] = {}
+    for r0 in rows:
+        by_g.setdefault(r0["o_orderpriority"], {})[r0["__rank"]] = (
+            r0["o_totalprice"],
+            r0["__gn"],
         )
-
-    return ds.groupby("o_orderpriority").map_groups(q_group, batch_format="pandas")
+    out = []
+    for g in sorted(by_g):
+        rankmap = by_g[g]
+        n = next(iter(rankmap.values()))[1]
+        rec = {"o_orderpriority": g}
+        for q, name in zip(qs, ("p25", "p50", "p75")):
+            h = (n - 1) * q
+            lo = rankmap[int(np.floor(h))][0]
+            hi = rankmap[int(np.ceil(h))][0]
+            v = lo + (h - np.floor(h)) * (hi - lo)
+            rec[name] = float(np.copysign(np.floor(abs(v) * 100 + 0.5), v) / 100)
+        out.append(rec)
+    return pd.DataFrame(out)
 
 
 @register(
@@ -320,23 +347,32 @@ def approx_price_quantiles(sf_dir: str):
     """,
 )
 def ntile_orders(sf_dir: str):
-    """NTILE window: equal-depth quartile assignment per priority.
-    Keyed shuffle, one vectorized pass per partition (SQL's first-
-    (n mod k)-tiles-are-larger rule reproduced exactly)."""
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    """NTILE window: equal-depth quartile assignment per priority,
+    scale-safe: global per-group ranks come from a range-partitioned
+    distributed sort with offset-merged per-block counts
+    (`with_group_ranks`), then the tile is a pure vectorized function
+    of (rank, group size) per block — no task ever holds a whole
+    priority partition (SQL's first-(n mod k)-tiles-are-larger rule
+    reproduced exactly)."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
 
-    def ntile_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
-        n, k = len(g), 4
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    # o_orderkey tiebreaker makes the rank (and thus the tile) unique
+    ranked = with_group_ranks(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"])
+    k = 4
+
+    def tile_batch(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
         size, rem = n // k, n % k
-        idx = np.arange(n)
         big = rem * (size + 1)
-        tile = np.where(idx < big, idx // (size + 1), rem + (idx - big) // max(size, 1))
-        return pd.DataFrame(
-            {"o_orderkey": g["o_orderkey"].to_numpy(), "tile": (tile + 1).astype(np.int64)}
+        tile = np.where(r < big, r // (size + 1), rem + (r - big) // np.maximum(size, 1))
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.array((tile + 1).astype(np.int64))],
+            names=["o_orderkey", "tile"],
         )
 
-    return ds.groupby("o_orderpriority").map_groups(ntile_group, batch_format="pandas")
+    return ranked.map_batches(tile_batch, batch_format="pyarrow")
 
 
 def _set_op(sf_dir: str, op: str):

@@ -126,6 +126,57 @@ def dedup_keep_canonical(sf_dir: str):
 @register("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(sf_dir: str):
     """SimHash banding near-dup pairs (rows-only: no SQL analogue of
-    the 64-bit fingerprint)."""
+    the 64-bit fingerprint), with an in-pipeline RECALL GATE so the
+    driver's row check is meaningful: a seeded systematic doc sample's
+    exact all-pairs hamming set (bounded ~512 docs — scale-safe) is
+    compared against the banded output restricted to the sample, and
+    every emitted row carries that recall estimate.  Documented floor:
+    recall >= 0.9 (pairs with hamming <= n_blocks-1 are CAUGHT BY
+    PIGEONHOLE, so misses can only come from the 8..10 tail);
+    asserted in tests/test_dedup.py as well."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.stages.dedup import doc_simhash, popcount64
+
+    n, n_blocks, max_hamming = 2, 8, 10
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_pairs(docs, n=2, n_blocks=8, max_hamming=10)
+    pairs = simhash_pairs(docs, n=n, n_blocks=n_blocks, max_hamming=max_hamming)
+    pdf = pairs.to_pandas()                      # output-sized (sparse pairs)
+
+    n_docs = docs.count()
+    stride = max(1, n_docs // 512)               # ~512 sampled docs at any scale
+
+    def fp_sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % stride) == 0
+        sub_ids = ids[keep]
+        texts = t.filter(pa.array(keep)).column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids, pa.int64()),
+                "sh": pa.array([doc_simhash(x, n) for x in texts], pa.uint64()),
+            }
+        )
+
+    samp = docs.map_batches(fp_sample, batch_format="pyarrow").take_all()  # bounded
+    sid = np.array([r["doc_id"] for r in samp], dtype=np.int64)
+    sh = np.array([r["sh"] for r in samp], dtype=np.uint64)
+    exact: set[tuple[int, int]] = set()
+    for i in range(len(sid)):
+        x = sh[i] ^ sh[i + 1 :]
+        close = np.nonzero(popcount64(x) <= max_hamming)[0] if len(x) else []
+        for j in close:
+            a, b = int(sid[i]), int(sid[i + 1 + j])
+            exact.add((min(a, b), max(a, b)))
+    if exact:
+        found = {
+            (int(a), int(b))
+            for a, b in zip(pdf["id_a"], pdf["id_b"])
+            if a % stride == 0 and b % stride == 0
+        }
+        recall = len(found & exact) / len(exact)
+    else:
+        recall = 1.0                              # no sampled ground-truth pairs
+    pdf["recall"] = np.round(recall, 6)
+    return pdf

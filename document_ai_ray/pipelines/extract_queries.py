@@ -113,3 +113,51 @@ def extract_synth_corpus(sf_dir: str):
 
     n = int(os.environ.get("BENCH_SYNTH_N", "20000"))
     return extract_pipeline(pages_dataset(n, parallelism=max(64, n // 2000)))
+
+
+@register(
+    "extract_warc_roundtrip",
+    oracle=(
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted_text "
+        "FROM documents"
+    ),
+)
+def extract_warc_roundtrip(sf_dir: str):
+    """Byte-identity through the CC-NATIVE ingest path: the wrapped
+    pages are spooled to gzip'd WARC shard files (one per task batch —
+    the distributed write shape; nothing corpus-sized on the driver),
+    re-read with `read_warc` (ray.data.read_binary_files + record
+    parse), and extracted — must return exactly the original text per
+    url (same oracle as extract_roundtrip)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.sources.tables import pages_from_documents
+    from document_ai_ray.sources.warc import read_warc, write_warc_file
+
+    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_warc_rt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        if not rows:
+            return pa.table({"path": pa.array([], pa.string())})
+        name = hashlib.blake2s(rows[0]["url"].encode(), digest_size=8).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}.warc.gz")
+        write_warc_file(rows, path, compress=True)
+        return pa.table({"path": [path]})
+
+    # one WARC shard per task batch; the collected manifest is
+    # paths-only (tiny), the page bytes never touch the driver
+    manifest = (
+        pages_from_documents(sf_dir)
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=256)
+        .take_all()
+    )
+    paths = sorted(r["path"] for r in manifest)
+    pages = read_warc(paths)
+    return extract_pipeline(pages).select_columns(["url", "extracted_text"])

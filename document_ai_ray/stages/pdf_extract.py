@@ -9,9 +9,15 @@ the analogue of the reference's rotation/orientation normalization
 (/root/reference/analysis/cv/document_parsing.py:16-29) — then group
 lines into blocks by vertical gaps.
 
-Real PDF decoding (poppler / pdfminer) is NOT available in this
-container, so the parser handles the deterministic synthetic subset
-produced by ``synth.make_pdf_bytes``; any other PDF payload yields a
+Real PDF rendering (poppler / pdfminer) is NOT available in this
+container; this module implements the text-extraction subset natively:
+object/stream scanning over classic-xref AND PDF 1.5+ xref-stream
+layouts, the /Filter chains FlateDecode / ASCIIHexDecode /
+ASCII85Decode / RunLengthDecode, indirect /Length resolution through
+/ObjStm object streams, and the BT/ET text-operator set (Tf, Td, TD,
+Tm, T*, Tj, TJ).  Out of scope (documented): LZWDecode, image codecs
+(DCT/JPX/CCITT — pixels, not text), CID/ToUnicode composite fonts,
+encrypted files.  Any undecodable payload yields a
 ``pdf_parse_error`` row (never an exception), matching the reference's
 row-level fallback semantics (/root/reference/performances.py:282-294).
 """
@@ -32,35 +38,169 @@ GAP_FACTOR = 1.5
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _DICT_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*([+-]?\d+)\s*endobj")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|\s*/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+# --- stream filter decoders (PDF 32000-1 §7.4) ------------------------------
+def _ascii_hex_decode(b: bytes) -> bytes:
+    """/ASCIIHexDecode: hex pairs, whitespace ignored, '>' EOD, an odd
+    trailing digit is padded with '0'."""
+    h = bytes(c for c in b.split(b">")[0] if c not in b" \t\r\n\f\0")
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _ascii85_decode(b: bytes) -> bytes:
+    """/ASCII85Decode: whitespace ignored, optional '<~' prefix,
+    '~>' EOD, 'z' = four zero bytes."""
+    import base64
+
+    d = bytes(c for c in b if c not in b" \t\r\n\f\0")
+    if d.startswith(b"<~"):
+        d = d[2:]
+    end = d.find(b"~>")
+    if end != -1:
+        d = d[:end]
+    return base64.a85decode(d, adobe=False)
+
+
+def _run_length_decode(b: bytes) -> bytes:
+    """/RunLengthDecode: length byte L: 0..127 copy next L+1 bytes;
+    129..255 repeat next byte 257-L times; 128 EOD."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        l = b[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += b[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += b[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+# full names + the inline-image abbreviations; image/unsupported codecs
+# (DCTDecode, JPXDecode, CCITTFaxDecode, JBIG2Decode, LZWDecode) are
+# absent on purpose -> _decode_stream returns None and the stream is
+# skipped (they carry pixels, not text operators)
+_FILTERS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _run_length_decode,
+    b"RL": _run_length_decode,
+}
+
+
+def _decode_stream(dict_src: bytes, body: bytes) -> bytes | None:
+    """Apply the dict's /Filter chain (array order = decode order).
+    No declared filter keeps the historical behavior (try zlib, else
+    raw); an unsupported filter returns None (stream skipped)."""
+    fm = _FILTER_RE.search(dict_src)
+    if fm is None:
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return body
+    names = _NAME_RE.findall(fm.group(1)) if fm.group(1) is not None else [fm.group(2)]
+    data = body
+    for nm in names:
+        fn = _FILTERS.get(nm)
+        if fn is None:
+            return None
+        data = fn(data)
+    return data
+
+
+def _indirect_ints(payload: bytes) -> dict[int, int]:
+    """{obj_num: value} for INTEGER objects — top-level `N 0 obj 123
+    endobj` plus integers packed in /ObjStm object streams (the PDF
+    1.5+ xref-stream layout stores non-stream objects there, including
+    indirect /Length values)."""
+    out = {int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(payload)}
+    for dm in _DICT_STREAM_RE.finditer(payload):
+        d = dm.group(1)
+        if b"/ObjStm" not in d:
+            continue
+        body = _stream_body(payload, dm, {})
+        if body is None:
+            continue
+        try:
+            data = _decode_stream(d, body)
+        except Exception:
+            continue
+        fmm = re.search(rb"/First\s+(\d+)", d)
+        nm = re.search(rb"/N\s+(\d+)", d)
+        if data is None or fmm is None or nm is None:
+            continue
+        first, n_objs = int(fmm.group(1)), int(nm.group(1))
+        header = data[:first].split()
+        pairs = [(int(header[i]), int(header[i + 1])) for i in range(0, 2 * n_objs, 2)]
+        ends = sorted(off for _, off in pairs) + [len(data) - first]
+        for onum, off in pairs:
+            nxt = min(e for e in ends if e > off)
+            seg = data[first + off : first + nxt]
+            im = re.fullmatch(rb"\s*([+-]?\d+)\s*", seg)
+            if im:
+                out[onum] = int(im.group(1))
+    return out
+
+
+def _stream_body(payload: bytes, dm: "re.Match", lengths: dict[int, int]) -> bytes | None:
+    """Raw body of the stream whose dict matched `dm`: direct /Length,
+    else indirect /Length resolved via `lengths`, else endstream
+    scanning (binary bodies may legally END with newline bytes, so
+    delimiter scanning alone can truncate them — used last)."""
+    start = dm.end()
+    lm = _LENGTH_RE.search(dm.group(1))
+    if lm is not None:
+        return payload[start : start + int(lm.group(1))]
+    rm = _LENGTH_REF_RE.search(dm.group(1))
+    if rm is not None and int(rm.group(1)) in lengths:
+        return payload[start : start + lengths[int(rm.group(1))]]
+    end = payload.find(b"endstream", start)
+    if end == -1:
+        return None
+    body = payload[start:end]
+    # strip the single EOL the writer puts before `endstream`
+    if body.endswith(b"\r\n"):
+        body = body[:-2]
+    elif body.endswith(b"\n") or body.endswith(b"\r"):
+        body = body[:-1]
+    return body
 
 
 def _iter_streams(payload: bytes):
-    """Yield raw stream bodies.  Uses the dict's /Length when it is a
-    direct integer (binary bodies may legally END with newline bytes, so
-    delimiter scanning alone can truncate them); streams whose /Length
-    is an indirect reference (or absent) fall back to PER-STREAM
-    endstream-delimiter scanning — a mixed PDF loses no streams."""
+    """Yield (dict_src, raw body) per stream object.  Indirect /Length
+    references (common in PDF 1.5+ xref-stream files) are resolved
+    through a lazily-built integer-object map covering both top-level
+    objects and /ObjStm contents; a mixed PDF loses no streams."""
     any_dict = False
+    lengths: dict[int, int] | None = None
     for dm in _DICT_STREAM_RE.finditer(payload):
         any_dict = True
-        start = dm.end()
-        lm = _LENGTH_RE.search(dm.group(1))
-        if lm is not None:
-            yield payload[start : start + int(lm.group(1))]
-            continue
-        end = payload.find(b"endstream", start)
-        if end == -1:
-            continue
-        body = payload[start:end]
-        # strip the single EOL the writer puts before `endstream`
-        if body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n") or body.endswith(b"\r"):
-            body = body[:-1]
-        yield body
+        if (
+            lengths is None
+            and _LENGTH_RE.search(dm.group(1)) is None
+            and _LENGTH_REF_RE.search(dm.group(1)) is not None
+        ):
+            lengths = _indirect_ints(payload)
+        body = _stream_body(payload, dm, lengths or {})
+        if body is not None:
+            yield dm.group(1), body
     if not any_dict:                     # dict-less streams: raw delimiter scan
         for sm in _STREAM_RE.finditer(payload):
-            yield sm.group(1)
+            yield b"", sm.group(1)
 # content-stream tokens we care about: strings, numbers, names, operators
 _CS_TOKEN = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)"          # literal string
@@ -162,16 +302,21 @@ def _tokenize_content(content: bytes):
 
 def _real_pdf_items(payload: bytes):
     """Extract (y, x, size, text) items from a real-format PDF: scan
-    stream objects, inflate FlateDecode bodies (zlib), tokenize the
-    concatenated content streams.  Unsupported filters -> no items
-    (caller reports pdf_parse_error)."""
+    stream objects, decode each through its declared /Filter chain
+    (FlateDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode and
+    chains thereof; image codecs are skipped), tokenize the
+    concatenated content streams.  Works on both classic-xref and
+    PDF 1.5+ xref-stream layouts: stream DISCOVERY is scan-based (no
+    xref walk), and indirect /Length values are resolved through
+    top-level and /ObjStm integer objects.  Undecodable streams -> no
+    items (caller reports pdf_parse_error)."""
     items = []
-    for body in _iter_streams(payload):
+    for dict_src, body in _iter_streams(payload):
         try:
-            content = zlib.decompress(body)
-        except zlib.error:
-            content = body  # uncompressed stream
-        if b"BT" in content:
+            content = _decode_stream(dict_src, body)
+        except Exception:
+            continue  # corrupt stream: row-level degradation, not a crash
+        if content and b"BT" in content:
             items.extend(_tokenize_content(content))
     return items
 

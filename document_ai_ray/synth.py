@@ -395,14 +395,76 @@ def skewed_pages_table(n: int, seed: int = 42, giant_every: int = 50, giant_mb: 
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def make_real_pdf_bytes(title: str, paragraphs: list[str], compress: bool = True) -> bytes:
+def _rle_encode(data: bytes) -> bytes:
+    """PDF /RunLengthDecode encoder: repeat runs >= 3 as (257-n, byte),
+    literal runs as (n-1, bytes), 128 EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            if lit_start < i:
+                for k in range(lit_start, i, 128):
+                    chunk = data[k : min(k + 128, i)]
+                    out += bytes([len(chunk) - 1]) + chunk
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    if lit_start < n:
+        for k in range(lit_start, n, 128):
+            chunk = data[k : min(k + 128, n)]
+            out += bytes([len(chunk) - 1]) + chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _encode_filters(content: bytes, filters: list[str]) -> bytes:
+    """Apply stream encoders so that DECODING in `filters` order
+    recovers `content` (i.e. encode in reverse order)."""
+    import base64
+    import binascii
+    import zlib
+
+    data = content
+    for name in reversed(filters):
+        if name == "FlateDecode":
+            data = zlib.compress(data)
+        elif name == "ASCIIHexDecode":
+            data = binascii.hexlify(data) + b">"
+        elif name == "ASCII85Decode":
+            data = base64.a85encode(data, adobe=True)[2:]  # keep '~>' EOD
+        elif name == "RunLengthDecode":
+            data = _rle_encode(data)
+        else:
+            raise ValueError(f"no encoder for {name}")
+    return data
+
+
+def make_real_pdf_bytes(
+    title: str,
+    paragraphs: list[str],
+    compress: bool = True,
+    filters: list[str] | None = None,
+    xref_stream: bool = False,
+) -> bytes:
     """A minimal REAL-format single-page PDF (header, catalog/pages/
-    page/font objects, FlateDecode-compressed content stream, xref
-    table, trailer) whose content stream uses the standard text
-    operators (BT/Tf/Td/Tj/ET).  Unlike `make_pdf_bytes` (the bare
-    synthetic subset) this exercises the real-PDF branch of
-    `pdf_extract.parse_pdf`: object/stream scanning + zlib inflate +
-    content-stream tokenization."""
+    page/font objects, filtered content stream, xref, trailer) whose
+    content stream uses the standard text operators (BT/Tf/Td/Tj/ET).
+    Unlike `make_pdf_bytes` (the bare synthetic subset) this exercises
+    the real-PDF branch of `pdf_extract.parse_pdf`: object/stream
+    scanning + /Filter chain decode + content-stream tokenization.
+
+    `filters` (decode order, e.g. ["ASCII85Decode", "FlateDecode"])
+    overrides `compress`.  `xref_stream=True` emits a PDF 1.5-style
+    layout instead of a classic xref table: the content stream's
+    /Length is an INDIRECT reference whose integer object lives inside
+    a FlateDecode /ObjStm, and the file ends with a /Type /XRef
+    cross-reference STREAM (no `trailer` keyword)."""
     import zlib
 
     lines: list[tuple[float, float, int, str]] = []
@@ -428,14 +490,55 @@ def make_real_pdf_bytes(title: str, paragraphs: list[str], compress: bool = True
         esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td ({esc}) Tj ET")
     content = "\n".join(parts).encode("utf-8")
-    if compress:
-        body_stream = zlib.compress(content)
-        filt = b"/Filter /FlateDecode "
-    else:
-        body_stream = content
+    if filters is None:
+        filters = ["FlateDecode"] if compress else []
+    body_stream = _encode_filters(content, filters) if filters else content
+    if not filters:
         filt = b""
+    elif len(filters) == 1:
+        filt = b"/Filter /%s " % filters[0].encode()
+    else:
+        filt = b"/Filter [%s] " % b" ".join(b"/" + f.encode() for f in filters)
 
-    objs: list[bytes] = [
+    if xref_stream:
+        # PDF 1.5 layout: content /Length is indirect (object 7, packed
+        # in a FlateDecode /ObjStm), xref is itself a stream object
+        objs: list[bytes] = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length 7 0 R %s>>\nstream\n%s\nendstream" % (filt, body_stream),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        objstm_payload = b"7 0\n%d" % len(body_stream)
+        objstm_body = zlib.compress(objstm_payload)
+        objs.append(
+            b"<< /Type /ObjStm /N 1 /First 4 /Length %d /Filter /FlateDecode >>"
+            b"\nstream\n%s\nendstream" % (len(objstm_body), objstm_body)
+        )
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, obj in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+        # xref STREAM (object 8): /W [1 4 1] entries for objects 0..8
+        xref_pos = len(out)
+        entries = bytearray(b"\x00" + (0).to_bytes(4, "big") + b"\xff")
+        for off in offsets[1:]:
+            entries += b"\x01" + off.to_bytes(4, "big") + b"\x00"
+        entries += b"\x02" + (6).to_bytes(4, "big") + b"\x00"   # obj 7 in ObjStm 6
+        entries += b"\x01" + xref_pos.to_bytes(4, "big") + b"\x00"
+        xbody = zlib.compress(bytes(entries))
+        out += (
+            b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 1] /Root 1 0 R "
+            b"/Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(xbody), xbody)
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
+
+    objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "

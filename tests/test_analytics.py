@@ -40,7 +40,7 @@ def test_lag_orders_first_order_is_null(sf_tiny):
 
 
 def test_quantiles_and_corr_shapes(sf_tiny):
-    q = price_quantiles_by_priority(sf_tiny).to_pandas()
+    q = price_quantiles_by_priority(sf_tiny)  # returns a pandas DataFrame
     assert (q["p25"] <= q["p50"]).all() and (q["p50"] <= q["p75"]).all()
     c = corr_price_qty(sf_tiny).to_pandas()
     assert ((c["corr_pq"] >= -1) & (c["corr_pq"] <= 1)).all()
@@ -65,7 +65,7 @@ def test_region_nations_agg_sorted(sf_tiny):
 def test_approx_quantiles_close_to_exact(sf_tiny):
     from document_ai_ray.pipelines.analytics import approx_price_quantiles
 
-    exact = price_quantiles_by_priority(sf_tiny).to_pandas().set_index("o_orderpriority")
+    exact = price_quantiles_by_priority(sf_tiny).set_index("o_orderpriority")
     approx = approx_price_quantiles(sf_tiny).to_pandas().set_index("o_orderpriority")
     assert set(exact.index) == set(approx.index)
     for key in exact.index:

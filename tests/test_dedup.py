@@ -256,3 +256,14 @@ def test_lsh_identical_signature_corpus_bounded():
     comps = connected_components(cands)
     labels = {r["cluster_id"] for r in comps.take_all()}
     assert labels == {0} and comps.count() == m
+
+
+def test_simhash_query_emits_recall_floor(sf_tiny):
+    """The rows-only driver query must carry an in-pipeline recall
+    column meeting the documented floor (r2-verdict item)."""
+    from document_ai_ray.pipelines.dedup_queries import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(sf_tiny)
+    assert "recall" in out.columns and len(out) > 0
+    assert out["recall"].nunique() == 1          # one corpus-level estimate
+    assert float(out["recall"].iloc[0]) >= 0.9   # documented floor

@@ -286,3 +286,69 @@ def test_unguided_fallback_keeps_block_structure():
     assert row["quality"]["n_blocks"] >= 4
     assert "first paragraph word" in row["extracted_text"]
     assert row["fields"].get("author") == "Jane Doe"
+
+
+def test_real_pdf_filter_chains_roundtrip():
+    """Every supported /Filter (and a chain) must round-trip the text
+    byte-identically (r2-verdict PDF-breadth item)."""
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    paras = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima",
+        "second paragraph with runs aaaaaa bbbbbb and binary-ish text to stress codecs",
+    ]
+    want_blocks, want_lines, _ = parse_pdf(make_real_pdf_bytes("T", paras, compress=False))
+    assert want_lines
+    for filters in (
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["RunLengthDecode"],
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "RunLengthDecode"],
+    ):
+        pdf = make_real_pdf_bytes("T", paras, filters=filters)
+        blocks, lines, err = parse_pdf(pdf)
+        assert err is None, (filters, err)
+        assert lines == want_lines, filters
+        assert [b.text for b in blocks] == [b.text for b in want_blocks], filters
+
+
+def test_real_pdf_xref_stream_layout_roundtrip():
+    """PDF 1.5 layout: indirect /Length resolved through an /ObjStm,
+    xref is a stream object — text must round-trip identically."""
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    paras = ["fifteen layout paragraph whose length object hides inside an object stream"]
+    want = parse_pdf(make_real_pdf_bytes("Title", paras, compress=False))[1]
+    got_blocks, got_lines, err = parse_pdf(
+        make_real_pdf_bytes("Title", paras, xref_stream=True)
+    )
+    assert err is None
+    assert got_lines == want
+    # the chain variant inside the 1.5 layout also works
+    got2 = parse_pdf(
+        make_real_pdf_bytes("Title", paras, filters=["ASCII85Decode", "FlateDecode"], xref_stream=True)
+    )
+    assert got2[2] is None and got2[1] == want
+
+
+def test_pdf_filter_decoders_edge_cases():
+    from document_ai_ray.stages.pdf_extract import (
+        _ascii_hex_decode,
+        _ascii85_decode,
+        _run_length_decode,
+    )
+    from document_ai_ray.synth import _rle_encode
+
+    assert _ascii_hex_decode(b"48 65 6c 6c 6f>") == b"Hello"
+    assert _ascii_hex_decode(b"48656c6c6f7>") == b"Hellop"  # odd '7' padded to 0x70
+    import base64
+
+    data = bytes(range(256)) + b"\x00" * 500 + b"tail"
+    assert _ascii85_decode(base64.a85encode(data, adobe=True)) == data
+    assert _run_length_decode(_rle_encode(data)) == data
+    assert _run_length_decode(_rle_encode(b"")) == b""
+    assert _run_length_decode(_rle_encode(b"abc")) == b"abc"
+    assert _run_length_decode(_rle_encode(b"a" * 1000)) == b"a" * 1000

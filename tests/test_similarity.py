@@ -186,3 +186,16 @@ def test_cosine_pairs_sampling_unbiased_on_sorted_input():
     biased = plan_for(M[:1024])                      # what limit() would train on
     assert unbiased <= total // 2                    # pruning actually bites
     assert unbiased < biased                         # and beats the head-biased plan
+
+
+def test_knn_ivf_query_emits_recall_floor(sf_tiny):
+    """Every emitted IVF row must carry per-query recall@k vs the
+    in-pipeline brute-force run, meeting the documented floor."""
+    from document_ai_ray.pipelines.similarity_queries import K, knn_ivf_query
+
+    out = knn_ivf_query(sf_tiny)
+    assert "recall_at_k" in out.columns and len(out) > 0
+    assert ((out["recall_at_k"] >= 0) & (out["recall_at_k"] <= 1)).all()
+    # documented floor (cosine-continuum corpus, n_probe=4/16 — same
+    # floor as test_ivf_recall; raise n_probe for higher recall)
+    assert out["recall_at_k"].mean() >= 0.5
