@@ -45,10 +45,17 @@ def lsh_near_dup_pairs(sf_dir: str):
     (two bucketed hash joins against the docs dataset; nothing
     corpus-sized touches the driver).  Must reproduce the exact
     operator's output on this corpus (planted dups are deep inside the
-    detectable regime)."""
+    detectable regime).  The corpus is shingled ONCE
+    (`compute_doc_grams`, materialized) and the gram sets feed both
+    banding and verification."""
+    from document_ai_ray.stages.dedup import compute_doc_grams
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_pairs(docs, n=2, num_perm=128, bands=16, threshold=0.5, distinct=False)
-    return verify_pairs(cands, docs, threshold=0.5)
+    grams = compute_doc_grams(docs, n=2).materialize()
+    cands = minhash_lsh_pairs(
+        docs, n=2, num_perm=128, bands=16, threshold=0.5, distinct=False, grams=grams
+    )
+    return verify_pairs(cands, docs, threshold=0.5, grams=grams)
 
 
 _CLUSTER_ORACLE = """

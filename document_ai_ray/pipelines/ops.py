@@ -603,3 +603,88 @@ def with_group_ranks(
     return rd.from_arrow_refs(
         [attach.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
     )
+
+
+@ray.remote
+def _split_by_bucket(t: pa.Table, bucket_col: str, n_buckets: int):
+    """One input block -> n_buckets per-bucket sub-tables (stable-sort
+    + searchsorted boundaries: zero-copy slices, no per-bucket filter
+    scan).  Runs as a Ray task with num_returns=n_buckets so each
+    bucket's slice is an independent object-store entry."""
+    bk = t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bk, kind="stable")
+    ts = t.take(pa.array(order))
+    bounds = np.searchsorted(bk[order], np.arange(n_buckets + 1))
+    out = tuple(ts.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+def bucket_map_groups(
+    ds: rd.Dataset,
+    bucket_col: str,
+    fn,
+    n_buckets: int,
+    batch_format: str = "pyarrow",
+) -> rd.Dataset:
+    """`ds.groupby(bucket_col).map_groups(fn)` for an INT bucket column
+    in [0, n_buckets), via a MANUAL ray.remote hash exchange instead of
+    Ray's sort-based shuffle.
+
+    Why: the sort shuffle pays a measured ~1-3 s fixed cost per groupby
+    stage regardless of data size — it dominates the dedup pipelines at
+    test scale (r2-verdict stretch item).  Here each block is split
+    into per-bucket slices (one task per block, slices stay in the
+    object store), then one task per bucket concatenates its slices and
+    applies `fn` — two task waves, no sort machinery, identical rows
+    per bucket.
+
+    `fn` receives the bucket's rows with bucket_col DROPPED (pyarrow
+    Table or pandas DataFrame per `batch_format`) and empty buckets are
+    skipped, exactly like groupby().map_groups semantics.
+
+    Scale shape: the driver holds n_blocks x n_buckets ObjectRefs
+    (metadata only).  Above _EXCHANGE_MAX_REFS it falls back to the
+    Dataset-native groupby — at that size the sort's fixed cost is
+    amortized anyway and unbounded driver ref inventories are the
+    bigger risk.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    blocks = ds.to_arrow_refs()
+    if len(blocks) * n_buckets > _EXCHANGE_MAX_REFS:
+        grouped = ds.groupby(bucket_col)
+        if batch_format == "pandas":
+            return grouped.map_groups(
+                lambda g: fn(g.drop(columns=[bucket_col])), batch_format="pandas"
+            )
+        return grouped.map_groups(
+            lambda g: fn(g.drop_columns([bucket_col])), batch_format="pyarrow"
+        )
+
+    split = _split_by_bucket.options(num_returns=n_buckets) if n_buckets > 1 else _split_by_bucket
+    per_block = [split.remote(b, bucket_col, n_buckets) for b in blocks]
+    if n_buckets == 1:
+        per_block = [[r] for r in per_block]
+
+    @ray.remote
+    def apply_bucket(*parts: pa.Table) -> pa.Table:
+        live = [p for p in parts if p.num_rows]
+        # empty buckets still go through fn so every output block shares
+        # fn's OUTPUT schema (from_arrow_refs requires consistent blocks)
+        t = (
+            pa.concat_tables(live).combine_chunks() if live else parts[0]
+        ).drop_columns([bucket_col])
+        if batch_format == "pandas":
+            out = fn(t.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return fn(t)
+
+    out_refs = [
+        apply_bucket.remote(*[per_block[i][b] for i in range(len(per_block))])
+        for b in range(n_buckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+# n_blocks x n_buckets ref-inventory cap for the manual exchange
+_EXCHANGE_MAX_REFS = 1 << 20

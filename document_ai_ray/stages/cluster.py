@@ -86,6 +86,11 @@ def connected_components(
             [nodes, pa.nulls(len(nodes), pa.int64()), nodes], schema=_CC_SCHEMA
         )
 
+    # NOTE: the manual hash exchange (ops.bucket_map_groups) was tried
+    # here and REGRESSED 2-6x: inside an iterative loop each round's
+    # from_arrow_refs output feeds the next round's re-execution and the
+    # ref-plumbing overhead multiplies across rounds.  The Dataset-native
+    # groupby amortizes better per round — keep it.
     labels = (
         _bucket_on(sym_edges, "node", n_buckets)
         .groupby("__cb")

@@ -147,35 +147,51 @@ def _pairs_by_selfmerge(
 # ---------------------------------------------------------------------------
 
 
+def _grams_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, values, offsets) numpy views of a (id, grams) table —
+    offsets are normalized to start at the first row (combine_chunks
+    first, so one contiguous values buffer)."""
+    gc = t.column("grams")
+    if isinstance(gc, pa.ChunkedArray):
+        gc = gc.combine_chunks()
+    vals = gc.values.to_numpy(zero_copy_only=False)
+    offs = gc.offsets.to_numpy().astype(np.int64)
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    return ids, vals, offs
+
+
 def _jaccard_dense(
-    docs: rd.Dataset,
-    id_col: str,
-    text_col: str,
-    n: int,
+    grams: rd.Dataset,
     threshold: float,
     vocab: list[int],
 ) -> rd.Dataset:
     """Dense-vocabulary exact Jaccard: broadcast the full doc x gram
     incidence matrix (float32, n_docs x |vocab| — caller guarantees the
     vocabulary is small), then score each batch's rows against it with
-    one matmul.  Each unordered pair is emitted exactly once (kept only
-    where batch id < other id)."""
+    one matmul.  Operates on precomputed (id, grams) rows
+    (`compute_doc_grams`) — the corpus is tokenized exactly once.
+    Each unordered pair is emitted exactly once (kept only where batch
+    id < other id)."""
     col_of = {gh: j for j, gh in enumerate(vocab)}
     V = len(vocab)
 
     def incidence(t: pa.Table) -> pa.Table:
-        ids, idx_lists = [], []
-        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            ids.append(i)
-            idx_lists.append([col_of[int(h)] for h in gram_hashes(txt, n)])
+        b_ids, vals, offs = _grams_arrays(t)
+        idx_lists = [
+            [col_of[int(h)] for h in vals[offs[j] : offs[j + 1]]]
+            for j in range(len(t))
+        ]
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(idx_lists, pa.list_(pa.int32()))],
+            [
+                pa.array(b_ids.astype(np.int64), pa.int64()),
+                pa.array(idx_lists, pa.list_(pa.int32())),
+            ],
             names=["id", "cols"],
         )
 
     all_ids: list[int] = []
     all_cols: list[list[int]] = []
-    for ref in docs.map_batches(incidence, batch_format="pyarrow").to_arrow_refs():
+    for ref in grams.map_batches(incidence, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
         all_ids.extend(t.column("id").to_pylist())
         all_cols.extend(t.column("cols").to_pylist())
@@ -195,13 +211,10 @@ def _jaccard_dense(
             lambda v: (v[0], v[1].astype(np.float64), np.ascontiguousarray(v[2].T)),
             tag="jac-dense",
         )
-        b_ids, rows = [], []
-        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            row = np.zeros(V, dtype=np.float32)
-            row[[col_of[int(h)] for h in gram_hashes(txt, n)]] = 1.0
-            b_ids.append(i)
-            rows.append(row)
-        B = np.stack(rows)
+        b_ids, vals, offs = _grams_arrays(t)
+        B = np.zeros((len(t), V), dtype=np.float32)
+        for j in range(len(t)):
+            B[j, [col_of[int(h)] for h in vals[offs[j] : offs[j + 1]]]] = 1.0
         # float32 matmul is exact for integer counts < 2^24; the
         # DIVISION must be float64 or ROUND(…,6) digits flip vs SQL
         inter = (B @ MT).astype(np.float64)                   # (b, n_docs)
@@ -222,7 +235,7 @@ def _jaccard_dense(
             names=["id_a", "id_b", "jaccard"],
         )
 
-    return docs.map_batches(
+    return grams.map_batches(
         dense_score,
         fn_kwargs={"mat_ref": (mat_ref,), "thr": threshold},
         batch_format="pyarrow",
@@ -237,6 +250,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.5,
     dense_vocab_max: int = 1 << 16,
     dense_bytes_max: int = 1 << 28,
+    grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """All pairs with n-gram Jaccard >= threshold — EXACT, with a
     size-adaptive plan chosen after a DF pre-pass:
@@ -265,6 +279,10 @@ def exact_jaccard_pairs(
 
     Exact ALL-pairs at dense similarity is intractable at 10^12 docs by
     nature — that regime belongs to `minhash_lsh_pairs`.
+
+    The corpus is shingled ONCE (`grams`, computed here if not passed):
+    the exploded index, the dense incidence matrix and the final
+    verification all read the same materialized gram sets.
     """
     from document_ai_ray.pipelines.ops import bucketed_group_agg
 
@@ -272,22 +290,21 @@ def exact_jaccard_pairs(
     # bucket counts scale with the exploded (id, gram) row estimate so
     # per-task memory stays flat as the corpus grows (r2-verdict item)
     join_buckets = auto_buckets(n_docs * _GRAMS_PER_DOC_EST)
+    if grams is None:
+        grams = compute_doc_grams(docs, id_col, text_col, n).materialize()
 
     def explode_all(t: pa.Table) -> pa.Table:
-        ids_out, gh_out = [], []
-        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            hs = gram_hashes(txt, n)
-            ids_out.append(np.full(len(hs), i, dtype=np.int64))
-            gh_out.append(hs)
+        ids, vals, offs = _grams_arrays(t)
+        counts = np.diff(offs)
         return pa.Table.from_arrays(
             [
-                pa.array(np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)),
-                pa.array(np.concatenate(gh_out) if gh_out else np.empty(0, np.uint64)),
+                pa.array(np.repeat(ids.astype(np.int64), counts)),
+                pa.array(vals[offs[0] : offs[-1]] if len(offs) else vals[:0]),
             ],
             names=["id", "gh"],
         )
 
-    exploded = docs.map_batches(explode_all, batch_format="pyarrow")
+    exploded = grams.map_batches(explode_all, batch_format="pyarrow")
 
     # -- pass 1: document frequency per gram hash (bucketed groupby —
     # gram hashes are high-cardinality, so no single-task merge) --------
@@ -311,7 +328,7 @@ def exact_jaccard_pairs(
         vocab = sorted(
             v for t in (df_ds.take_all(),) for r in t for v in [r["gh"] % (1 << 64)]
         )
-        return _jaccard_dense(docs, id_col, text_col, n, threshold, vocab)
+        return _jaccard_dense(grams, threshold, vocab)
 
     # -- pass 2: attach DF by bucketed join on gram hash ------------------
     def df_side(t: pa.Table) -> pa.Table:
@@ -401,7 +418,9 @@ def exact_jaccard_pairs(
     # -- pass 4: exact verification via two bucketed joins on doc id ------
     # (verify_pairs dedups candidates in its first join — no separate
     # distinct shuffle needed)
-    return verify_pairs(cands, docs, threshold, id_col=id_col, text_col=text_col, n=n)
+    return verify_pairs(
+        cands, docs, threshold, id_col=id_col, text_col=text_col, n=n, grams=grams
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +482,45 @@ class MinHashBander:
         )
 
 
+_GRAM_MINHASHERS: dict[int, MinHasher] = {}
+
+
+def _band_grams_batch(
+    t: pa.Table, num_perm: int, bands: int, n_buckets: int
+) -> pa.Table:
+    """Banding over precomputed (id, grams) rows — same output schema
+    as MinHashBander, skipping the re-tokenization (shingle once)."""
+    mh = _GRAM_MINHASHERS.get(num_perm)
+    if mh is None:
+        mh = _GRAM_MINHASHERS[num_perm] = MinHasher(num_perm=num_perm)
+    rows_per_band = num_perm // bands
+    ids_out, bands_out, keys_out, bucket_out = [], [], [], []
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    pos = 0
+    for chunk in t.column("grams").chunks:
+        vals = chunk.values.to_numpy(zero_copy_only=False)
+        offs = chunk.offsets.to_numpy()
+        for j in range(len(chunk)):
+            i = int(ids[pos]); pos += 1
+            sig = mh.signature(vals[offs[j] : offs[j + 1]])
+            for b in range(bands):
+                seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                k = stable64(seg.tobytes())
+                ids_out.append(i)
+                bands_out.append(b)
+                keys_out.append(k)
+                bucket_out.append(k % n_buckets)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids_out, pa.int64()),
+            pa.array(bands_out, pa.int32()),
+            pa.array(keys_out, pa.uint64()),
+            pa.array(bucket_out, pa.int32()),
+        ],
+        names=["id", "band", "key", "bucket"],
+    )
+
+
 _JOIN_SCHEMA = pa.schema(
     [
         pa.field("jid", pa.int64()),
@@ -470,6 +528,27 @@ _JOIN_SCHEMA = pa.schema(
         pa.field("grams", pa.list_(pa.uint64())),
     ]
 )
+
+
+def compute_doc_grams(
+    docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> rd.Dataset:
+    """(id, grams: list<uint64>) per document — shingle the corpus
+    ONCE and feed the result to both `minhash_lsh_pairs` (banding) and
+    `verify_pairs` (exact Jaccard), instead of tokenizing every
+    document twice.  Callers typically `.materialize()` it: the
+    object store holds (and spills) the gram sets once, which is the
+    same data volume the verify shuffle already moves."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        grams = [gram_hashes(txt, n) for txt in t.column(text_col).to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(grams, pa.list_(pa.uint64()))],
+            names=["id", "grams"],
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def _doc_grams_side(docs: rd.Dataset, id_col: str, text_col: str, n: int) -> rd.Dataset:
@@ -525,6 +604,7 @@ def verify_pairs(
     text_col: str = "text",
     n: int = 2,
     n_buckets: int | None = None,
+    grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Verify candidate (id_a, id_b) pairs with TRUE n-gram Jaccard,
     fully distributed: two bucketed hash joins of the pairs against the
@@ -538,10 +618,28 @@ def verify_pairs(
 
     n_buckets=None sizes the join buckets from the doc count: grams
     rows are ~1 KB each, so the per-bucket target is lower than the
-    generic auto_buckets default."""
+    generic auto_buckets default.
+
+    Pass `grams` (from `compute_doc_grams`) to reuse already-computed
+    shingles instead of re-tokenizing `docs` (the banding stage needs
+    the same gram sets — shingle once, not twice)."""
     if n_buckets is None:
-        n_buckets = auto_buckets(docs.count(), rows_per_bucket=1 << 15)
-    grams_side = _doc_grams_side(docs, id_col, text_col, n)
+        base = grams if grams is not None else docs
+        n_buckets = auto_buckets(base.count(), rows_per_bucket=1 << 15)
+    if grams is not None:
+        def grams_to_side(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t.column("id"),
+                    pa.nulls(len(t), pa.int64()),
+                    t.column("grams"),
+                ],
+                schema=_JOIN_SCHEMA,
+            )
+
+        grams_side = grams.map_batches(grams_to_side, batch_format="pyarrow")
+    else:
+        grams_side = _doc_grams_side(docs, id_col, text_col, n)
 
     def pairs_side_a(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -592,9 +690,11 @@ def verify_pairs(
         )
         return pa.concat_tables([docs_t.select(["jid", "other", "grams"]).cast(_JOIN_SCHEMA), pairs_out])
 
-    with_a = level1.groupby("__jb").map_groups(
-        lambda g: attach_a(g.drop_columns(["__jb"])), batch_format="pyarrow"
-    )
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    # manual hash exchange instead of the sort shuffle: sheds the ~1-3 s
+    # per-stage sort fixed cost that dominates dedup at test scale
+    with_a = bucket_map_groups(level1, "__jb", attach_a, n_buckets)
 
     level2 = _with_join_bucket(with_a, n_buckets)
 
@@ -624,9 +724,7 @@ def verify_pairs(
             names=["id_a", "id_b", "jaccard"],
         )
 
-    return level2.groupby("__jb").map_groups(
-        lambda g: score_b(g.drop_columns(["__jb"])), batch_format="pyarrow"
-    )
+    return bucket_map_groups(level2, "__jb", score_b, n_buckets)
 
 
 def minhash_lsh_pairs(
@@ -640,6 +738,7 @@ def minhash_lsh_pairs(
     concurrency: int = 8,
     distinct: bool = True,
     n_buckets: int | None = None,
+    grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """CANDIDATE near-dup pairs via MinHash banding (verify with
     ``verify_pairs`` for final output).  Pass ``distinct=False`` when
@@ -653,23 +752,38 @@ def minhash_lsh_pairs(
     """
     if n_buckets is None:
         # one exploded row per (doc, band)
-        n_buckets = auto_buckets(docs.count() * bands)
-    bander = docs.map_batches(
-        _band_batch,
-        fn_kwargs={
-            "id_col": id_col,
-            "text_col": text_col,
-            "n": n,
-            "num_perm": num_perm,
-            "bands": bands,
-            "n_buckets": n_buckets,
-        },
-        batch_format="pyarrow",
-    )
+        base = grams if grams is not None else docs
+        n_buckets = auto_buckets(base.count() * bands)
+    if grams is not None:
+        # precomputed shingles (compute_doc_grams): band without
+        # re-tokenizing the corpus
+        bander = grams.map_batches(
+            _band_grams_batch,
+            fn_kwargs={"num_perm": num_perm, "bands": bands, "n_buckets": n_buckets},
+            batch_format="pyarrow",
+        )
+    else:
+        bander = docs.map_batches(
+            _band_batch,
+            fn_kwargs={
+                "id_col": id_col,
+                "text_col": text_col,
+                "n": n,
+                "num_perm": num_perm,
+                "bands": bands,
+                "n_buckets": n_buckets,
+            },
+            batch_format="pyarrow",
+        )
+
+    from document_ai_ray.pipelines.ops import bucket_map_groups
 
     pair_fn = _pairs_by_selfmerge(["band", "key"], carry_cols=[])
-    cands = bander.groupby("bucket").map_groups(
-        lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
+    cands = bucket_map_groups(
+        bander,
+        "bucket",
+        lambda df: pair_fn(df)[["id_a", "id_b"]].drop_duplicates(),
+        n_buckets,
         batch_format="pandas",
     )
     if not distinct:
@@ -743,7 +857,7 @@ def simhash_pairs(
     pair_fn = _pairs_by_selfmerge(["block", "key"], carry_cols=["simhash"])
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = pair_fn(g.drop(columns=["bucket"]))
+        m = pair_fn(g)
         if m.empty:
             return pd.DataFrame(
                 {
@@ -757,7 +871,9 @@ def simhash_pairs(
         m = m[m["hamming"] <= max_hamming]
         return m[["id_a", "id_b", "hamming"]]
 
-    cands = fp.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    cands = bucket_map_groups(fp, "bucket", pairs_in_bucket, n_buckets, batch_format="pandas")
     # near-dup pairs are sparse -> shuffle-free two-level min-merge
     from document_ai_ray.pipelines.ops import merge_partials
 
