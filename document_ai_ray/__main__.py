@@ -100,6 +100,11 @@ def cmd_report(args: argparse.Namespace) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(text)
+    if args.svg:
+        from document_ai_ray.pipelines.plots import svg_confusion_report
+
+        with open(args.svg, "w") as f:
+            f.write(svg_confusion_report(df))
     print(text)
     ray.shutdown()
     return 0
@@ -151,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--results", required=True, help="extract output dir (sharded)")
     r.add_argument("--golden", required=True, help="golden causes parquet")
     r.add_argument("--out", default=None, help="write the report here as well")
+    r.add_argument("--svg", default=None, help="also render the metrics as an SVG chart")
     r.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("sweep", help="seeded random hyperparameter search vs golden fixtures")

@@ -12,10 +12,10 @@ lines into blocks by vertical gaps.
 Real PDF rendering (poppler / pdfminer) is NOT available in this
 container; this module implements the text-extraction subset natively:
 object/stream scanning over classic-xref AND PDF 1.5+ xref-stream
-layouts, the /Filter chains FlateDecode / ASCIIHexDecode /
+layouts, the /Filter chains FlateDecode / LZWDecode / ASCIIHexDecode /
 ASCII85Decode / RunLengthDecode, indirect /Length resolution through
 /ObjStm object streams, and the BT/ET text-operator set (Tf, Td, TD,
-Tm, T*, Tj, TJ).  Out of scope (documented): LZWDecode, image codecs
+Tm, T*, Tj, TJ).  Out of scope (documented): image codecs
 (DCT/JPX/CCITT — pixels, not text), CID/ToUnicode composite fonts,
 encrypted files.  Any undecodable payload yields a
 ``pdf_parse_error`` row (never an exception), matching the reference's
@@ -68,6 +68,43 @@ def _ascii85_decode(b: bytes) -> bytes:
     return base64.a85decode(d, adobe=False)
 
 
+def _lzw_decode(b: bytes) -> bytes:
+    """/LZWDecode (PDF 32000-1 §7.4.4, EarlyChange=1): 9..12-bit codes
+    MSB-first, 256=clear, 257=EOD; the code width grows one code EARLY
+    relative to table fill (the PDF default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    buf = nbits = 0
+    for byte in b:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:                         # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:                         # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:                                   # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:   # EarlyChange=1
+                width += 1
+    return bytes(out)
+
+
 def _run_length_decode(b: bytes) -> bytes:
     """/RunLengthDecode: length byte L: 0..127 copy next L+1 bytes;
     129..255 repeat next byte 257-L times; 128 EOD."""
@@ -86,10 +123,10 @@ def _run_length_decode(b: bytes) -> bytes:
     return bytes(out)
 
 
-# full names + the inline-image abbreviations; image/unsupported codecs
-# (DCTDecode, JPXDecode, CCITTFaxDecode, JBIG2Decode, LZWDecode) are
-# absent on purpose -> _decode_stream returns None and the stream is
-# skipped (they carry pixels, not text operators)
+# full names + the inline-image abbreviations; image codecs
+# (DCTDecode, JPXDecode, CCITTFaxDecode, JBIG2Decode) are absent on
+# purpose -> _decode_stream returns None and the stream is skipped
+# (they carry pixels, not text operators)
 _FILTERS = {
     b"FlateDecode": zlib.decompress,
     b"Fl": zlib.decompress,
@@ -99,6 +136,8 @@ _FILTERS = {
     b"A85": _ascii85_decode,
     b"RunLengthDecode": _run_length_decode,
     b"RL": _run_length_decode,
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
 }
 
 

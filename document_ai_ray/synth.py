@@ -423,6 +423,52 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF /LZWDecode encoder (EarlyChange=1): greedy longest-match,
+    9..12-bit MSB-first codes, leading clear (256), trailing EOD (257),
+    table reset at 4095."""
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder adds its k-th entry one code LATER than we do
+        # (its first code after clear adds nothing), so its table holds
+        # next_code-1 entries when it reads our next emission; mirror
+        # its EarlyChange widen (len >= 2^w - 1) in those terms
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4095:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _encode_filters(content: bytes, filters: list[str]) -> bytes:
     """Apply stream encoders so that DECODING in `filters` order
     recovers `content` (i.e. encode in reverse order)."""
@@ -440,6 +486,8 @@ def _encode_filters(content: bytes, filters: list[str]) -> bytes:
             data = base64.a85encode(data, adobe=True)[2:]  # keep '~>' EOD
         elif name == "RunLengthDecode":
             data = _rle_encode(data)
+        elif name == "LZWDecode":
+            data = _lzw_encode(data)
         else:
             raise ValueError(f"no encoder for {name}")
     return data

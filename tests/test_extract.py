@@ -352,3 +352,32 @@ def test_pdf_filter_decoders_edge_cases():
     assert _run_length_decode(_rle_encode(b"")) == b""
     assert _run_length_decode(_rle_encode(b"abc")) == b"abc"
     assert _run_length_decode(_rle_encode(b"a" * 1000)) == b"a" * 1000
+
+
+def test_lzw_codec_roundtrip_and_pdf():
+    import random
+
+    from document_ai_ray.stages.pdf_extract import _lzw_decode, parse_pdf
+    from document_ai_ray.synth import _lzw_encode, make_real_pdf_bytes
+
+    rng = random.Random(5)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaa",          # KwKwK / repeat chains
+        b"TOBEORNOTTOBEORTOBEORNOT" * 40,
+        bytes(rng.randrange(4) for _ in range(20000)),   # forces width growth
+        bytes(rng.randrange(256) for _ in range(5000)),
+        bytes(rng.randrange(256) for _ in range(60000)), # saturates the table -> mid-stream clear
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    paras = ["lzw compressed content stream must round trip byte identical"]
+    want = parse_pdf(make_real_pdf_bytes("T", paras, compress=False))[1]
+    blocks, lines, err = parse_pdf(make_real_pdf_bytes("T", paras, filters=["LZWDecode"]))
+    assert err is None and lines == want
+    got2 = parse_pdf(
+        make_real_pdf_bytes("T", paras, filters=["ASCII85Decode", "LZWDecode"])
+    )
+    assert got2[2] is None and got2[1] == want

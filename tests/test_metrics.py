@@ -78,3 +78,40 @@ def test_engine_reproduces_golden_labels():
             assert r.precision == 1.0 and r.recall == 1.0
 
     assert len(mismatches(extract_pipeline(rd.from_arrow(pages_table(N))), golden).to_pandas()) == 0
+
+
+def test_svg_plots_render_valid_xml():
+    """SVG chart module (reference plotting parity): well-formed XML,
+    one bar per (metric, cause), block map draws every span."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    from document_ai_ray.pipelines.plots import (
+        svg_block_spans,
+        svg_confusion_report,
+        svg_grouped_bars,
+    )
+
+    conf = pd.DataFrame(
+        {"cause": ["empty", "short", "no_title"], "tp": [8, 3, 5], "fp": [1, 0, 2], "fn": [2, 1, 0]}
+    )
+    svg = svg_confusion_report(conf)
+    root = ET.fromstring(svg)                      # well-formed
+    rects = [e for e in root.iter() if e.tag.endswith("rect")]
+    assert len(rects) == 1 + 3 * 3                 # background + 3 metrics x 3 causes
+    assert "precision" in svg and "recall" in svg and "f1" in svg
+
+    svg2 = svg_grouped_bars(conf, "cause", ["tp"], title="tp & <causes>")
+    ET.fromstring(svg2)
+    assert "&amp;" in svg2 and "&lt;causes&gt;" in svg2   # titles are escaped
+
+    blocks = [
+        {"start": 0, "end": 40, "kind": "heading"},
+        {"start": 45, "end": 200, "kind": "para"},
+        {"start": 210, "end": 300, "kind": "para"},
+    ]
+    svg3 = svg_block_spans(blocks, doc_len=300)
+    root3 = ET.fromstring(svg3)
+    rects3 = [e for e in root3.iter() if e.tag.endswith("rect")]
+    assert len(rects3) == 1 + len(blocks)
