@@ -161,3 +161,63 @@ def extract_warc_roundtrip(sf_dir: str):
     paths = sorted(r["path"] for r in manifest)
     pages = read_warc(paths)
     return extract_pipeline(pages).select_columns(["url", "extracted_text"])
+
+
+@register(
+    "extract_pdf_filters_roundtrip",
+    oracle=(
+        "SELECT 'fpdf://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted_text "
+        "FROM documents"
+    ),
+)
+def extract_pdf_filters_roundtrip(sf_dir: str):
+    """Byte-identity through a MIXED real-PDF corpus: each document is
+    written with a doc_id-rotated /Filter chain (FlateDecode,
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode, an
+    ASCII85+Flate chain), every third doc uses the PDF 1.5 xref-stream
+    layout (indirect /Length via /ObjStm), every other doc encodes its
+    text as hex strings, and every fifth classic-layout doc uses a
+    Type0/Identity-H CID font with a /ToUnicode CMap — the
+    heterogeneous mix a real Common-Crawl PDF slice contains.  The
+    pipeline must return exactly the original text per url."""
+    from document_ai_ray.config import PAGES_SCHEMA
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.synth import EPOCH, make_real_pdf_bytes
+
+    chains = [
+        ["FlateDecode"],
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["RunLengthDecode"],
+        ["LZWDecode"],
+        ["ASCII85Decode", "FlateDecode"],
+    ]
+
+    def to_pdf_pages(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist(), t.column("lang").to_pylist()
+        ):
+            rows.append(
+                {
+                    "url": f"fpdf://{doc_id}",
+                    "warc_ts": EPOCH,
+                    "html": make_real_pdf_bytes(
+                        "",
+                        [text],
+                        filters=chains[doc_id % len(chains)],
+                        xref_stream=(doc_id % 3 == 0),
+                        hex_strings=(doc_id % 2 == 0),
+                        cid_font=(doc_id % 3 != 0 and doc_id % 5 == 0),
+                    ),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        to_pdf_pages, batch_format="pyarrow"
+    )
+    return extract_pipeline(pages).select_columns(["url", "extracted_text"])

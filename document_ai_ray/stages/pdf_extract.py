@@ -195,6 +195,78 @@ def _indirect_ints(payload: bytes) -> dict[int, int]:
     return out
 
 
+# --- CID / ToUnicode composite fonts (PDF 32000-1 §9.7, §9.10) --------------
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_OBJ_BODY_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap -> {2-byte code: unicode string} from bfchar and
+    bfrange sections (both the increment and the array form)."""
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for sm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            src = int(sm.group(1), 16)
+            out[src] = bytes.fromhex(sm.group(2).decode("ascii")).decode(
+                "utf-16-be", "replace"
+            )
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            lo, hi = int(sm.group(1), 16), int(sm.group(2), 16)
+            dst0 = int(sm.group(3), 16)
+            for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                out[c] = chr(dst0 + (c - lo))
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.DOTALL
+        ):
+            lo = int(sm.group(1), 16)
+            for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", sm.group(3))):
+                out[lo + k] = bytes.fromhex(d.decode("ascii")).decode(
+                    "utf-16-be", "replace"
+                )
+    return out
+
+
+def _font_cmaps(payload: bytes) -> dict[bytes, dict[int, str]]:
+    """{font resource name (b"F1"): code->unicode map} for every font
+    whose object carries a /ToUnicode CMap stream.  Fonts without one
+    keep the simple-font byte decode."""
+    cmaps: dict[bytes, dict[int, str]] = {}
+    if b"/ToUnicode" not in payload:
+        return cmaps
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_BODY_RE.finditer(payload)}
+    for fm in _FONT_RES_RE.finditer(payload):
+        for em in _FONT_ENTRY_RE.finditer(fm.group(1)):
+            fname, onum = em.group(1), int(em.group(2))
+            body = objs.get(onum)
+            if body is None:
+                continue
+            tum = _TOUNICODE_REF_RE.search(body)
+            if tum is None:
+                continue
+            tobj = objs.get(int(tum.group(1)))
+            if tobj is None:
+                continue
+            dm = _DICT_STREAM_RE.search(tobj)
+            if dm is None:
+                continue
+            sbody = _stream_body(tobj, dm, {})
+            if sbody is None:
+                continue
+            try:
+                data = _decode_stream(dm.group(1), sbody)
+            except Exception:
+                continue
+            if data:
+                cmaps[fname] = _parse_cmap(data)
+    return cmaps
+
+
 def _stream_body(payload: bytes, dm: "re.Match", lengths: dict[int, int]) -> bytes | None:
     """Raw body of the stream whose dict matched `dm`: direct /Length,
     else indirect /Length resolved via `lengths`, else endstream
@@ -243,6 +315,7 @@ def _iter_streams(payload: bytes):
 # content-stream tokens we care about: strings, numbers, names, operators
 _CS_TOKEN = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)"          # literal string
+    rb"|<(?!<)([0-9A-Fa-f\s]*)>"        # hex string (not a << dict)
     rb"|(/[^\s\[\]()<>/]+)"             # name
     rb"|(-?[0-9.]+)"                    # number
     rb"|(\[|\])"                        # array delims
@@ -280,10 +353,13 @@ def _unescape_pdf_string(b: bytes) -> bytes:
     return bytes(out)
 
 
-def _tokenize_content(content: bytes):
+def _tokenize_content(content: bytes, cmaps: dict[bytes, dict[int, str]] | None = None):
     """-> (y, x, size, text) items from BT/ET text blocks.  Supports the
     common operator subset: Tf (font+size), Td/TD (line-matrix
-    translate), Tm (set matrix), T* (next line), Tj and TJ (show)."""
+    translate), Tm (set matrix), T* (next line), Tj and TJ (show).
+    When the current Tf font has a ToUnicode CMap in `cmaps`, show
+    strings are decoded as big-endian 2-byte CID codes through it
+    (Identity-H composite fonts); otherwise as simple-font bytes."""
     items = []
     x = y = 0.0
     size = 12
@@ -291,13 +367,31 @@ def _tokenize_content(content: bytes):
     stack_nums: list[float] = []
     pending_str: list[bytes] = []
     in_array = False
+    last_name = b""
+    cur_cmap: dict[int, str] | None = None
+
+    def show_text() -> str:
+        raw = b"".join(pending_str)
+        if cur_cmap is not None:
+            return "".join(
+                cur_cmap.get(int.from_bytes(raw[k : k + 2], "big"), "�")
+                for k in range(0, len(raw) - 1, 2)
+            )
+        return raw.decode("utf-8", "replace")
     for m in _CS_TOKEN.finditer(content):
-        lit, name, num, delim, op = m.groups()
+        lit, hexs, name, num, delim, op = m.groups()
+        if hexs is not None:
+            # hex string: whitespace ignored, odd trailing digit padded
+            h = bytes(c for c in hexs if c not in b" \t\r\n\f\0")
+            if len(h) % 2:
+                h += b"0"
+            lit = bytes.fromhex(h.decode("ascii"))
         if lit is not None:
+            s = _unescape_pdf_string(lit) if hexs is None else lit
             if in_array:
-                pending_str.append(_unescape_pdf_string(lit))
+                pending_str.append(s)
             else:
-                pending_str = [_unescape_pdf_string(lit)]
+                pending_str = [s]
             continue
         if num is not None:
             try:
@@ -313,11 +407,13 @@ def _tokenize_content(content: bytes):
             in_array = False
             continue
         if name is not None:
+            last_name = name[1:]                    # strip leading '/'
             continue
         ops = op
         if ops == b"Tf" and stack_nums:
             size = int(stack_nums[-1])
             leading = size * 1.2
+            cur_cmap = (cmaps or {}).get(last_name)
         elif ops in (b"Td", b"TD") and len(stack_nums) >= 2:
             x += stack_nums[-2]
             y += stack_nums[-1]
@@ -329,11 +425,8 @@ def _tokenize_content(content: bytes):
             y -= leading
         elif ops == b"BT":
             x = y = 0.0
-        elif ops == b"Tj" and pending_str:
-            items.append((y, x, size, b"".join(pending_str).decode("utf-8", "replace")))
-            pending_str = []
-        elif ops == b"TJ" and pending_str:
-            items.append((y, x, size, b"".join(pending_str).decode("utf-8", "replace")))
+        elif ops in (b"Tj", b"TJ") and pending_str:
+            items.append((y, x, size, show_text()))
             pending_str = []
         stack_nums.clear()
     return items
@@ -350,13 +443,14 @@ def _real_pdf_items(payload: bytes):
     top-level and /ObjStm integer objects.  Undecodable streams -> no
     items (caller reports pdf_parse_error)."""
     items = []
+    cmaps = _font_cmaps(payload)
     for dict_src, body in _iter_streams(payload):
         try:
             content = _decode_stream(dict_src, body)
         except Exception:
             continue  # corrupt stream: row-level degradation, not a crash
         if content and b"BT" in content:
-            items.extend(_tokenize_content(content))
+            items.extend(_tokenize_content(content, cmaps))
     return items
 
 

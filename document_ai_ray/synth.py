@@ -499,6 +499,8 @@ def make_real_pdf_bytes(
     compress: bool = True,
     filters: list[str] | None = None,
     xref_stream: bool = False,
+    hex_strings: bool = False,
+    cid_font: bool = False,
 ) -> bytes:
     """A minimal REAL-format single-page PDF (header, catalog/pages/
     page/font objects, filtered content stream, xref, trailer) whose
@@ -533,10 +535,47 @@ def make_real_pdf_bytes(
             lines.append((72.0, y, 12, cur))
             y -= 15
         y -= 12
+    cmap_stream: bytes | None = None
     parts = []
-    for x, yy, size, text in lines:
-        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-        parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td ({esc}) Tj ET")
+    if cid_font:
+        # Identity-H-style Type0 font: every distinct char gets a
+        # 2-byte CID, text shows as <code code ...>, and a /ToUnicode
+        # CMap stream maps the CIDs back to Unicode
+        assert not xref_stream, "cid_font fixture uses the classic layout"
+        chars = sorted({c for _, _, _, text in lines for c in text})
+        code_of = {c: i + 1 for i, c in enumerate(chars)}
+        for x, yy, size, text in lines:
+            codes = "".join(f"{code_of[c]:04x}" for c in text)
+            parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td <{codes}> Tj ET")
+        cm = [
+            "/CIDInit /ProcSet findresource begin",
+            "12 dict begin",
+            "begincmap",
+            "1 begincodespacerange",
+            "<0000> <ffff>",
+            "endcodespacerange",
+        ]
+        items = [(code_of[c], c) for c in chars]
+        for i in range(0, len(items), 100):        # spec: <=100 per bfchar block
+            chunk = items[i : i + 100]
+            cm.append(f"{len(chunk)} beginbfchar")
+            for code, ch in chunk:
+                cm.append(f"<{code:04x}> <{ch.encode('utf-16-be').hex()}>")
+            cm.append("endbfchar")
+        cm += ["endcmap", "end", "end"]
+        import zlib as _z
+
+        cmap_stream = _z.compress("\n".join(cm).encode("ascii"))
+    else:
+        for x, yy, size, text in lines:
+            if hex_strings:
+                # hex-string form <48656c6c6f> Tj — common in real PDFs
+                parts.append(
+                    f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td <{text.encode('utf-8').hex()}> Tj ET"
+                )
+            else:
+                esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+                parts.append(f"BT /F1 {size} Tf {x:.1f} {yy:.1f} Td ({esc}) Tj ET")
     content = "\n".join(parts).encode("utf-8")
     if filters is None:
         filters = ["FlateDecode"] if compress else []
@@ -592,8 +631,18 @@ def make_real_pdf_bytes(
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
         b"<< /Length %d %s>>\nstream\n%s\nendstream" % (len(body_stream), filt, body_stream),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+            if cid_font
+            else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
     ]
+    if cid_font:
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(cmap_stream), cmap_stream)
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, obj in enumerate(objs, start=1):

@@ -381,3 +381,56 @@ def test_lzw_codec_roundtrip_and_pdf():
         make_real_pdf_bytes("T", paras, filters=["ASCII85Decode", "LZWDecode"])
     )
     assert got2[2] is None and got2[1] == want
+
+
+def test_real_pdf_hex_strings_roundtrip():
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    paras = ["hex string form must decode to the same text including café accents"]
+    want = parse_pdf(make_real_pdf_bytes("T", paras, compress=False))[1]
+    blocks, lines, err = parse_pdf(
+        make_real_pdf_bytes("T", paras, compress=False, hex_strings=True)
+    )
+    assert err is None and lines == want
+    # hex strings survive a filter chain too
+    got2 = parse_pdf(
+        make_real_pdf_bytes("T", paras, filters=["LZWDecode"], hex_strings=True)
+    )
+    assert got2[2] is None and got2[1] == want
+
+
+def test_real_pdf_cid_tounicode_roundtrip():
+    """Type0/Identity-H composite font: 2-byte CID hex strings decoded
+    through the /ToUnicode CMap must round-trip byte-identically."""
+    from document_ai_ray.stages.pdf_extract import parse_pdf
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    paras = ["composite font text with accents café & symbols <>()[] preserved exactly"]
+    want = parse_pdf(make_real_pdf_bytes("Title Words", paras, compress=False))[1]
+    blocks, lines, err = parse_pdf(
+        make_real_pdf_bytes("Title Words", paras, cid_font=True)
+    )
+    assert err is None
+    assert lines == want
+    # cid + non-Flate outer chain
+    got2 = parse_pdf(
+        make_real_pdf_bytes("Title Words", paras, cid_font=True, filters=["ASCII85Decode"])
+    )
+    assert got2[2] is None and got2[1] == want
+
+
+def test_parse_cmap_bfrange_forms():
+    from document_ai_ray.stages.pdf_extract import _parse_cmap
+
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00e9>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0020> <0021> [<0058> <005a>]\nendbfrange\n"
+        b"endcmap\n"
+    )
+    m = _parse_cmap(cmap)
+    assert m[1] == "A" and m[2] == "é"
+    assert m[0x10] == "a" and m[0x11] == "b" and m[0x12] == "c"
+    assert m[0x20] == "X" and m[0x21] == "Z"
