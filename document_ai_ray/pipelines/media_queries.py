@@ -49,3 +49,53 @@ def media_resize_then_decode(sf_dir: str):
     from document_ai_ray.stages.multimodal import media_features, resize_media
 
     return media_features(resize_media(_media_dataset(), width=32, height=32))
+
+
+def _real_media_dataset():
+    """Mixed REAL-format corpus: BMP and PPM images + PCM WAV clips,
+    synthesized deterministically in-task (numpy arrays -> real
+    container bytes via the module's encoders)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            rng = np.random.RandomState(i)
+            kind = i % 3
+            if kind == 0:
+                w, h = 16 + (i % 5) * 8, 24
+                payload = encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                mt, meta = "image/bmp", {"width": w, "height": h, "sample_rate": 0}
+            elif kind == 1:
+                w, h = 20, 16 + (i % 4) * 4
+                payload = encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                mt, meta = "image/x-portable-pixmap", {"width": w, "height": h, "sample_rate": 0}
+            else:
+                n, sr = 800 + (i % 7) * 100, 8000
+                t = np.arange(n) / sr
+                payload = encode_wav(0.5 * np.sin(2 * np.pi * (200 + i) * t), sr)
+                mt, meta = "audio/wav", {"width": 0, "height": 0, "sample_rate": sr}
+            rows.append({"media_id": i, "media_type": mt, "payload": payload, "meta": meta})
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(N_MEDIA, override_num_blocks=8).map_batches(gen, batch_format="pyarrow")
+
+
+@register("media_real_decode")
+def media_real_decode(sf_dir: str):
+    """REAL decode path: BMP/PPM pixel grids and PCM WAV samples are
+    actually decoded (pure numpy / stdlib wave) and feature-extracted
+    (gray-block means, RMS envelopes) — no stub involved.  Rows-only
+    check (binary payloads have no SQL analogue); decode correctness
+    is pinned by tests/test_multimodal.py round-trips.  sf_dir unused."""
+    from document_ai_ray.stages.multimodal import media_features, resize_media
+
+    return media_features(resize_media(_real_media_dataset(), width=12, height=12))

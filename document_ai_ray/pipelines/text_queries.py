@@ -291,3 +291,103 @@ def tfidf_top_terms(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return tfidf_topk(ds, k=5)
+
+
+from document_ai_ray.stages.text_analysis import (  # noqa: E402
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    chunk_batch,
+    pii_scrub_batch,
+)
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+  len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+  len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IPV4_RE}')) AS n_ip,
+  len(regexp_extract_all(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}')) AS n_phone
+FROM documents
+"""
+
+
+@register("pii_scrub_docs", oracle=_PII_ORACLE)
+def pii_scrub_docs(sf_dir: str):
+    """PII redaction (emails / IPv4 / intl phone numbers) with per-kind
+    counts — the C4/RefinedWeb-style pre-training scrub, one stateless
+    vectorizable pass; the SAME RE2-compatible patterns run in Python
+    and in the DuckDB oracle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+         ws[CAST(t.i*{_CHUNK_STRIDE}+1 AS BIGINT):CAST(t.i*{_CHUNK_STRIDE}+{_CHUNK_SIZE} AS BIGINT)] AS win
+  FROM w, UNNEST(generate_series(0, CAST(floor((len(ws)-1)/{_CHUNK_STRIDE}) AS BIGINT))) AS t(i))
+SELECT doc_id, chunk_idx, array_to_string(win, ' ') AS chunk_text,
+       len(win) AS n_tokens
+FROM c
+"""
+
+
+@register("chunk_docs", oracle=_CHUNK_ORACLE)
+def chunk_docs(sf_dir: str):
+    """Fixed-window token chunking with overlap (size {0}, stride {1})
+    — the training-sample windowing step; one flat-map pass, chunk
+    boundaries byte-identical to the SQL list-slice oracle.""".format(
+        _CHUNK_SIZE, _CHUNK_STRIDE
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: chunk_batch(t, _CHUNK_SIZE, _CHUNK_STRIDE), batch_format="pyarrow"
+    )
+
+
+from document_ai_ray.stages.text_analysis import (  # noqa: E402
+    REP_DUP_2GRAM_MAX,
+    REP_DUP_LINE_MAX,
+    repetition_batch,
+)
+
+_REP_ORACLE = f"""
+WITH l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM documents),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+lf AS (SELECT doc_id,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_line_frac
+       FROM lc GROUP BY 1),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, ws[CAST(t.i AS BIGINT)] || ' ' || ws[CAST(t.i+1 AS BIGINT)] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+gf AS (SELECT doc_id,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_2gram_frac
+       FROM gc GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(COALESCE(lf.dup_line_frac, 0.0), 6) AS dup_line_frac,
+       ROUND(COALESCE(gf.dup_2gram_frac, 0.0), 6) AS dup_2gram_frac,
+       (COALESCE(lf.dup_line_frac, 0.0) <= {REP_DUP_LINE_MAX}
+        AND COALESCE(gf.dup_2gram_frac, 0.0) <= {REP_DUP_2GRAM_MAX}) AS keep
+FROM documents d
+LEFT JOIN lf ON lf.doc_id = d.doc_id
+LEFT JOIN gf ON gf.doc_id = d.doc_id
+"""
+
+
+@register("repetition_filter_docs", oracle=_REP_ORACLE)
+def repetition_filter_docs(sf_dir: str):
+    """Gopher-style within-document repetition filter: duplicated-line
+    and duplicated-2gram occurrence fractions + the keep decision —
+    one stateless pass per document, no shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")

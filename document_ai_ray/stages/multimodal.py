@@ -2,13 +2,21 @@
 
 Image/audio/video payloads are carried as `binary` columns with a
 `media_type` string and a `meta` struct; decode / feature-extract /
-resize / frame-sample are actor-pool `map_batches` stages.  The
-image/audio codec libraries are NOT in this container, so the actual
-decode is STUBBED: `DecodeMedia` either raises NotImplementedError
-(strict mode) or runs a deterministic fake decoder that parses the
-synthetic payload header — the Ray-side plumbing (schema, batching,
-actor signature, per-row error semantics, output layout) is real and
-tested.
+resize / frame-sample are actor-pool `map_batches` stages.
+
+Decode support is format-tiered:
+
+- REAL pure-Python/numpy decoders for the raw container formats:
+  BMP (uncompressed 24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
+  WAV (PCM 8/16-bit, stdlib `wave`).  These decode to pixel/sample
+  arrays and feed real feature extraction (4x4 gray-block means for
+  images, 16 RMS window energies for audio) and real nearest-neighbor
+  image resize with re-encode.
+- COMPRESSED codecs (PNG/JPEG/MP3/MP4...) need libraries absent from
+  this container and stay STUBBED: strict mode raises
+  NotImplementedError; non-strict emits the per-row error column.
+- The `SYNM` synthetic payload keeps the deterministic fake decoder
+  for plumbing tests.
 """
 
 from __future__ import annotations
@@ -17,6 +25,126 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+# --- real raw-format decoders ----------------------------------------------
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP -> (h, w, 3) uint8 RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    _hsz, w, h = struct.unpack_from("<Iii", b, 14)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={comp} bpp={bpp} unsupported")
+    flip = h > 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = arr.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)[:, :, :3][..., ::-1]
+    return px[::-1] if flip else px
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP."""
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1][..., ::-1].reshape(h, w * 3)      # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (h, w, 3) uint8 RGB."""
+    if b[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":                  # comment to EOL
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    i += 1                                        # single whitespace after maxval
+    w, h, maxv = (int(t) for t in toks)
+    if maxv > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    ch = 3 if b[:2] == b"P6" else 1
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i).reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if ch == 1 else px
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 samples in [-1, 1] (mono-mixed), rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b)) as f:
+        nch, sw, rate = f.getnchannels(), f.getsampwidth(), f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if sw == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit WAV unsupported")
+    if nch > 1:
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(axis=1)
+    return s, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM mono WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _image_features(px: np.ndarray, dim: int = 16) -> np.ndarray:
+    """4x4 grid of grayscale block means in [0, 1] — a real, classic
+    image descriptor (tiny 'thumbnail embedding')."""
+    gray = px.astype(np.float32).mean(axis=2)
+    side = int(dim ** 0.5)
+    feats = [
+        blk.mean() if blk.size else 0.0
+        for row in np.array_split(gray, side, axis=0)
+        for blk in np.array_split(row, side, axis=1)
+    ]
+    return (np.array(feats, dtype=np.float32) / 255.0)[:dim]
+
+
+def _audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """RMS energy over `dim` equal windows — a real audio envelope."""
+    chunks = np.array_split(samples.astype(np.float64), dim)
+    return np.array(
+        [np.sqrt((c ** 2).mean()) if len(c) else 0.0 for c in chunks], dtype=np.float32
+    )
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -50,11 +178,13 @@ def make_media_payload(media_id: int, width: int, height: int, sample_rate: int 
 class DecodeMedia:
     """Actor-pool stage: decode + fixed-dim feature extraction.
 
-    strict=True raises NotImplementedError for real codecs (the honest
-    behavior without image/audio libs); strict=False runs the
-    deterministic fake decoder on synthetic payloads.  Batch size for
-    media stages must be small (payloads dominate block size — cap
-    batches by bytes, SURVEY.md §4 skew row)."""
+    Raw containers (BMP, PPM/PGM, WAV) decode for REAL (see module
+    docstring); compressed codecs are stubbed — strict=True raises
+    NotImplementedError, strict=False emits the per-row error column;
+    the `SYNM` synthetic payload keeps the fake decoder for plumbing
+    tests.  Batch size for media stages must be small (payloads
+    dominate block size — cap batches by bytes, SURVEY.md §4 skew
+    row)."""
 
     FEATURE_DIM = 16
 
@@ -62,10 +192,16 @@ class DecodeMedia:
         self.strict = strict
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return _image_features(decode_bmp(payload), self.FEATURE_DIM)
+        if payload[:2] in (b"P6", b"P5"):
+            return _image_features(decode_ppm(payload), self.FEATURE_DIM)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _audio_features(decode_wav(payload)[0], self.FEATURE_DIM)
         if payload[:4] != _MAGIC:
             if self.strict:
                 raise NotImplementedError(
-                    "real image/audio decoding requires codec libraries not present in this environment"
+                    "compressed codecs (png/jpeg/mp3/...) require libraries not present in this environment"
                 )
             raise ValueError("unknown payload format")
         w, h, sr = struct.unpack("<III", payload[4:16])
@@ -126,10 +262,23 @@ class ResizeMedia:
     def __init__(self, width: int, height: int, strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
 
+    def _nn(self, px: np.ndarray) -> np.ndarray:
+        """Nearest-neighbor resample to (self.h, self.w)."""
+        h, w, _ = px.shape
+        ri = (np.arange(self.h) * h // self.h).clip(0, h - 1)
+        ci = (np.arange(self.w) * w // self.w).clip(0, w - 1)
+        return px[ri][:, ci]
+
     def _resize(self, payload: bytes) -> bytes:
+        if payload[:2] == b"BM":                  # real image resize + re-encode
+            return encode_bmp(self._nn(decode_bmp(payload)))
+        if payload[:2] in (b"P6", b"P5"):
+            return encode_ppm(self._nn(decode_ppm(payload)))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return payload                        # resize is an image op; audio passes through
         if payload[:4] != _MAGIC:
             if self.strict:
-                raise NotImplementedError("real image resize requires codec libraries")
+                raise NotImplementedError("compressed-codec resize requires libraries not present")
             raise ValueError("unknown payload format")
         body = np.frombuffer(payload[16:], dtype=np.uint8)
         _, _, sr = struct.unpack("<III", payload[4:16])

@@ -203,3 +203,123 @@ def approx_distinct_ngrams_per_lang(ds, n: int = 3, k: int = 256):
     # ops.merge_partials for why batch_size alone is not a guarantee)
     merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + fixed-window token chunking (training-data prep ops)
+# ---------------------------------------------------------------------------
+
+# Patterns are written in the RE2-compatible subset so the SAME strings
+# run in Python `re` and in DuckDB's regexp_replace (the oracle).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{7,15}\b"
+
+
+def pii_scrub_batch(t: "pa.Table", id_col: str = "doc_id", text_col: str = "text") -> "pa.Table":
+    """Redact emails / IPv4 addresses / international phone numbers
+    (the C4/RefinedWeb-style pre-training scrub) and count each kind.
+    Replacement order is fixed (email, ip, phone) and mirrored in the
+    SQL oracle."""
+    import re
+
+    import pyarrow as pa
+
+    email = re.compile(PII_EMAIL_RE)
+    ipv4 = re.compile(PII_IPV4_RE)
+    phone = re.compile(PII_PHONE_RE)
+    clean, n_e, n_i, n_p = [], [], [], []
+    for txt in t.column(text_col).to_pylist():
+        s = txt or ""
+        n_e.append(len(email.findall(s)))
+        s = email.sub("<EMAIL>", s)
+        n_i.append(len(ipv4.findall(s)))
+        s = ipv4.sub("<IP>", s)
+        n_p.append(len(phone.findall(s)))
+        s = phone.sub("<PHONE>", s)
+        clean.append(s)
+    return pa.Table.from_arrays(
+        [
+            t.column(id_col),
+            pa.array(clean, pa.string()),
+            pa.array(n_e, pa.int64()),
+            pa.array(n_i, pa.int64()),
+            pa.array(n_p, pa.int64()),
+        ],
+        names=[id_col, "clean_text", "n_email", "n_ip", "n_phone"],
+    )
+
+
+def chunk_batch(
+    t: "pa.Table",
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Fixed-window token chunking with overlap (the training-sample
+    windowing step): tokens are split on single spaces (byte-parity
+    with SQL string_split), windows start at 0, stride, 2*stride ...
+    while start < n_tokens.  One input row -> ceil(max flat_map) rows
+    (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    import pyarrow as pa
+
+    ids_out, idx_out, text_out, n_out = [], [], [], []
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        toks = (txt or "").split(" ")
+        for k, start in enumerate(range(0, max(1, len(toks)), stride)):
+            window = toks[start : start + size]
+            ids_out.append(i)
+            idx_out.append(k)
+            text_out.append(" ".join(window))
+            n_out.append(len(window))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids_out, pa.int64()),
+            pa.array(idx_out, pa.int64()),
+            pa.array(text_out, pa.string()),
+            pa.array(n_out, pa.int64()),
+        ],
+        names=[id_col, "chunk_idx", "chunk_text", "n_tokens"],
+    )
+
+
+# Gopher/MassiveText-style repetition thresholds (Rae et al. 2021,
+# table A1 spirit): docs above either fraction are near-template spam
+REP_DUP_LINE_MAX = 0.3
+REP_DUP_2GRAM_MAX = 0.2
+
+
+def repetition_batch(t: "pa.Table", id_col: str = "doc_id", text_col: str = "text") -> "pa.Table":
+    """Within-document repetition metrics (the Gopher quality rules a
+    pre-training corpus filter runs): fraction of line occurrences
+    belonging to duplicated lines, fraction of word-2gram occurrences
+    belonging to duplicated 2-grams, and the keep decision."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    ids, dl, dg, keep = [], [], [], []
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        s = txt or ""
+        lines = Counter(s.split("\n"))
+        tot_l = sum(lines.values())
+        dup_l = sum(c for c in lines.values() if c > 1) / tot_l if tot_l else 0.0
+        ws = s.split(" ")
+        grams = Counter(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        tot_g = sum(grams.values())
+        dup_g = sum(c for c in grams.values() if c > 1) / tot_g if tot_g else 0.0
+        ids.append(i)
+        dl.append(np.floor(abs(dup_l) * 1e6 + 0.5) / 1e6)   # ROUND(...,6), >= 0
+        dg.append(np.floor(abs(dup_g) * 1e6 + 0.5) / 1e6)
+        keep.append(dup_l <= REP_DUP_LINE_MAX and dup_g <= REP_DUP_2GRAM_MAX)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(dl, pa.float64()),
+            pa.array(dg, pa.float64()),
+            pa.array(keep, pa.bool_()),
+        ],
+        names=[id_col, "dup_line_frac", "dup_2gram_frac", "keep"],
+    )

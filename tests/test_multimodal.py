@@ -53,3 +53,72 @@ def test_sample_frames_explodes_and_strides():
     assert list(g["frame_idx"]) == sorted(g["frame_idx"])
     assert all(i % 2 == 0 for i in g["frame_idx"])  # stride respected
     assert (g["frame"].str.len() > 0).all()
+
+
+def test_real_bmp_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import (
+        ResizeMedia,
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)   # odd width -> row padding
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+
+    rz = ResizeMedia(width=4, height=6)
+    out = decode_bmp(rz._resize(encode_bmp(px)))
+    assert out.shape == (6, 4, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src = {tuple(p) for row in px for p in row}
+    assert all(tuple(p) in src for row in out for p in row)
+
+
+def test_real_wav_roundtrip_and_features():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import (
+        DecodeMedia,
+        _audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(1600) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got, rate = decode_wav(encode_wav(tone, sr))
+    assert rate == sr and len(got) == len(tone)
+    assert np.abs(got - tone).max() < 1e-3                  # 16-bit quantization only
+
+    f = _audio_features(got)
+    assert len(f) == 16
+    assert np.allclose(f, 0.5 / np.sqrt(2), atol=0.02)      # RMS of a 0.5 sine
+
+    silence = encode_wav(np.zeros(500), sr)
+    fs = DecodeMedia()._decode(silence)
+    assert np.allclose(fs, 0.0, atol=1e-4)
+
+
+def test_real_image_features_constant_color():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import DecodeMedia, encode_bmp
+
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    f = DecodeMedia()._decode(encode_bmp(px))
+    assert len(f) == 16 and np.allclose(f, 200 / 255.0, atol=1e-6)
+
+
+def test_media_real_decode_query_no_errors():
+    from document_ai_ray.pipelines.media_queries import media_real_decode
+
+    rows = media_real_decode("unused").take_all()
+    assert len(rows) == 200
+    assert all(r["error"] is None for r in rows)            # every format REALLY decoded
+    assert all(any(v > 0 for v in r["features"]) for r in rows)

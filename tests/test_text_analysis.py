@@ -132,3 +132,54 @@ def test_kmv_sketch_accuracy_and_merge(sf_small):
         est = got.loc[lang, "approx_distinct"]
         rel = abs(est - len(s)) / len(s)
         assert rel < 0.25, f"{lang}: est {est} vs exact {len(s)} (rel {rel:.3f})"
+
+
+def test_pii_scrub_batch_crafted():
+    import pyarrow as pa
+
+    from document_ai_ray.stages.text_analysis import pii_scrub_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@corp.example.com or call +4915123456789 now",
+                "server 192.168.0.1 and 10.0.0.255 are up",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = pii_scrub_batch(t).to_pylist()
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1 and out[0]["n_ip"] == 0
+    assert out[1]["clean_text"] == "server <IP> and <IP> are up"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["clean_text"] == "nothing sensitive here"
+    assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+
+
+def test_chunk_batch_windows():
+    import pyarrow as pa
+
+    from document_ai_ray.stages.text_analysis import chunk_batch
+
+    t = pa.table({"doc_id": [7, 8], "text": ["w1 w2 w3 w4 w5 w6 w7", ""]})
+    out = chunk_batch(t, size=3, stride=2).to_pylist()
+    d7 = [r for r in out if r["doc_id"] == 7]
+    assert [r["chunk_text"] for r in d7] == ["w1 w2 w3", "w3 w4 w5", "w5 w6 w7", "w7"]
+    assert [r["n_tokens"] for r in d7] == [3, 3, 3, 1]
+    d8 = [r for r in out if r["doc_id"] == 8]
+    assert len(d8) == 1 and d8[0]["chunk_text"] == ""      # empty doc -> one empty chunk
+
+
+def test_repetition_batch_metrics():
+    import pyarrow as pa
+
+    from document_ai_ray.stages.text_analysis import repetition_batch
+
+    spam = "\n".join(["buy now"] * 8 + ["unique line"])     # 8/9 duplicated lines
+    clean = "every line here\nis totally different\nfrom the others entirely"
+    t = pa.table({"doc_id": [1, 2], "text": [spam, clean]})
+    out = {r["doc_id"]: r for r in repetition_batch(t).to_pylist()}
+    assert out[1]["dup_line_frac"] > 0.8 and not out[1]["keep"]
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["keep"]
