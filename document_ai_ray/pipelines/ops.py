@@ -539,10 +539,12 @@ def grouped_topk(
         df = df.sort_values(cols, ascending=asc, kind="mergesort")
         return df.groupby(keys, as_index=False, sort=False).head(k)
 
-    return (
-        pruned.map_batches(add_kb, batch_format="pyarrow", batch_size=1 << 18)
-        .groupby("__kb")
-        .map_groups(lambda g: final(g.drop(columns=["__kb"])), batch_format="pandas")
+    return bucket_map_groups(
+        pruned.map_batches(add_kb, batch_format="pyarrow", batch_size=1 << 18),
+        "__kb",
+        final,
+        n_buckets,
+        batch_format="pandas",
     )
 
 

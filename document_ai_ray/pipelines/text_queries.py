@@ -391,3 +391,50 @@ def repetition_filter_docs(sf_dir: str):
     one stateless pass per document, no shuffle."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+_DECON_N, _DECON_MOD = 8, 50
+
+_DECON_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i+{_DECON_N - 1} AS BIGINT)], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - {_DECON_N - 1})) AS t(i)),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+ov AS (SELECT g.doc_id, COUNT(*) AS n_overlap FROM g JOIN eg USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+"""
+
+
+@register("decontaminate_docs", oracle=_DECON_ORACLE)
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag training documents sharing any
+    {0}-word-gram with the (deterministic doc_id % {1} == 0) benchmark
+    subset.  Eval grams are collected once (small by definition),
+    broadcast via ray.put, and every doc is annotated in one
+    shuffle-free pass — at 100 TB only the corpus STREAMS; the eval
+    set never re-ships per batch.""".format(_DECON_N, _DECON_MOD)
+    import ray
+
+    from document_ai_ray.stages.text_analysis import (
+        contamination_batch,
+        eval_grams_batch,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = docs.map_batches(
+        lambda t: eval_grams_batch(t, _DECON_N, _DECON_MOD), batch_format="pyarrow"
+    )
+    egrams: set[str] = set()
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        egrams.update(batch.column("gram").to_pylist())
+    ref = ray.put(egrams)
+    docs2 = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs2.map_batches(
+        contamination_batch,
+        fn_kwargs={"eval_ref": (ref,), "n": _DECON_N},
+        batch_format="pyarrow",
+    )

@@ -323,3 +323,52 @@ def repetition_batch(t: "pa.Table", id_col: str = "doc_id", text_col: str = "tex
         ],
         names=[id_col, "dup_line_frac", "dup_2gram_frac", "keep"],
     )
+
+
+def eval_grams_batch(
+    t: "pa.Table", n: int, id_filter_mod: int, id_col: str = "doc_id", text_col: str = "text"
+) -> "pa.Table":
+    """Distinct word-n-gram STRINGS of the benchmark subset
+    (doc_id % id_filter_mod == 0) — strings, not hashes, so the
+    membership test is byte-identical to the SQL oracle's join."""
+    import pyarrow as pa
+
+    grams: set[str] = set()
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        if i % id_filter_mod != 0:
+            continue
+        toks = (txt or "").split(" ")
+        for j in range(len(toks) - n + 1):
+            grams.add(" ".join(toks[j : j + n]))
+    return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+
+def contamination_batch(
+    t: "pa.Table", eval_ref: tuple, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> "pa.Table":
+    """Per doc: how many of its DISTINCT word-n-grams appear in the
+    broadcast eval-set gram set, plus the contaminated flag — the
+    benchmark-decontamination check a pre-training corpus runs.  The
+    eval set is small by definition (benchmarks are MBs), so broadcast
+    + per-batch membership is the scale-correct shape (no shuffle)."""
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    egrams: set[str] = get_broadcast(eval_ref, tag="decontam")
+    ids, n_ov, flag = [], [], []
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        toks = (txt or "").split(" ")
+        grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        ov = len(grams & egrams)
+        ids.append(i)
+        n_ov.append(ov)
+        flag.append(ov > 0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(n_ov, pa.int64()),
+            pa.array(flag, pa.bool_()),
+        ],
+        names=[id_col, "n_overlap", "contaminated"],
+    )

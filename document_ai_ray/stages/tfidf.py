@@ -86,13 +86,18 @@ def tfidf_topk(
     def df_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one (doc, word) row per doc by construction -> df = group size
         out = g.groupby("wh", as_index=False).agg(df=("doc_id", "size"))
-        return out
+        return out.astype({"wh": np.uint64, "df": np.int64})  # stable schema on empty buckets
 
-    df_side = (
-        tf.select_columns(["doc_id", "wh"])
-        .map_batches(wh_bucket, batch_format="pyarrow", batch_size=1 << 18)
-        .groupby("__wb")
-        .map_groups(lambda g: df_in_bucket(g.drop(columns=["__wb"])), batch_format="pandas")
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    df_side = bucket_map_groups(
+        tf.select_columns(["doc_id", "wh"]).map_batches(
+            wh_bucket, batch_format="pyarrow", batch_size=1 << 18
+        ),
+        "__wb",
+        df_in_bucket,
+        n_buckets,
+        batch_format="pandas",
     )
 
     # -- bucketed join: attach df to tf rows on the word hash -------------
@@ -145,9 +150,7 @@ def tfidf_topk(
             names=["doc_id", "word", "tfidf"],
         )
 
-    scored = union.groupby("__wb").map_groups(
-        lambda g: score_in_bucket(g.drop_columns(["__wb"])), batch_format="pyarrow"
-    )
+    scored = bucket_map_groups(union, "__wb", score_in_bucket, n_buckets)
 
     from document_ai_ray.pipelines.ops import grouped_topk
 

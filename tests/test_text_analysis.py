@@ -183,3 +183,29 @@ def test_repetition_batch_metrics():
     out = {r["doc_id"]: r for r in repetition_batch(t).to_pylist()}
     assert out[1]["dup_line_frac"] > 0.8 and not out[1]["keep"]
     assert out[2]["dup_line_frac"] == 0.0 and out[2]["keep"]
+
+
+def test_contamination_batch_crafted():
+    import pyarrow as pa
+    import ray
+
+    from document_ai_ray.stages.text_analysis import contamination_batch, eval_grams_batch
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again today"
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                eval_text,                                       # the benchmark doc itself
+                "prefix words " + eval_text + " suffix words",   # contains the eval text
+                "totally unrelated content with no overlap at all in any gram window",
+            ],
+        }
+    )
+    eg = set(eval_grams_batch(t, n=8, id_filter_mod=50).column("gram").to_pylist())
+    assert eg  # doc 0 produced grams
+    ref = ray.put(eg)
+    out = {r["doc_id"]: r for r in contamination_batch(t, (ref,), n=8).to_pylist()}
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[1]["n_overlap"] >= len(eg)  # superset text overlaps every eval gram
