@@ -135,13 +135,14 @@ def bucketed_group_agg(
             acc ^= col * mults[i % len(mults)] + np.uint64(0x9E3779B9) * np.uint64(i + 1)
         return t.append_column("__bucket", pa.array((acc % np.uint64(n_buckets)).astype(np.int32)))
 
-    def per_bucket(df) -> "pd.DataFrame":
-        return agg_fn(df.drop(columns=["__bucket"]))
-
-    import pandas as pd  # noqa: F401  (type comment above)
-
-    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas"
+    # manual hash exchange instead of the sort shuffle (single-stage
+    # context — see bucket_map_groups; iterative loops must NOT use it)
+    return bucket_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "__bucket",
+        agg_fn,
+        n_buckets,
+        batch_format="pandas",
     )
 
 

@@ -382,9 +382,9 @@ def exact_jaccard_pairs(
             names=["id", "gh", "df"],
         )
 
-    with_df = union.groupby("__jb").map_groups(
-        lambda g: attach_df(g.drop_columns(["__jb"])), batch_format="pyarrow"
-    )
+    from document_ai_ray.pipelines.ops import bucket_map_groups as _bmg
+
+    with_df = _bmg(union, "__jb", attach_df, join_buckets)
 
     # -- pass 3: per-doc prefix selection, vectorized in an id-bucketed
     # regroup (sort by (id, df, gh); keep rank < |g| - ceil(t|g|) + 1) ---
@@ -402,17 +402,22 @@ def exact_jaccard_pairs(
         out["bucket"] = (out["gh"].to_numpy(dtype=np.uint64) % np.uint64(join_buckets)).astype(np.int32)
         return out
 
-    prefix = (
-        with_df.map_batches(id_bucket, batch_format="pyarrow", batch_size=1 << 18)
-        .groupby("__ib")
-        .map_groups(
-            lambda g: prefix_in_bucket(g.drop(columns=["__ib"])), batch_format="pandas"
-        )
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    prefix = bucket_map_groups(
+        with_df.map_batches(id_bucket, batch_format="pyarrow", batch_size=1 << 18),
+        "__ib",
+        prefix_in_bucket,
+        join_buckets,
+        batch_format="pandas",
     )
 
     pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=[])
-    cands = prefix.groupby("bucket").map_groups(
-        lambda g: pair_fn(g.drop(columns=["bucket"]))[["id_a", "id_b"]].drop_duplicates(),
+    cands = bucket_map_groups(
+        prefix,
+        "bucket",
+        lambda df: pair_fn(df)[["id_a", "id_b"]].drop_duplicates(),
+        join_buckets,
         batch_format="pandas",
     )
     # -- pass 4: exact verification via two bucketed joins on doc id ------
