@@ -438,3 +438,82 @@ def decontaminate_docs(sf_dir: str):
         fn_kwargs={"eval_ref": (ref,), "n": _DECON_N},
         batch_format="pyarrow",
     )
+
+
+_MIX_ORACLE = """
+SELECT doc_id, source
+FROM documents
+QUALIFY (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+        % (1 + (CAST(substr(source, 4) AS INT) % 4)) = 0
+"""
+
+
+@register("mix_corpus_sources", oracle=_MIX_ORACLE)
+def mix_corpus_sources(sf_dir: str):
+    """Corpus MIXING: deterministic per-source systematic downsampling
+    to target proportions (source srcN keeps every (1 + N%4)-th doc in
+    doc_id order) — the reweighting step a pre-training mixture runs.
+    Global per-source ranks come from the range-partitioned sort
+    (`with_group_ranks`), so no task holds a whole source partition."""
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    ranked = with_group_ranks(docs, "source", ["doc_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("source").to_pylist()
+        stride = np.array([1 + (int(s[3:]) % 4) for s in src], dtype=np.int64)
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r % stride == 0)).select(["doc_id", "source"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+_SHUFFLE_SEED = "graft-r3"
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || '-{_SHUFFLE_SEED}') AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '-{_SHUFFLE_SEED}')) - 1 AS pos
+FROM documents
+"""
+
+
+@register("shuffle_docs_deterministic", oracle=_SHUFFLE_ORACLE)
+def shuffle_docs_deterministic(sf_dir: str):
+    """Deterministic seeded GLOBAL shuffle (training-batch order):
+    shuffle_key = md5(doc_id || seed), position = global rank under
+    that key.  Reproducible across engines (the oracle computes the
+    identical md5 order in SQL); the rank comes from the distributed
+    sort + offset-merged block ranks, never a single task."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{i}-{_SHUFFLE_SEED}".encode()).hexdigest()
+            for i in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("shuffle_key", pa.array(keys, pa.string())).append_column(
+            "__g", pa.array([0] * len(t), pa.int8())
+        )
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    ranked = with_group_ranks(keyed, "__g", ["shuffle_key"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("shuffle_key"), t.column("__rank")],
+            names=["doc_id", "shuffle_key", "pos"],
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
