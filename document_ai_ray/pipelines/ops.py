@@ -642,8 +642,10 @@ def bucket_map_groups(
     per bucket.
 
     `fn` receives the bucket's rows with bucket_col DROPPED (pyarrow
-    Table or pandas DataFrame per `batch_format`) and empty buckets are
-    skipped, exactly like groupby().map_groups semantics.
+    Table or pandas DataFrame per `batch_format`).  UNLIKE
+    groupby().map_groups, EMPTY buckets are still passed to `fn` (so
+    every output block shares fn's output schema) — fn must return an
+    empty frame for empty input if empty groups should vanish.
 
     Scale shape: the driver holds n_blocks x n_buckets ObjectRefs
     (metadata only).  Above _EXCHANGE_MAX_REFS it falls back to the

@@ -202,3 +202,44 @@ def test_grouped_topk_bucketed_matches_single_task():
     a = one.sort_values(key).reset_index(drop=True)
     b = bk.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_bucket_map_groups_matches_dataset_groupby(monkeypatch):
+    """The manual hash exchange must produce exactly the rows of the
+    Dataset-native groupby path, including with empty buckets, and the
+    ref-cap fallback must agree too."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines import ops
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    # buckets only in {0, 2, 5} of 8 -> several buckets are EMPTY
+    t = pa.table(
+        {
+            "__b": rng.choice([0, 2, 5], n).astype(np.int32),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        tot = 0 if g.num_rows == 0 else int(pa.compute.sum(g.column("v")).as_py())
+        return pa.table({"n": pa.array([g.num_rows], pa.int64()),
+                         "sum_v": pa.array([tot], pa.int64())})
+
+    def run():
+        out = ops.bucket_map_groups(rd.from_arrow(t), "__b", agg, 8).to_pandas()
+        return out.sort_values(["n", "sum_v"]).reset_index(drop=True)
+
+    exchanged = run()
+    monkeypatch.setattr(ops, "_EXCHANGE_MAX_REFS", 1)   # force the fallback
+    fellback = run()
+    # fallback (Dataset groupby) skips empty buckets; exchange emits a
+    # row per bucket — compare the NON-EMPTY groups
+    ex_nonempty = exchanged[exchanged["n"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(ex_nonempty, fellback[fellback["n"] > 0].reset_index(drop=True))
+    assert len(ex_nonempty) == 3
+    assert ex_nonempty["n"].sum() == n
