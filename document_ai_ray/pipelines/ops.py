@@ -555,6 +555,8 @@ def with_group_ranks(
     sort_cols: list[str],
     rank_col: str = "__rank",
     total_col: str = "__gn",
+    value_col: str | None = None,
+    cum_col: str = "__cum",
 ) -> rd.Dataset:
     """Attach each row's EXACT global rank within its group (0-based,
     under ascending `sort_cols` order) plus the group's total size —
@@ -574,34 +576,54 @@ def with_group_ranks(
 
     For a DETERMINISTIC rank (not just deterministic values at each
     rank), include a tiebreaker column in sort_cols.
+
+    With `value_col` set, also attaches the EXCLUSIVE per-group prefix
+    sum of that (integer) column under the same order as `cum_col` —
+    i.e. SUM(value) OVER (PARTITION BY group ORDER BY sort_cols ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING), 0 for each group's first row.
+    Same shape: per-block (count, value-sum) dicts, prefix-merged on
+    the driver, per-block vectorized attach.
     """
     sorted_ds = ds.sort([group_col] + sort_cols).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
     def counts_of(t: pa.Table) -> dict:
-        g = t.group_by([group_col]).aggregate([([], "count_all")])
-        return dict(zip(g.column(group_col).to_pylist(), g.column("count_all").to_pylist()))
+        aggs = [([], "count_all")] + ([(value_col, "sum")] if value_col else [])
+        g = t.group_by([group_col]).aggregate(aggs)
+        ns = g.column("count_all").to_pylist()
+        vs = g.column(f"{value_col}_sum").to_pylist() if value_col else [0] * len(ns)
+        return {k: (n, v) for k, n, v in zip(g.column(group_col).to_pylist(), ns, vs)}
 
     per_block = ray.get([counts_of.remote(r) for r in refs])
     running: dict = {}
     offsets: list[dict] = []
     for c in per_block:
-        offsets.append({k: running.get(k, 0) for k in c})
-        for k, n in c.items():
-            running[k] = running.get(k, 0) + n
-    totals = dict(running)
+        offsets.append({k: running.get(k, (0, 0)) for k in c})
+        for k, (n, v) in c.items():
+            rn, rv = running.get(k, (0, 0))
+            running[k] = (rn + n, rv + v)
+    totals = {k: n for k, (n, _) in running.items()}
 
     @ray.remote
     def attach(t: pa.Table, offs: dict, tot: dict) -> pa.Table:
-        df = t.select([group_col]).to_pandas()
-        cc = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        df = t.select([group_col] + ([value_col] if value_col else [])).to_pandas()
+        gb = df.groupby(group_col, sort=False)
+        cc = gb.cumcount().to_numpy()
         keys = df[group_col]
-        rank = cc + keys.map(offs).to_numpy(dtype=np.int64)
+        rank = cc + keys.map({k: o[0] for k, o in offs.items()}).to_numpy(dtype=np.int64)
         gn = keys.map(tot).to_numpy(dtype=np.int64)
-        return t.append_column(rank_col, pa.array(rank, pa.int64())).append_column(
+        out = t.append_column(rank_col, pa.array(rank, pa.int64())).append_column(
             total_col, pa.array(gn, pa.int64())
         )
+        if value_col:
+            v = df[value_col].to_numpy(dtype=np.int64)
+            incl = gb[value_col].cumsum().to_numpy(dtype=np.int64)
+            cum = (incl - v) + keys.map({k: o[1] for k, o in offs.items()}).to_numpy(
+                dtype=np.int64
+            )
+            out = out.append_column(cum_col, pa.array(cum, pa.int64()))
+        return out
 
     return rd.from_arrow_refs(
         [attach.remote(r, offsets[i], totals) for i, r in enumerate(refs)]

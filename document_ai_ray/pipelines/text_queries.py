@@ -517,3 +517,97 @@ def shuffle_docs_deterministic(sf_dir: str):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+_SHARD_TOKENS = 8192
+
+_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+         END AS n_ws_tokens
+  FROM documents)
+SELECT doc_id, n_ws_tokens,
+       COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {_SHARD_TOKENS} AS shard
+FROM toks
+"""
+
+
+@register("pack_token_shards", oracle=_PACK_ORACLE)
+def pack_token_shards(sf_dir: str):
+    """SEQUENCE PACKING: assign documents (in deterministic doc_id
+    order) to fixed-token-budget training shards — shard = exclusive
+    running token total // budget, the layout a pre-training data
+    loader consumes.  The running total is the distributed exclusive
+    prefix sum from `with_group_ranks(value_col=...)` (per-block sums
+    prefix-merged on the driver, vectorized per-block attach): no task
+    ever holds the corpus, so the assignment streams at any scale."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        t = token_count_batch(t)
+        return t.select(["doc_id", "n_ws_tokens"]).append_column(
+            "__g", pa.array([0] * len(t), pa.int8())
+        )
+
+    ranked = with_group_ranks(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        "__g",
+        ["doc_id"],
+        value_col="n_ws_tokens",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        shard = pc.divide(t.column("__cum"), pa.scalar(_SHARD_TOKENS, pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("n_ws_tokens"), shard],
+            names=["doc_id", "n_ws_tokens", "shard"],
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+_WSAMPLE_SEED = "wsample-r3"
+_WSAMPLE_CAP = 2000  # n_chars at which keep-probability saturates at 1
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE n_chars >= {_WSAMPLE_CAP}
+   OR substr(md5(CAST(doc_id AS VARCHAR) || '-{_WSAMPLE_SEED}'), 1, 8)
+      < lpad(lower(to_hex(CAST(n_chars AS BIGINT) * 4294967296 // {_WSAMPLE_CAP})), 8, '0')
+"""
+
+
+@register("sample_docs_weighted", oracle=_WSAMPLE_ORACLE)
+def sample_docs_weighted(sf_dir: str):
+    """Quality-WEIGHTED deterministic downsampling: keep each doc with
+    probability p = min(1, n_chars/_WSAMPLE_CAP) by comparing a
+    per-doc uniform hash u = md5(doc_id||seed)[:8] against p — the
+    reweighting step that keeps long/high-quality docs and thins short
+    ones, reproducible across engines and runs (no RNG state).  Pure
+    per-batch map: embarrassingly parallel, no shuffle at all."""
+    import hashlib
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        u = np.array(
+            [
+                int(hashlib.md5(f"{i}-{_WSAMPLE_SEED}".encode()).hexdigest()[:8], 16)
+                for i in t.column("doc_id").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        thresh = nc.astype(np.int64) * 4294967296 // _WSAMPLE_CAP
+        return t.filter(pa.array((nc >= _WSAMPLE_CAP) | (u < thresh)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -243,3 +243,41 @@ def test_bucket_map_groups_matches_dataset_groupby(monkeypatch):
     pd.testing.assert_frame_equal(ex_nonempty, fellback[fellback["n"] > 0].reset_index(drop=True))
     assert len(ex_nonempty) == 3
     assert ex_nonempty["n"].sum() == n
+
+
+def test_with_group_ranks_prefix_sum_matches_pandas():
+    """value_col attaches the exact exclusive per-group prefix sum
+    under the sort order, across many small blocks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "k": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(13)
+    out = (
+        with_group_ranks(ds, "g", ["k"], value_col="v")
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "k"]).reset_index(drop=True)
+    grp = exp.groupby("g", sort=False)["v"]
+    expected_cum = (grp.cumsum() - exp["v"]).to_numpy()
+    np.testing.assert_array_equal(out["__cum"].to_numpy(), expected_cum)
+    np.testing.assert_array_equal(
+        out["__rank"].to_numpy(), exp.groupby("g", sort=False).cumcount().to_numpy()
+    )
+    np.testing.assert_array_equal(
+        out["__gn"].to_numpy(), exp.groupby("g", sort=False)["v"].transform("size").to_numpy()
+    )
