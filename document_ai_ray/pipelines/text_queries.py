@@ -611,3 +611,69 @@ def sample_docs_weighted(sf_dir: str):
         return t.filter(pa.array((nc >= _WSAMPLE_CAP) | (u < thresh)))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+_URL_HOSTS = 50
+
+_URLDEDUP_ORACLE = """
+SELECT 'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com/path/' ||
+       CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+       3 AS n_variants
+FROM documents
+"""
+
+
+@register("url_canonical_dedup", oracle=_URLDEDUP_ORACLE)
+def url_canonical_dedup(sf_dir: str):
+    """URL CANONICALIZATION + exact URL dedup: each document appears
+    under three spellings (case-shifted host with default port +
+    fragment, www + trailing slash, utm-tracking params) and all must
+    collapse to one canonical row with the variant count — the
+    crawl-side dedup every web corpus runs before content dedup.
+    Shape = `dedup_exact_docs`: per-batch canonicalize + LOCAL
+    combiner, then a hash-BUCKET shuffle (P buckets, never N urls as
+    groups) with a vectorized per-bucket merge; only canonical url
+    strings and counts move, at any scale."""
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.urls import canonicalize_url
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    P = 64
+
+    def variants(t: pa.Table) -> pa.Table:
+        urls = []
+        for i in t.column("doc_id").to_pylist():
+            h = i % _URL_HOSTS
+            urls.append(f"HTTP://WWW.Example{h}.COM:80/path/{i}?b=2&a=1#frag")
+            urls.append(f"http://www.example{h}.com/path/{i}/?a=1&b=2")
+            urls.append(f"http://example{h}.com/path/{i}?a=1&b=2&utm_source=feed")
+        return pa.table({"raw_url": pa.array(urls, pa.string())})
+
+    def canon_combine(t: pa.Table) -> pa.Table:
+        cu = pa.array(
+            [canonicalize_url(u) for u in t.column("raw_url").to_pylist()], pa.string()
+        )
+        g = (
+            pa.Table.from_arrays([cu], names=["url"])
+            .group_by("url")
+            .aggregate([([], "count_all")])
+        )
+        bucket = pa.array(
+            [crc_bucket(u, P) for u in g.column("url").to_pylist()], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [g.column("url"), g.column("count_all"), bucket],
+            names=["url", "n", "bucket"],
+        )
+
+    def per_bucket(df):
+        out = df.groupby("url", as_index=False).agg(n_variants=("n", "sum"))
+        out["n_variants"] = out["n_variants"].astype("int32")
+        return out[["url", "n_variants"]]
+
+    return (
+        docs.map_batches(variants, batch_format="pyarrow")
+        .map_batches(canon_combine, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -209,3 +209,35 @@ def test_contamination_batch_crafted():
     assert out[0]["contaminated"] and out[1]["contaminated"]
     assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
     assert out[1]["n_overlap"] >= len(eg)  # superset text overlaps every eval gram
+
+
+class TestCanonicalizeUrl:
+    def test_rules(self):
+        from document_ai_ray.functions.urls import canonicalize_url as c
+
+        # case, www, default port, fragment, param order, tracking
+        assert (
+            c("HTTP://WWW.Ex.COM:80/a/1?b=2&a=1&utm_source=x#f")
+            == "http://ex.com/a/1?a=1&b=2"
+        )
+        # https default port; root path keeps its slash
+        assert c("https://Site.org:443/") == "https://site.org/"
+        # non-default port kept; trailing slash stripped; blank value kept
+        assert c("https://site.org:8443/x/?z=") == "https://site.org:8443/x?z="
+        # repeated keys keep INPUT relative order (stable sort by key)
+        assert c("http://h.io/p?k=2&a=0&k=1") == "http://h.io/p?a=0&k=2&k=1"
+        # credentials preserved
+        assert c("http://u:pw@H.io/p") == "http://u:pw@h.io/p"
+        # tracking-only query vanishes entirely
+        assert c("http://h.io/p?gclid=abc&utm_medium=m") == "http://h.io/p"
+
+    def test_idempotent(self):
+        from document_ai_ray.functions.urls import canonicalize_url as c
+
+        for u in [
+            "HTTP://WWW.Ex.COM:80/a/1?b=2&a=1#f",
+            "https://site.org:8443/x//y/?z=&ref=r",
+            "http://h.io",
+        ]:
+            once = c(u)
+            assert c(once) == once
