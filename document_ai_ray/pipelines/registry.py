@@ -54,5 +54,6 @@ def _load_all() -> None:
     from document_ai_ray.pipelines import text_queries  # noqa: F401
     from document_ai_ray.pipelines import metrics_queries  # noqa: F401
     from document_ai_ray.pipelines import media_queries  # noqa: F401
+    from document_ai_ray.pipelines import corpus  # noqa: F401
 
     _LOADED = True
