@@ -114,3 +114,33 @@ def qsketch_from_bytes(b: bytes) -> tuple[np.ndarray, np.ndarray]:
     a = np.frombuffer(b, dtype=np.float64)
     h = len(a) // 2
     return a[:h].copy(), a[h:].copy()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / space-saving heavy hitters (mergeable)
+# ---------------------------------------------------------------------------
+
+
+def mg_from_counts(counts: dict, m: int) -> dict:
+    """Misra-Gries summary of capacity m from exact local counts:
+    keep the m largest counters and subtract the (m+1)-th largest from
+    each (the classic decrement step, batched).  Estimates are then
+    UNDER-counts with error <= N_local/(m+1)."""
+    if len(counts) <= m:
+        return dict(counts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    cut = top[m][1]
+    return {k: v - cut for k, v in top[:m] if v > cut}
+
+
+def mg_merge(sketches: list[dict], m: int) -> dict:
+    """Merge MG summaries (Agarwal et al., "Mergeable Summaries",
+    PODS'12): add counters pointwise, then re-apply the capacity-m
+    decrement.  Total under-count error stays <= N_total/(m+1)
+    regardless of merge tree shape, so two-level distributed merging
+    is safe."""
+    total: dict = {}
+    for s in sketches:
+        for k, v in s.items():
+            total[k] = total.get(k, 0) + v
+    return mg_from_counts(total, m)

@@ -677,3 +677,113 @@ def url_canonical_dedup(sf_dir: str):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+_VOCAB_K = 100
+
+_VOCAB_ORACLE = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1)
+SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100
+"""
+
+
+@register("vocab_top_words", oracle=_VOCAB_ORACLE)
+def vocab_top_words(sf_dir: str):
+    """EXACT corpus heavy hitters (top-100 vocabulary words): per-batch
+    word-count COMBINER (vocab-sized partials, never word instances),
+    hash-bucketed exact merge (equal words meet in equal buckets), each
+    bucket emits only its local top-k (a global top-k row is top-k in
+    its bucket, so this loses nothing), and one final task sorts the
+    P x k candidates.  The shuffle moves vocabulary entries, not the
+    corpus."""
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(w for w in (txt or "").split(" ") if w)
+        words = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+                "bucket": pa.array([crc_bucket(w, P) for w in words], pa.int32()),
+            }
+        )
+
+    def bucket_topk(df):
+        out = df.groupby("word", as_index=False)["n"].sum()
+        return out.sort_values(["n", "word"], ascending=[False, True]).head(_VOCAB_K)
+
+    candidates = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "bucket",
+        bucket_topk,
+        P,
+        batch_format="pandas",
+    )
+
+    def final(df):
+        return df.sort_values(["n", "word"], ascending=[False, True]).head(_VOCAB_K)
+
+    return candidates.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+@register("vocab_top_words_approx")
+def vocab_top_words_approx(sf_dir: str):
+    """APPROXIMATE heavy hitters via a mergeable Misra-Gries summary
+    (capacity 4096): per-batch MG partials, two-level merge on one
+    final task (the summary is O(m), corpus-size-independent — the
+    documented 100 TB path where even the vocabulary shuffle of
+    `vocab_top_words` is unwelcome).  Rows-only: estimates are
+    under-counts within N/(m+1); the bound is asserted in tests.
+    Output includes the error bound so downstream can reason about it."""
+    import pickle
+
+    from document_ai_ray.functions.sketch import mg_from_counts, mg_merge
+
+    M = 4096
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        total = 0
+        for txt in t.column("text").to_pylist():
+            ws = [w for w in (txt or "").split(" ") if w]
+            total += len(ws)
+            c.update(ws)
+        return pa.table(
+            {
+                "sketch": pa.array([pickle.dumps(mg_from_counts(c, M))], pa.binary()),
+                "total": pa.array([total], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        sketches = [pickle.loads(b) for b in t.column("sketch").to_pylist()]
+        n_total = int(pc.sum(t.column("total")).as_py() or 0)
+        sk = mg_merge(sketches, M)
+        bound = n_total // (M + 1)
+        top = sorted(sk.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_K]
+        return pa.table(
+            {
+                "word": pa.array([w for w, _ in top], pa.string()),
+                "est_count": pa.array([c for _, c in top], pa.int64()),
+                "err_bound": pa.array([bound] * len(top), pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)

@@ -241,3 +241,48 @@ class TestCanonicalizeUrl:
         ]:
             once = c(u)
             assert c(once) == once
+
+
+class TestMisraGries:
+    def test_bound_and_merge(self):
+        import collections
+        import random
+
+        from document_ai_ray.functions.sketch import mg_from_counts, mg_merge
+
+        random.seed(7)
+        vocab = [f"w{i}" for i in range(500)]
+        weights = [1000, 600, 400, 250, 150] + [1] * 495
+        data = random.choices(vocab, weights=weights, k=200_000)
+        true = collections.Counter(data)
+        m = 64
+        parts = [collections.Counter(data[i::16]) for i in range(16)]
+        sk = mg_merge([mg_from_counts(dict(p), m) for p in parts], m)
+        assert len(sk) <= m
+        bound = len(data) / (m + 1)
+        for w, c in true.most_common(5):
+            est = sk.get(w, 0)
+            # MG estimates are under-counts within N/(m+1)
+            assert c - bound <= est <= c, (w, c, est)
+        # any heavy hitter with count > N/(m+1) MUST be present
+        for w, c in true.items():
+            if c > bound:
+                assert w in sk
+
+    def test_merge_order_invariant_bound(self):
+        import collections
+        import random
+
+        from document_ai_ray.functions.sketch import mg_from_counts, mg_merge
+
+        random.seed(11)
+        data = random.choices(["a", "b", "c", "d", "e"], weights=[40, 30, 15, 10, 5], k=50_000)
+        true = collections.Counter(data)
+        m = 3
+        parts = [mg_from_counts(dict(collections.Counter(data[i::10])), m) for i in range(10)]
+        flat = mg_merge(parts, m)
+        treed = mg_merge([mg_merge(parts[:5], m), mg_merge(parts[5:], m)], m)
+        bound = len(data) / (m + 1)
+        for sk in (flat, treed):
+            for w, c in true.most_common(2):
+                assert c - bound <= sk.get(w, 0) <= c
