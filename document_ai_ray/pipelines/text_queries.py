@@ -787,3 +787,99 @@ def vocab_top_words_approx(sf_dir: str):
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+_ULM_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT doc_id, word FROM w WHERE word != ''),
+c AS (SELECT word, COUNT(*) AS n FROM w2 GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+lp AS (SELECT word, ln(n / t) AS logp FROM c CROSS JOIN tot),
+d AS (SELECT w2.doc_id, AVG(lp.logp) AS avg_logprob, COUNT(*) AS n_tok
+      FROM w2 JOIN lp USING (word) GROUP BY 1)
+SELECT doc_id, ROUND(avg_logprob, 6) AS avg_logprob, n_tok FROM d
+"""
+
+
+@register("unigram_logprob_docs", oracle=_ULM_ORACLE)
+def unigram_logprob_docs(sf_dir: str):
+    """CCNet-style LM quality proxy: train a unigram model on the
+    corpus (distributed bucketed word counts), broadcast the logprob
+    table once via ray.put, and score every document's mean token
+    log-probability in one streaming pass (low avg_logprob = rare-word
+    soup = candidate for the quality cut).
+
+    Scale note: the broadcast model is VOCAB-sized, not corpus-sized;
+    at 100 TB cap it to the top-K words by count (the Misra-Gries
+    summary in `vocab_top_words_approx` is the collector) with an OOV
+    floor — the synthetic corpus is far below any cap, so the exact
+    model runs here and the oracle is exact too."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, get_broadcast
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(w for w in (txt or "").split(" ") if w)
+        words = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+                "bucket": pa.array([crc_bucket(w, P) for w in words], pa.int32()),
+            }
+        )
+
+    def bucket_sum(df):
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "bucket",
+        bucket_sum,
+        P,
+        batch_format="pandas",
+    )
+    vocab: dict[str, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        vocab.update(zip(b.column("word").to_pylist(), b.column("n").to_pylist()))
+    total = float(sum(vocab.values()))
+    model = {w: math.log(n / total) for w, n in vocab.items()}
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lp: dict = get_broadcast((ref,), tag="unigram_lm")
+        ids, avg, ntok = [], [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            ws = [w for w in (txt or "").split(" ") if w]
+            if not ws:
+                continue  # same as the oracle's inner join: no tokens, no row
+            v = pd.Series(ws).map(lp).to_numpy(dtype=np.float64)
+            ids.append(i)
+            avg.append(v.mean())
+            ntok.append(len(ws))
+        a = np.asarray(avg, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "avg_logprob": pa.array(
+                    np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6, pa.float64()
+                ),
+                "n_tok": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
