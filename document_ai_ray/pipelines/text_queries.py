@@ -705,19 +705,13 @@ def vocab_top_words(sf_dir: str):
     P = auto_buckets(docs.count())
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        from document_ai_ray.stages.text_analysis import word_value_counts
 
-        c: Counter = Counter()
-        for txt in t.column("text").to_pylist():
-            c.update(w for w in (txt or "").split(" ") if w)
-        words = list(c.keys())
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array([c[w] for w in words], pa.int64()),
-                "bucket": pa.array([crc_bucket(w, P) for w in words], pa.int32()),
-            }
+        g = word_value_counts(t.column("text"))  # vectorized combiner
+        bucket = pa.array(
+            [crc_bucket(w, P) for w in g.column("word").to_pylist()], pa.int32()
         )
+        return g.append_column("bucket", bucket)
 
     def bucket_topk(df):
         out = df.groupby("word", as_index=False)["n"].sum()
@@ -756,14 +750,11 @@ def vocab_top_words_approx(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        from document_ai_ray.stages.text_analysis import word_value_counts
 
-        c: Counter = Counter()
-        total = 0
-        for txt in t.column("text").to_pylist():
-            ws = [w for w in (txt or "").split(" ") if w]
-            total += len(ws)
-            c.update(ws)
+        g = word_value_counts(t.column("text"))  # vectorized count base
+        c = dict(zip(g.column("word").to_pylist(), g.column("n").to_pylist()))
+        total = int(pc.sum(g.column("n")).as_py() or 0)
         return pa.table(
             {
                 "sketch": pa.array([pickle.dumps(mg_from_counts(c, M))], pa.binary()),
@@ -827,19 +818,13 @@ def unigram_logprob_docs(sf_dir: str):
     P = auto_buckets(docs.count())
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        from document_ai_ray.stages.text_analysis import word_value_counts
 
-        c: Counter = Counter()
-        for txt in t.column("text").to_pylist():
-            c.update(w for w in (txt or "").split(" ") if w)
-        words = list(c.keys())
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array([c[w] for w in words], pa.int64()),
-                "bucket": pa.array([crc_bucket(w, P) for w in words], pa.int32()),
-            }
+        g = word_value_counts(t.column("text"))  # vectorized combiner
+        bucket = pa.array(
+            [crc_bucket(w, P) for w in g.column("word").to_pylist()], pa.int32()
         )
+        return g.append_column("bucket", bucket)
 
     def bucket_sum(df):
         return df.groupby("word", as_index=False)["n"].sum()
@@ -862,23 +847,27 @@ def unigram_logprob_docs(sf_dir: str):
         import pandas as pd
 
         lp: dict = get_broadcast((ref,), tag="unigram_lm")
-        ids, avg, ntok = [], [], []
-        for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            ws = [w for w in (txt or "").split(" ") if w]
-            if not ws:
-                continue  # same as the oracle's inner join: no tokens, no row
-            v = pd.Series(ws).map(lp).to_numpy(dtype=np.float64)
-            ids.append(i)
-            avg.append(v.mean())
-            ntok.append(len(ws))
-        a = np.asarray(avg, dtype=np.float64)
+        # vectorized explode: word -> owning row index, no per-doc loop
+        lists = pc.split_pattern(t.column("text"), " ")
+        n_per_row = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per_row)
+        flat = pc.list_flatten(lists)
+        w = flat.to_pandas()
+        mask = (w != "").to_numpy()
+        df = pd.DataFrame(
+            {"i": row_idx[mask], "v": w[mask].map(lp).to_numpy(dtype=np.float64)}
+        )
+        agg = df.groupby("i")["v"].agg(["mean", "size"])
+        # rows with zero tokens drop out, same as the oracle's inner join
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[agg.index.to_numpy()]
+        a = agg["mean"].to_numpy(dtype=np.float64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "avg_logprob": pa.array(
                     np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6, pa.float64()
                 ),
-                "n_tok": pa.array(ntok, pa.int64()),
+                "n_tok": pa.array(agg["size"].to_numpy(dtype=np.int64), pa.int64()),
             }
         )
 

