@@ -75,7 +75,7 @@ _BYLINE_RE = re.compile(r"^\s*(by|par|von|por|di)\s+\S", re.IGNORECASE)
 _TAG_STRIP_RE = re.compile(r"<[^>]*>")
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     tag_path: str
     heading: bool
@@ -392,9 +392,11 @@ def _fused_parse(rawdata: str) -> list[Block]:
     cur: Block | None = None
     i, n = 0, len(rawdata)
     cdata_elem: str | None = None
+    find_lt = rawdata.find
+    simple_match = _SIMPLE_TAG.match
     while i < n:
         if cdata_elem is None:
-            j = rawdata.find("<", i)
+            j = find_lt("<", i)
             if j < 0:
                 j = n
         else:
@@ -428,16 +430,17 @@ def _fused_parse(rawdata: str) -> list[Block]:
         end_tag = None            # set to emit an end tag event
         data_seg = None           # set to emit a raw data event
         if cdata_elem is None:
-            sm = _SIMPLE_TAG.match(rawdata, i)                # common-case fast path
+            sm = simple_match(rawdata, i)                     # common-case fast path
         else:
             sm = None
         if sm is not None:
-            tag = sm.group("end")
-            if tag is not None:
-                end_tag = tag.lower()
+            # groups 1/2/3 == start/sc/end — one C call instead of three
+            s_tag, sc, e_tag = sm.group(1, 2, 3)
+            if e_tag is not None:
+                end_tag = e_tag.lower()
             else:
-                start_tag = tag = sm.group("start").lower()
-                if sm.group("sc"):
+                start_tag = tag = s_tag.lower()
+                if sc:
                     end_tag = tag
                 elif tag in ("script", "style"):
                     cdata_elem = tag
@@ -765,17 +768,24 @@ def extract_fields(
     status: dict[str, str] = {lbl: STATUS_NOT_FOUND for lbl in cfg.field_labels}
 
     norm_labels = {lbl: normalize_str(lbl) for lbl in cfg.field_labels}
+    # exact normalized label -> first config label carrying it (dict
+    # iteration order == cfg order, matching the scan-loop tie-break)
+    exact: dict[str, str] = {}
+    for lbl, nlbl in norm_labels.items():
+        exact.setdefault(nlbl, lbl)
     for line in candidates:
         m = _LABEL_RE.match(line)
         if not m:
             continue
         raw_label, raw_value = m.group(1), m.group(2).strip()
         nl = normalize_str(raw_label)
-        best, best_d = None, cfg.distance_margin + 1
-        for lbl, nlbl in norm_labels.items():
-            d = levenshtein(nl, nlbl, limit=cfg.distance_margin)
-            if d < best_d:
-                best, best_d = lbl, d
+        best = exact.get(nl)  # distance 0 is unbeatable; skip the DP scan
+        if best is None:
+            best_d = cfg.distance_margin + 1
+            for lbl, nlbl in norm_labels.items():
+                d = levenshtein(nl, nlbl, limit=cfg.distance_margin)
+                if d < best_d:
+                    best, best_d = lbl, d
         if best is None or status[best] == STATUS_FOUND:
             continue
         if raw_value:

@@ -45,17 +45,31 @@ _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 
+# word -> tuple of languages whose stopword list contains it: one dict
+# probe per word instead of one set probe per word per language
+_SW_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang in _LANG_ORDER:
+    for _w in STOPWORDS[_lang]:
+        _SW_LANGS[_w] = _SW_LANGS.get(_w, ()) + (_lang,)
+
+
 def langid_text(text: str) -> tuple[str, float]:
     """Heuristic language ID: per-language stopword hit rate over word
     tokens; deterministic tie-break by language code.  Returns
     ("und", 0.0) when no stopword hits at all."""
-    words = [w.lower() for w in _WORD_RE.findall(text)]
+    words = _WORD_RE.findall(text)
     if not words:
         return "und", 0.0
+    counts: dict[str, int] = {}
+    get_langs = _SW_LANGS.get
+    for w in words:
+        langs = get_langs(w.lower())
+        if langs is not None:
+            for lang in langs:
+                counts[lang] = counts.get(lang, 0) + 1
     best_lang, best_hits = "und", 0
-    for lang in _LANG_ORDER:
-        sw = STOPWORDS[lang]
-        hits = sum(1 for w in words if w in sw)
+    for lang in _LANG_ORDER:  # same strictly-greater scan order as before
+        hits = counts.get(lang, 0)
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     return best_lang, best_hits / len(words)
