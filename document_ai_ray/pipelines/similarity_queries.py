@@ -154,3 +154,48 @@ def embedding_centroids(sf_dir: str):
         return pa.Table.from_pylist(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+_SEMANTIC_KEEP_ORACLE = """
+WITH RECURSIVE
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (SELECT vec_id AS u, vec_id AS label FROM embeddings
+          UNION SELECT e.v AS u, r.label FROM edges e JOIN reach r ON r.u = e.u)
+SELECT u AS vec_id FROM reach GROUP BY u HAVING u = MIN(label)
+"""
+
+
+@register("semantic_dedup_keep", oracle=_SEMANTIC_KEEP_ORACLE)
+def semantic_dedup_keep(sf_dir: str):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embedding-cosine near-dup pairs -> connected
+    components -> keep only each component's canonical (min-id) vector;
+    singletons survive.  Every stage is the already-verified distributed
+    machinery: IVF-cell-bucketed exact cosine pairs
+    (stages/similarity.py:cosine_pairs), min-label-propagation
+    components + bucketed cluster assignment (stages/cluster.py).
+    Unlike the paper's within-kmeans-cluster approximation, the
+    cell-pair triangle-inequality pruning keeps the pair set EXACT, so
+    the keep set matches the recursive-CTE reachability oracle
+    row-for-row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+    from document_ai_ray.stages.similarity import cosine_pairs
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_pairs(vecs, threshold=0.4)
+    comps = connected_components(pairs)
+    ids = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    assigned = assign_clusters(ids, comps, id_col="vec_id")
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return pa.Table.from_arrays([t.filter(m).column("doc_id")], names=["vec_id"])
+
+    return assigned.map_batches(keep, batch_format="pyarrow")

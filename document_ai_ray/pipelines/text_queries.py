@@ -125,13 +125,11 @@ def langid_docs(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-@register(
-    "quality_scores",
-    # the full feature battery is SQL-expressible: \p{L} matches the
-    # same unicode letter classes as Python isalpha / [^\W\d_], the
-    # stopword table is inlined, and the composite-score arithmetic is
-    # written in the identical operation order (ROUND(...,6) both sides)
-    oracle=r"""
+# the full feature battery is SQL-expressible: \p{L} matches the
+# same unicode letter classes as Python isalpha / [^\W\d_], the
+# stopword table is inlined, and the composite-score arithmetic is
+# written in the identical operation order (ROUND(...,6) both sides)
+_QUALITY_ORACLE = r"""
     WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\p{L}+')) AS wd FROM documents),
     ws AS (SELECT doc_id, lower(wd) AS w, len(wd) AS l FROM w),
     st AS (SELECT doc_id, COUNT(*) AS n_words,
@@ -158,8 +156,10 @@ def langid_docs(sf_dir: str):
            ROUND(GREATEST(0.0, LEAST(1.0, 0.4 * alpha_ratio + 0.3 * LEAST(stopword_ratio / 0.3, 1.0) + 0.3 * wlen_sane))
                  * (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END), 6) AS quality_score
     FROM sc
-""",
-)
+"""
+
+
+@register("quality_scores", oracle=_QUALITY_ORACLE)
 def quality_scores(sf_dir: str):
     """Quality features + composite score per document, oracle-checked
     feature-for-feature against a pure-SQL recomputation."""
@@ -872,3 +872,54 @@ def unigram_logprob_docs(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+@register(
+    "select_top_quality",
+    # nested WITH: the whole quality battery as a subquery, then one
+    # global window rank; the keep budget ceil(n/5) is written in pure
+    # integer arithmetic on BOTH sides so no float rounding can move
+    # the cut line
+    oracle="WITH q AS (" + _QUALITY_ORACLE + """),
+    r AS (SELECT doc_id, quality_score,
+                 ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM q)
+    SELECT doc_id, quality_score FROM r WHERE rn <= (n + 4) // 5
+""",
+)
+def select_top_quality(sf_dir: str):
+    """Top-20%-by-quality document selection — the data-curation step
+    that keeps only the best-scoring fraction of a corpus (CCNet-style
+    head/middle/tail bucketing reduced to its top bucket).  Global
+    EXACT rank via the distributed range-partitioned sort + per-block
+    offset-merged rank substrate (`ops.with_group_ranks` with a
+    constant group), so no task ever holds more than one sorted block;
+    ties broken by doc_id for a deterministic cut."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import round_cols, with_group_ranks
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "quality_score"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = round_cols(t, {"quality_score": 6})
+        negq = np.negative(t.column("quality_score").to_numpy(zero_copy_only=False))
+        t = t.append_column("__negq", pa.array(negq, pa.float64()))
+        return t.append_column("__g", pa.array(np.zeros(len(t), np.int64)))
+
+    ranked = with_group_ranks(
+        scored.map_batches(prep, batch_format="pyarrow"), "__g", ["__negq", "doc_id"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        rank = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        mask = rank < (n + 4) // 5  # 0-based rank < ceil(n/5) == 1-based rn <= ceil(n/5)
+        return t.filter(pa.array(mask)).select(["doc_id", "quality_score"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")

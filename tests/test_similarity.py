@@ -199,3 +199,28 @@ def test_knn_ivf_query_emits_recall_floor(sf_tiny):
     # documented floor (cosine-continuum corpus, n_probe=4/16 — same
     # floor as test_ivf_recall; raise n_probe for higher recall)
     assert out["recall_at_k"].mean() >= 0.5
+
+
+def test_semantic_dedup_keep_invariants(sf_tiny):
+    """Keep set: subset of all ids, contains every component's min id,
+    drops at least one member of every cosine>=0.4 pair."""
+    from document_ai_ray.pipelines.similarity_queries import (
+        embedding_near_dup_pairs,
+        semantic_dedup_keep,
+    )
+
+    kept = set(
+        r["vec_id"] for r in semantic_dedup_keep(sf_tiny).take_all()
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(sf_tiny).take_all()]
+    import pyarrow.parquet as pq
+
+    all_ids = set(pq.read_table(sf_tiny + "/embeddings.parquet", columns=["vec_id"]).column(0).to_pylist())
+    assert kept <= all_ids
+    # no kept-kept pair may remain directly similar UNLESS they landed in
+    # the same component via a third doc -- direct pairs always collapse
+    for a, b in pairs:
+        assert not (a in kept and b in kept)
+    # singletons (in no pair) all survive
+    paired = set(x for p in pairs for x in p)
+    assert (all_ids - paired) <= kept

@@ -286,3 +286,18 @@ class TestMisraGries:
         for sk in (flat, treed):
             for w, c in true.most_common(2):
                 assert c - bound <= sk.get(w, 0) <= c
+
+
+def test_select_top_quality_cut(sf_tiny):
+    """Exactly ceil(n/5) rows; every kept (score, -doc_id) dominates
+    every dropped one under the (score desc, doc_id asc) order."""
+    from document_ai_ray.pipelines.text_queries import quality_scores, select_top_quality
+
+    kept = select_top_quality(sf_tiny).to_pandas()
+    allq = quality_scores(sf_tiny).to_pandas()[["doc_id", "quality_score"]]
+    n = len(allq)
+    assert len(kept) == (n + 4) // 5
+    dropped = allq[~allq["doc_id"].isin(set(kept["doc_id"]))]
+    worst_kept = min((r.quality_score, -r.doc_id) for r in kept.itertuples())
+    best_drop = max((r.quality_score, -r.doc_id) for r in dropped.itertuples())
+    assert worst_kept > best_drop
