@@ -199,3 +199,34 @@ def semantic_dedup_keep(sf_dir: str):
         return pa.Table.from_arrays([t.filter(m).column("doc_id")], names=["vec_id"])
 
     return assigned.map_batches(keep, batch_format="pyarrow")
+
+
+@register("kmeans_embeddings")
+def kmeans_embeddings(sf_dir: str):
+    """Full-corpus distributed spherical k-means (Lloyd): per-iteration
+    broadcast-assign + per-cell partial sums + tiny combiner merge —
+    the iterative-algorithm representative (rows-only: a fixpoint loop
+    has no SQL analogue; the monotone-objective certificate lives in
+    tests/test_similarity.py).  Emits one row per (cell, dim) with the
+    member count and iteration/objective metadata on every row."""
+    import pandas as pd
+
+    from document_ai_ray.stages.similarity import kmeans_lloyd
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, counts, history, n_it = kmeans_lloyd(vecs, k=8, n_iter=10, seed=11)
+    k, d = cents.shape
+    rows = []
+    for c in range(k):
+        for j in range(d):
+            rows.append(
+                {
+                    "cell": c,
+                    "dim": j + 1,
+                    "centroid_val": float(np.round(cents[c, j], 6)),
+                    "n_members": int(counts[c]),
+                    "n_iters": n_it,
+                    "objective": float(np.round(history[-1], 6)),
+                }
+            )
+    return pd.DataFrame(rows)

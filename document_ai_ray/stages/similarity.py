@@ -383,3 +383,103 @@ def knn_ivf(
     return local.repartition(1).map_batches(
         _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus distributed Lloyd refinement (spherical k-means)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd(
+    vectors: rd.Dataset,
+    k: int,
+    n_iter: int = 10,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 1000,
+    tol: float = 1e-9,
+) -> tuple[np.ndarray, np.ndarray, list[float], int]:
+    """Distributed spherical k-means over the WHOLE corpus (not just a
+    driver sample — that is `train_centroids`' job, reused here only
+    for the seeded init).
+
+    Per Lloyd iteration: centroids are broadcast once (`ray.put`, read
+    via the per-worker `get_broadcast` cache), every batch does one
+    matmul to assign its vectors and emits ONE partial row per touched
+    cell — (cell, n, simsum, s0..s{d-1}) — and the partials collapse
+    through the two-level combiner merge (`ops.merge_partials`), so the
+    only thing the driver ever holds is the k x (d+3) partial table.
+    The objective sum-of-cosines is monotone non-decreasing (standard
+    spherical-Lloyd argument); iteration stops at `n_iter` or when the
+    gain drops below `tol`.
+
+    The input is materialized once up front: an iterative algorithm
+    re-scans its input every round, and the object store (with spill)
+    is the cheaper home for those scans than the source parquet.
+
+    Returns (centroids (k, d) unit-norm, member counts (k,), objective
+    history, iterations run).
+    """
+    from document_ai_ray.pipelines.ops import get_broadcast, merge_partials
+
+    sample = sample_vectors(vectors, sample_size, id_col, vec_col, seed=seed)
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    d = cents.shape[1]
+    mat = vectors.select_columns([vec_col]).materialize()
+
+    def partial_of(cents_ref, tag):
+        def fn(t: pa.Table) -> pa.Table:
+            c = get_broadcast(cents_ref, tag=tag)
+            m = _normalize(_to_matrix(t.column(vec_col)))
+            sims = m @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(m)), assign]
+            cells, inv = np.unique(assign, return_inverse=True)
+            n = np.bincount(inv, minlength=len(cells))
+            simsum = np.bincount(inv, weights=best, minlength=len(cells))
+            sums = np.zeros((len(cells), d))
+            np.add.at(sums, inv, m)
+            cols = {
+                "cell": pa.array(cells.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "simsum": pa.array(simsum),
+            }
+            for j in range(d):
+                cols[f"s{j}"] = pa.array(sums[:, j])
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    history: list[float] = []
+    counts = np.zeros(k, dtype=np.int64)
+    it = 0
+    for it in range(1, n_iter + 1):
+        ref = (ray.put(cents),)  # 1-tuple: get_broadcast contract
+        partials = mat.map_batches(
+            partial_of(ref, tag=f"kmeans-{ref[0].hex()}"), batch_format="pyarrow"
+        )
+        agg = merge_partials(
+            partials,
+            keys=["cell"],
+            agg_funcs={"n": "sum", "simsum": "sum", **{f"s{j}": "sum" for j in range(d)}},
+        )
+        rows = agg.take_all()  # k tiny rows
+        obj = float(sum(r["simsum"] for r in rows))
+        counts = np.zeros(k, dtype=np.int64)
+        new_cents = cents.copy()  # empty cells keep their centroid
+        for r in rows:
+            c = int(r["cell"])
+            counts[c] = int(r["n"])
+            v = np.array([r[f"s{j}"] for j in range(d)])
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                new_cents[c] = v / nv
+        history.append(obj)
+        cents = new_cents
+        if len(history) >= 2 and history[-1] - history[-2] < tol:
+            break
+    return cents, counts, history, it

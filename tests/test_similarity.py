@@ -224,3 +224,44 @@ def test_semantic_dedup_keep_invariants(sf_tiny):
     # singletons (in no pair) all survive
     paired = set(x for p in pairs for x in p)
     assert (all_ids - paired) <= kept
+
+
+def test_kmeans_lloyd_monotone_and_matches_numpy(sf_tiny):
+    """Distributed Lloyd: objective non-decreasing; centroids unit-norm;
+    objective matches a single-process numpy Lloyd from the same init."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.similarity import _normalize, _to_matrix, kmeans_lloyd
+
+    vecs = read_table(sf_tiny, "embeddings", columns=["vec_id", "embedding"])
+    cents, counts, history, n_it = kmeans_lloyd(vecs, k=4, n_iter=6, seed=11)
+    assert all(b - a >= -1e-9 for a, b in zip(history, history[1:]))
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    assert counts.sum() == vecs.count()
+
+    # numpy reference with the identical seeded init
+    t = pq.read_table(sf_tiny + "/embeddings.parquet", columns=["embedding"])
+    m = _normalize(_to_matrix(t.column("embedding")))
+    from document_ai_ray.stages.similarity import sample_vectors
+
+    sample = _normalize(
+        np.asarray(sample_vectors(vecs, 1000, "vec_id", "embedding", seed=11), np.float64)
+    )
+    rng = np.random.RandomState(11)
+    idx = rng.choice(len(sample), size=4, replace=False)
+    ref_c = sample[np.sort(idx)].copy()
+    ref_hist = []
+    for _ in range(n_it):
+        sims = m @ ref_c.T
+        a = np.argmax(sims, axis=1)
+        ref_hist.append(float(sims[np.arange(len(m)), a].sum()))
+        for c in range(4):
+            mem = m[a == c]
+            if len(mem):
+                v = mem.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    ref_c[c] = v / nv
+    assert np.allclose(history, ref_hist, rtol=1e-9, atol=1e-6)
