@@ -15,9 +15,12 @@ import re
 import unicodedata
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v ]+")
-# any char/position collapse_ws would actually change: a non-plain-space
-# whitespace char (incl NBSP), a double space, or a leading/trailing space
-_WS_DIRTY_RE = re.compile(r"[\t\r\n\f\v ]|  |^ | $")
+# any INTERIOR change collapse_ws would make: a char of the collapse
+# class beyond plain space (incl NBSP), or a double space.  Edge
+# whitespace is checked separately with str.isspace() because .strip()
+# removes ALL Unicode whitespace (U+2028, U+3000, \x1c-\x1f, ...), a
+# superset of the collapse class.
+_WS_DIRTY_RE = re.compile(r"[\t\r\n\f\v ]|  ")
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 # BPE-ish word/punct splitter for token counting: words with optional
 # leading apostrophe pieces, numbers, or single non-space punctuation.
@@ -37,7 +40,9 @@ def collapse_ws(s: str) -> str:
     one space; ends stripped.  Byte-identity of `extracted_text` depends
     on exactly this transform — do not change without regenerating
     goldens."""
-    if _WS_DIRTY_RE.search(s) is None:
+    if (not s or not (s[0].isspace() or s[-1].isspace())) and _WS_DIRTY_RE.search(
+        s
+    ) is None:
         return s  # already canonical: skip the two string copies
     return _WS_RE.sub(" ", s).strip()
 

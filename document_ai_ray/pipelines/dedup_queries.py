@@ -112,22 +112,18 @@ def dedup_keep_canonical(sf_dir: str):
     the canonical (min-id) document of every near-dup cluster —
     singletons survive untouched.  Composes near_dup_clusters with a
     vectorized keep-if-own-cluster filter; no extra shuffle."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+    from document_ai_ray.stages.cluster import (
+        assign_clusters,
+        connected_components,
+        keep_canonical,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = exact_jaccard_pairs(docs, n=2, threshold=0.5)
     comps = connected_components(pairs)
     docs2 = read_table(sf_dir, "documents", columns=["doc_id"])
     assigned = assign_clusters(docs2, comps)
-
-    def keep(t: pa.Table) -> pa.Table:
-        m = pc.equal(t.column("doc_id"), t.column("cluster_id"))
-        return t.filter(m).select(["doc_id"])
-
-    return assigned.map_batches(keep, batch_format="pyarrow")
+    return keep_canonical(assigned)
 
 
 @register("simhash_near_dup_pairs")

@@ -182,10 +182,11 @@ def semantic_dedup_keep(sf_dir: str):
     cell-pair triangle-inequality pruning keeps the pair set EXACT, so
     the keep set matches the recursive-CTE reachability oracle
     row-for-row."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+    from document_ai_ray.stages.cluster import (
+        assign_clusters,
+        connected_components,
+        keep_canonical,
+    )
     from document_ai_ray.stages.similarity import cosine_pairs
 
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -193,12 +194,7 @@ def semantic_dedup_keep(sf_dir: str):
     comps = connected_components(pairs)
     ids = read_table(sf_dir, "embeddings", columns=["vec_id"])
     assigned = assign_clusters(ids, comps, id_col="vec_id")
-
-    def keep(t: pa.Table) -> pa.Table:
-        m = pc.equal(t.column("doc_id"), t.column("cluster_id"))
-        return pa.Table.from_arrays([t.filter(m).column("doc_id")], names=["vec_id"])
-
-    return assigned.map_batches(keep, batch_format="pyarrow")
+    return keep_canonical(assigned, out_col="vec_id")
 
 
 @register("kmeans_embeddings")

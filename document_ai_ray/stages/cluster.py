@@ -203,3 +203,19 @@ def assign_clusters(
         .groupby("__cb")
         .map_groups(lambda g: resolve(g.drop_columns(["__cb"])), batch_format="pyarrow")
     )
+
+
+def keep_canonical(assigned: rd.Dataset, out_col: str = "doc_id") -> rd.Dataset:
+    """Keep-if-own-cluster dedup filter over an `assign_clusters`
+    output: retain exactly the canonical (min-id == own-id) row of each
+    component, emitting the single id column renamed to `out_col`.
+    Vectorized per-batch, no extra shuffle — shared by the text and
+    embedding (SemDeDup) dedup queries."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return pa.Table.from_arrays([t.filter(m).column("doc_id")], names=[out_col])
+
+    return assigned.map_batches(keep, batch_format="pyarrow")

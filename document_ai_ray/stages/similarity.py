@@ -423,6 +423,9 @@ def kmeans_lloyd(
     """
     from document_ai_ray.pipelines.ops import get_broadcast, merge_partials
 
+    if n_iter < 1:
+        raise ValueError("kmeans_lloyd needs n_iter >= 1")
+
     sample = sample_vectors(vectors, sample_size, id_col, vec_col, seed=seed)
     rng = np.random.RandomState(seed)
     sample = _normalize(np.asarray(sample, dtype=np.float64))

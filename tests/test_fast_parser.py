@@ -129,3 +129,32 @@ def test_collapse_ws_canon_properties(s):
     for ch in "\t\r\n\f\v\xa0":
         assert ch not in c
     assert c == c.strip(" ")
+
+
+def test_collapse_ws_fast_path_differential():
+    """The clean-string fast path must be byte-equivalent to the frozen
+    canon sub+strip on every input — including Unicode whitespace
+    OUTSIDE the collapse class (U+2028/U+3000/\x85/\x1c...) that
+    .strip() removes at edges but sub() leaves in the interior."""
+    import random
+    import re
+
+    from document_ai_ray.functions.strings import collapse_ws
+
+    ws = re.compile("[ \t\r\n\f\v\xa0]+")
+
+    def ref(s: str) -> str:
+        return ws.sub(" ", s).strip()
+
+    explicit = [
+        "", " ", "  ", "ok", "a b", "a  b", "\ta", "a\xa0b", " a ",
+        "hello　", " abc", "hello\x85", "hello\x1c", "　",
+        "a b", "x y", "a b c ", " x",
+    ]
+    for s in explicit:
+        assert collapse_ws(s) == ref(s), repr(s)
+    rng = random.Random(7)
+    chars = "ab \t\n\xa0　\x85\x1c "
+    for _ in range(5000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 10)))
+        assert collapse_ws(s) == ref(s), repr(s)
