@@ -135,6 +135,13 @@ class ExtractConfig:
 
     # --- batching knobs (used by pipeline assembly, not the actor) ---
     batch_size: int = 1024
+    # giant-payload skew mitigation (north_rule: "size-bucketed salting
+    # for giant HTML/PDF rows"): pre-split input blocks so no task's
+    # batch carries more than this many payload bytes — a 100 MB page
+    # becomes its own single-row block the scheduler places
+    # independently instead of a 1024-row straggler batch.  None
+    # disables (restores plain row-count batching).
+    max_payload_bytes: int | None = 8 << 20
     # None -> size the actor pool to the cluster's CPU count at pipeline
     # build time (a fixed cap under-uses bigger clusters)
     concurrency: int | None = None

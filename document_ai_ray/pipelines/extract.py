@@ -46,6 +46,16 @@ def extract_pipeline(
     reference's SAM/doctr models would need
     (/root/reference/detection/sam.py:21-46)."""
     cfg = cfg or DEFAULT_CONFIG
+    if cfg.max_payload_bytes is not None:
+        # skew mitigation: byte-cap blocks (row-capped at batch_size)
+        # so a giant page is its own single-row block; the task path
+        # below then consumes block-as-batch (batch_size=None) so
+        # row-count bundling cannot re-attach a giant to 1023 peers
+        from document_ai_ray.stages.skew import split_blocks_by_bytes
+
+        pages = split_blocks_by_bytes(
+            pages, cfg.max_payload_bytes, payload_col="html", max_rows=cfg.batch_size
+        )
     if use_actors:
         if cfg.concurrency is None:
             import ray
@@ -68,7 +78,10 @@ def extract_pipeline(
             extract_batch,
             fn_kwargs={"cfg": cfg},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            # block-as-batch when the skew splitter shaped the blocks
+            # (it enforces both the byte and the row budget); else the
+            # plain row-count batching
+            batch_size=None if cfg.max_payload_bytes is not None else cfg.batch_size,
         )
     return extracted.map_batches(validate_batch, batch_format="pyarrow")
 

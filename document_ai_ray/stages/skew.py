@@ -31,16 +31,20 @@ from document_ai_ray.functions.hashing import stable64
 
 
 def split_batch_by_bytes(
-    t: pa.Table, max_bytes: int, payload_col: str = "html"
+    t: pa.Table, max_bytes: int, payload_col: str = "html", max_rows: int | None = None
 ) -> Iterator[pa.Table]:
     """Yield slices of ``t`` whose cumulative payload size stays under
-    ``max_bytes``; a single row larger than the budget is yielded alone."""
+    ``max_bytes`` (and row count under ``max_rows``, if given); a single
+    row larger than the budget is yielded alone."""
     sizes = pc.binary_length(t.column(payload_col)).to_numpy(zero_copy_only=False)
     sizes = np.where(np.isnan(sizes.astype(np.float64)), 0, sizes).astype(np.int64)
     start = 0
     acc = 0
     for i in range(len(t)):
-        if acc + sizes[i] > max_bytes and i > start:
+        if (
+            acc + sizes[i] > max_bytes
+            or (max_rows is not None and i - start >= max_rows)
+        ) and i > start:
             yield t.slice(start, i - start)
             start = i
             acc = 0
@@ -55,11 +59,20 @@ def split_batch_by_bytes(
         yield t.slice(start, len(t) - start)
 
 
-def split_blocks_by_bytes(ds, max_bytes: int = 8 << 20, payload_col: str = "html"):
-    """Re-block a Dataset so no block's payload exceeds ``max_bytes``."""
+def split_blocks_by_bytes(
+    ds,
+    max_bytes: int = 8 << 20,
+    payload_col: str = "html",
+    max_rows: int | None = None,
+):
+    """Re-block a Dataset so no block's payload exceeds ``max_bytes``
+    (nor ``max_rows`` rows).  With a downstream ``batch_size=None``
+    map_batches this makes each emitted block exactly one task batch —
+    giants stay isolated instead of being re-bundled by row-count
+    batching."""
 
     def gen(t: pa.Table) -> Iterator[pa.Table]:
-        yield from split_batch_by_bytes(t, max_bytes, payload_col)
+        yield from split_batch_by_bytes(t, max_bytes, payload_col, max_rows)
 
     # batch_size=None: operate on whole incoming blocks, emit re-split ones
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)

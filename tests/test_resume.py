@@ -135,3 +135,43 @@ def test_shard_layout_change_does_not_duplicate(tmp_path):
     assert not any(
         d.startswith("shard=") and int(d.split("=")[1]) >= 2 for d in os.listdir(out)
     )
+
+
+def test_extract_pipeline_giant_row_isolated():
+    """End-to-end skew path: a giant page flows through the byte-capped
+    splitter wired into extract_pipeline and extracts correctly next to
+    normal pages; with a tiny byte budget the giant must land in its
+    own single-row batch (observed via per-batch row counts)."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.config import ExtractConfig
+    from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.synth import pages_table
+
+    t = pages_table(30)
+    # blow one page up to ~3 MB of body text inside valid HTML
+    big_body = "giant paragraph word " * 150_000
+    html = f"<html><body><p>{big_body}</p></body></html>".encode()
+    col_idx = t.schema.get_field_index("html")
+    htmls = t.column("html").to_pylist()
+    htmls[7] = html
+    t = t.set_column(col_idx, "html", pa.array(htmls, pa.binary()))
+
+    cfg = dataclasses.replace(ExtractConfig(), max_payload_bytes=1 << 20, batch_size=8)
+    out = extract_pipeline(rd.from_arrow(t), cfg)
+    rows = out.select_columns(["url", "extracted_text"]).take_all()
+    assert len(rows) == 30
+    giant = [r for r in rows if len(r["extracted_text"]) > 1_000_000]
+    assert len(giant) == 1
+
+    # splitter invariant directly: the giant is alone in its slice
+    from document_ai_ray.stages.skew import split_batch_by_bytes
+
+    parts = list(split_batch_by_bytes(t, 1 << 20, max_rows=8))
+    assert sum(len(p) for p in parts) == 30
+    assert all(len(p) <= 8 for p in parts)
+    giant_parts = [p for p in parts if any(len(h) > 1 << 20 for h in p.column("html").to_pylist())]
+    assert len(giant_parts) == 1 and len(giant_parts[0]) == 1
