@@ -923,3 +923,37 @@ def select_top_quality(sf_dir: str):
         return t.filter(pa.array(mask)).select(["doc_id", "quality_score"])
 
     return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+_CAP_PER_SOURCE = 15
+
+_CAP_ORACLE = f"""
+WITH r AS (SELECT doc_id, source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
+@register("cap_docs_per_source", oracle=_CAP_ORACLE)
+def cap_docs_per_source(sf_dir: str):
+    """Per-source document cap (RefinedWeb-style per-domain cap): keep
+    at most N docs per source, preferring the longest (n_chars DESC,
+    doc_id tie-break).  Distributed shape = `ops.grouped_topk`:
+    per-batch local top-k prune, then a hash-BUCKETED final per key
+    group — no task ever holds the k x n_sources global output."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import grouped_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    capped = grouped_topk(
+        docs,
+        keys=["source"],
+        sort_cols=[("n_chars", False), ("doc_id", True)],
+        k=_CAP_PER_SOURCE,
+        n_buckets=auto_buckets(docs.count()),
+    )
+    return capped.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]), batch_format="pyarrow"
+    )
