@@ -175,3 +175,34 @@ def test_extract_pipeline_giant_row_isolated():
     assert all(len(p) <= 8 for p in parts)
     giant_parts = [p for p in parts if any(len(h) > 1 << 20 for h in p.column("html").to_pylist())]
     assert len(giant_parts) == 1 and len(giant_parts[0]) == 1
+
+
+def test_split_batch_by_bytes_property():
+    """Property sweep: slices reconstruct the input exactly in order;
+    every multi-row slice respects both budgets; single-row slices may
+    exceed the byte budget only when that row alone does."""
+    import random
+
+    import pyarrow as pa
+
+    from document_ai_ray.stages.skew import split_batch_by_bytes
+
+    rng = random.Random(42)
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        sizes = [rng.choice([0, 1, 5, 100, 3000]) for _ in range(n)]
+        payloads = [b"x" * s for s in sizes]
+        t = pa.table({"id": list(range(n)), "html": pa.array(payloads, pa.binary())})
+        budget = rng.choice([1, 50, 200, 5000])
+        max_rows = rng.choice([None, 1, 3, 7])
+        parts = list(split_batch_by_bytes(t, budget, max_rows=max_rows))
+        flat = [r for p in parts for r in p.column("id").to_pylist()]
+        assert flat == list(range(n))
+        for p in parts:
+            szs = [len(h) for h in p.column("html").to_pylist()]
+            if max_rows is not None:
+                assert len(p) <= max_rows
+            if len(p) > 1:
+                assert sum(szs) <= budget
+            else:
+                assert len(szs) == 1 and (szs[0] <= budget or True)
