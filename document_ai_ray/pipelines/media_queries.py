@@ -52,7 +52,7 @@ def media_resize_then_decode(sf_dir: str):
 
 
 def _real_media_dataset():
-    """Mixed REAL-format corpus: BMP and PPM images + PCM WAV clips,
+    """Mixed REAL-format corpus: BMP, PPM and PNG images + PCM WAV clips,
     synthesized deterministically in-task (numpy arrays -> real
     container bytes via the module's encoders)."""
     import numpy as np
@@ -61,6 +61,7 @@ def _real_media_dataset():
     from document_ai_ray.stages.multimodal import (
         MEDIA_SCHEMA,
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
     )
@@ -69,8 +70,14 @@ def _real_media_dataset():
         rows = []
         for i in batch.column("id").to_pylist():
             rng = np.random.RandomState(i)
-            kind = i % 3
-            if kind == 0:
+            kind = i % 4
+            if kind == 3:
+                w, h = 12 + (i % 6) * 4, 18
+                payload = encode_png(
+                    rng.randint(0, 256, (h, w, 3), dtype=np.uint8), filter_type=i % 5
+                )
+                mt, meta = "image/png", {"width": w, "height": h, "sample_rate": 0}
+            elif kind == 0:
                 w, h = 16 + (i % 5) * 8, 24
                 payload = encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
                 mt, meta = "image/bmp", {"width": w, "height": h, "sample_rate": 0}

@@ -6,15 +6,19 @@ resize / frame-sample are actor-pool `map_batches` stages.
 
 Decode support is format-tiered:
 
-- REAL pure-Python/numpy decoders for the raw container formats:
+- REAL pure-Python/numpy decoders:
   BMP (uncompressed 24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
-  WAV (PCM 8/16-bit, stdlib `wave`).  These decode to pixel/sample
+  WAV (PCM 8/16-bit, stdlib `wave`), and PNG (8-bit non-interlaced
+  gray/RGB/palette/alpha — stdlib zlib inflate + all five row
+  un-filters, CRC-verified chunk walk).  These decode to pixel/sample
   arrays and feed real feature extraction (4x4 gray-block means for
   images, 16 RMS window energies for audio) and real nearest-neighbor
   image resize with re-encode.
-- COMPRESSED codecs (PNG/JPEG/MP3/MP4...) need libraries absent from
-  this container and stay STUBBED: strict mode raises
+- REMAINING compressed codecs (JPEG/MP3/MP4...) need libraries absent
+  from this container and stay STUBBED: strict mode raises
   NotImplementedError; non-strict emits the per-row error column.
+  Within PNG, 16-bit depth and Adam7 interlacing are in this stub
+  tier too.
 - The `SYNM` synthetic payload keeps the deterministic fake decoder
   for plumbing tests.
 """
@@ -91,6 +95,164 @@ def decode_ppm(b: bytes) -> np.ndarray:
 def encode_ppm(px: np.ndarray) -> bytes:
     h, w, _ = px.shape
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec pseudo-code, elementwise)."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image -> real 8-bit non-interlaced PNG via stdlib zlib.
+    Shapes: (h, w) gray -> color type 0, (h, w, 3) -> truecolor 2,
+    (h, w, 4) -> truecolor+alpha 6.  ``filter_type`` applies one PNG
+    row filter (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to every
+    scanline — exposed so tests exercise every un-filter branch of
+    `decode_png`."""
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int32)
+    zero_left = np.zeros(nch, np.int32)
+    for r in range(h):
+        row = flat[r]
+        left = np.concatenate([zero_left, row[:-nch]])
+        upleft = np.concatenate([zero_left, prev[:-nch]])
+        if filter_type == 0:
+            f = row
+        elif filter_type == 1:
+            f = row - left
+        elif filter_type == 2:
+            f = row - prev
+        elif filter_type == 3:
+            f = row - (left + prev) // 2
+        elif filter_type == 4:
+            f = row - _paeth_rows(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """REAL PNG decode via stdlib zlib + numpy: chunk walk with CRC
+    verify, inflate, per-scanline un-filter (all five PNG filter
+    types), channel expansion -> (h, w, 3) uint8 RGB.  Supports 8-bit
+    non-interlaced gray (0), truecolor (2), palette (3), gray+alpha
+    (4) and RGBA (6); alpha is dropped like the 32-bit BMP path.
+    16-bit depth and Adam7 interlacing raise NotImplementedError (the
+    honest-stub convention for the unsupported tier).  Filters 1/3/4
+    reconstruct byte-sequentially within a row (spec-mandated data
+    dependence) — fine for thumbnail-scale media; a hot loop would
+    want a C kernel."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    hdr = None
+    while pos + 12 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG compression={comp}/filter-method={filt} invalid")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG unsupported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                up = prev[i]
+                ul = prev[i - nch] if i >= nch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - ul
+                    pa_, pb_, pc_ = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
@@ -192,6 +354,8 @@ class DecodeMedia:
         self.strict = strict
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == _PNG_SIG:
+            return _image_features(decode_png(payload), self.FEATURE_DIM)
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload), self.FEATURE_DIM)
         if payload[:2] in (b"P6", b"P5"):
@@ -201,7 +365,7 @@ class DecodeMedia:
         if payload[:4] != _MAGIC:
             if self.strict:
                 raise NotImplementedError(
-                    "compressed codecs (png/jpeg/mp3/...) require libraries not present in this environment"
+                    "compressed codecs (jpeg/mp3/...) require libraries not present in this environment"
                 )
             raise ValueError("unknown payload format")
         w, h, sr = struct.unpack("<III", payload[4:16])
@@ -270,7 +434,9 @@ class ResizeMedia:
         return px[ri][:, ci]
 
     def _resize(self, payload: bytes) -> bytes:
-        if payload[:2] == b"BM":                  # real image resize + re-encode
+        if payload[:8] == _PNG_SIG:               # real image resize + re-encode
+            return encode_png(self._nn(decode_png(payload)))
+        if payload[:2] == b"BM":
             return encode_bmp(self._nn(decode_bmp(payload)))
         if payload[:2] in (b"P6", b"P5"):
             return encode_ppm(self._nn(decode_ppm(payload)))

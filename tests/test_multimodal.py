@@ -122,3 +122,102 @@ def test_media_real_decode_query_no_errors():
     assert len(rows) == 200
     assert all(r["error"] is None for r in rows)            # every format REALLY decoded
     assert all(any(v > 0 for v in r["features"]) for r in rows)
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for shape in [(9, 7, 3), (6, 5), (8, 4, 4), (1, 1, 3), (3, 17, 3)]:
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(px, filter_type=ft))
+            if px.ndim == 2:
+                assert (got == px[:, :, None].repeat(3, 2)).all()
+            elif px.shape[2] == 4:
+                assert (got == px[:, :, :3]).all()
+            else:
+                assert (got == px).all()
+
+
+def test_png_palette_and_error_tiers():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from document_ai_ray.stages.multimodal import _png_chunk, _PNG_SIG, decode_png
+
+    # hand-built 2x2 palette PNG (color type 3)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    scan = bytes([0, 0, 1]) + bytes([0, 2, 3])  # filter 0 + indices per row
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_png(png)
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 7, 7]]]
+
+    # 16-bit and interlaced are honest NotImplementedError stubs
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),
+    ):
+        bad = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(bad)
+
+    # corrupted CRC is a hard error
+    good = _png_chunk(b"IEND", b"")
+    corrupt = good[:-1] + bytes([good[-1] ^ 1])
+    full = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + corrupt
+    )
+    with pytest.raises(ValueError):
+        decode_png(full)
+
+
+def test_png_through_decode_and_resize_stages():
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        DecodeMedia,
+        ResizeMedia,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)
+    t = pa.Table.from_pylist(
+        [
+            {
+                "media_id": 1,
+                "media_type": "image/png",
+                "payload": encode_png(px, filter_type=4),
+                "meta": {"width": 16, "height": 24, "sample_rate": 0},
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    resized = ResizeMedia(width=8, height=8)(t)
+    out_px = decode_png(resized.column("payload").to_pylist()[0])
+    assert out_px.shape == (8, 8, 3)
+    feats = DecodeMedia()(resized)
+    assert feats.column("error").to_pylist() == [None]
+    assert len(feats.column("features").to_pylist()[0]) == DecodeMedia.FEATURE_DIM
