@@ -52,7 +52,7 @@ def media_resize_then_decode(sf_dir: str):
 
 
 def _real_media_dataset():
-    """Mixed REAL-format corpus: BMP, PPM and PNG images + PCM WAV clips,
+    """Mixed REAL-format corpus: BMP, PPM, PNG images, animated GIFs + PCM WAV clips,
     synthesized deterministically in-task (numpy arrays -> real
     container bytes via the module's encoders)."""
     import numpy as np
@@ -61,6 +61,7 @@ def _real_media_dataset():
     from document_ai_ray.stages.multimodal import (
         MEDIA_SCHEMA,
         encode_bmp,
+        encode_gif,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -70,8 +71,17 @@ def _real_media_dataset():
         rows = []
         for i in batch.column("id").to_pylist():
             rng = np.random.RandomState(i)
-            kind = i % 4
-            if kind == 3:
+            kind = i % 5
+            if kind == 4:
+                w, h = 10, 8
+                n_frames = 2 + (i % 3)
+                frames = [
+                    (rng.randint(0, 6, (h, w, 3)) * 51).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payload = encode_gif(frames)
+                mt, meta = "image/gif", {"width": w, "height": h, "sample_rate": 0}
+            elif kind == 3:
                 w, h = 12 + (i % 6) * 4, 18
                 payload = encode_png(
                     rng.randint(0, 256, (h, w, 3), dtype=np.uint8), filter_type=i % 5
@@ -106,3 +116,44 @@ def media_real_decode(sf_dir: str):
     from document_ai_ray.stages.multimodal import media_features, resize_media
 
     return media_features(resize_media(_real_media_dataset(), width=12, height=12))
+
+
+@register("media_gif_frames")
+def media_gif_frames(sf_dir: str):
+    """REAL video-analogue path end-to-end: animated GIFs are demuxed
+    (stdlib-only LZW decode), every 2nd frame re-emitted as a PNG
+    image row, and each frame then feature-extracted through the same
+    DecodeMedia stage as stills — one media row fans out to many frame
+    rows (flat_map shape).  Rows-only (binary payloads); frame-exact
+    decode correctness is pinned by tests/test_multimodal.py."""
+    import pyarrow as pa
+
+    from document_ai_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        media_features,
+        sample_frames,
+    )
+
+    import pyarrow.compute as pc
+
+    gifs = _real_media_dataset().map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "image/gif")),
+        batch_format="pyarrow",
+    )
+    frames = sample_frames(gifs, every=2)
+
+    def as_media(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        idxs = t.column("frame_idx").to_pylist()
+        rows = [
+            {
+                "media_id": i * 1000 + k,
+                "media_type": "image/png",
+                "payload": f,
+                "meta": {"width": 0, "height": 0, "sample_rate": 0},
+            }
+            for i, k, f in zip(ids, idxs, t.column("frame").to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return media_features(frames.map_batches(as_media, batch_format="pyarrow"))

@@ -8,9 +8,12 @@ Decode support is format-tiered:
 
 - REAL pure-Python/numpy decoders:
   BMP (uncompressed 24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
-  WAV (PCM 8/16-bit, stdlib `wave`), and PNG (8-bit non-interlaced
+  WAV (PCM 8/16-bit, stdlib `wave`), PNG (8-bit non-interlaced
   gray/RGB/palette/alpha — stdlib zlib inflate + all five row
-  un-filters, CRC-verified chunk walk).  These decode to pixel/sample
+  un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
+  variable-width LZW, multi-frame with sub-rect compositing; the
+  encoder web-safe-quantizes, so animated-GIF frame sampling is a
+  REAL video demux path).  These decode to pixel/sample
   arrays and feed real feature extraction (4x4 gray-block means for
   images, 16 RMS window energies for audio) and real nearest-neighbor
   image resize with re-encode.
@@ -255,6 +258,175 @@ def decode_png(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])
 
 
+_GIF_MAX_CODE = 1 << 12
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/end
+    codes, 12-bit table cap) -> palette index bytes."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at ``pos``; returns
+    (data, position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += b[pos : pos + n]
+        pos += n
+
+
+def decode_gif(b: bytes) -> list[np.ndarray]:
+    """REAL GIF87a/89a decode (stdlib-only LZW): every frame as an
+    (h, w, 3) uint8 RGB array.  Sub-rectangle frames composite onto
+    the running canvas (replace disposal — the only mode our encoder
+    emits; exotic disposal modes are approximated the same way, which
+    is the common lossy-player behavior)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed, _bg, _ar = b[10], b[11], b[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            _, pos = _gif_subblocks(b, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", b[pos : pos + 8])
+        ipacked = b[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        mcs = b[pos]
+        pos += 1
+        data, pos = _gif_subblocks(b, pos)
+        idx = np.frombuffer(_gif_lzw_decode(data, mcs), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF frame pixel data truncated")
+        rect = pal[np.minimum(idx[: w * h], len(pal) - 1)].reshape(h, w, 3)
+        canvas[top : top + h, left : left + w] = rect
+        frames.append(canvas.copy())
+    return frames
+
+
+def _gif_lzw_encode_literals(indices: np.ndarray, mcs: int) -> bytes:
+    """Valid GIF LZW stream via the clear-code-per-literal scheme: the
+    table never grows, so the code width stays mcs+1 throughout (the
+    classic 'uncompressed GIF' trick — bigger output, trivially
+    correct; our GIFs are test-scale)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i in indices:
+        emit(int(i))
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """(h, w, 3) uint8 RGB frames -> animated GIF89a.  Colors are
+    web-safe-quantized (6x6x6 cube = 216-entry global table) — a real
+    quantizing encoder, deterministic, stdlib-only."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    cube = np.stack(
+        np.meshgrid(np.arange(6), np.arange(6), np.arange(6), indexing="ij"), -1
+    ).reshape(-1, 3) * 51
+    pal = np.vstack([cube, np.zeros((256 - 216, 3))]).astype(np.uint8)
+    mcs = 8
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += pal.tobytes()
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must share the screen size")
+        q = np.round(fr.astype(np.float64) / 51.0).astype(np.int64).clip(0, 5)
+        idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).astype(np.uint8)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+        data = _gif_lzw_encode_literals(idx.ravel(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float32 samples in [-1, 1] (mono-mixed), rate)."""
     import io
@@ -356,6 +528,8 @@ class DecodeMedia:
     def _decode(self, payload: bytes) -> np.ndarray:
         if payload[:8] == _PNG_SIG:
             return _image_features(decode_png(payload), self.FEATURE_DIM)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _image_features(decode_gif(payload)[0], self.FEATURE_DIM)
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload), self.FEATURE_DIM)
         if payload[:2] in (b"P6", b"P5"):
@@ -436,6 +610,8 @@ class ResizeMedia:
     def _resize(self, payload: bytes) -> bytes:
         if payload[:8] == _PNG_SIG:               # real image resize + re-encode
             return encode_png(self._nn(decode_png(payload)))
+        if payload[:6] in (b"GIF87a", b"GIF89a"):  # every frame resized
+            return encode_gif([self._nn(f) for f in decode_gif(payload)])
         if payload[:2] == b"BM":
             return encode_bmp(self._nn(decode_bmp(payload)))
         if payload[:2] in (b"P6", b"P5"):
@@ -486,15 +662,27 @@ def resize_media(media_ds, width: int, height: int, concurrency: int = 4, batch_
 
 
 def sample_frames(media_ds, every: int = 4, concurrency: int = 4, batch_size: int = 8):
-    """Video-analogue frame sampling: explode each payload into every
-    k-th fixed-size chunk as one 'frame' row (flat_map shape: one media
-    row -> many frame rows).  Real container demuxing is stubbed the
-    same way as decoding."""
+    """Video-analogue frame sampling: one media row -> many frame rows
+    (flat_map shape).  Animated GIFs demux for REAL — every k-th frame
+    is decoded and re-emitted as a standalone PNG image payload (ready
+    for DecodeMedia/media_features downstream).  The `SYNM` synthetic
+    payload keeps the fixed-size-chunk fake for plumbing tests; other
+    real video containers (mp4...) stay stubbed like decoding."""
     FRAME = 256
 
     def explode(t: pa.Table) -> pa.Table:
         ids, idxs, frames = [], [], []
         for i, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
+            if p and p[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    decoded = decode_gif(p)
+                except Exception:
+                    continue
+                for k in range(0, len(decoded), every):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(encode_png(decoded[k]))
+                continue
             if not p or p[:4] != _MAGIC:
                 continue
             body = p[16:]

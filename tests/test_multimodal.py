@@ -221,3 +221,80 @@ def test_png_through_decode_and_resize_stages():
     feats = DecodeMedia()(resized)
     assert feats.column("error").to_pylist() == [None]
     assert len(feats.column("features").to_pylist()[0]) == DecodeMedia.FEATURE_DIM
+
+
+def test_gif_roundtrip_and_compositing():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(8)
+    frames = [(rng.randint(0, 6, (10, 14, 3)) * 51).astype(np.uint8) for _ in range(4)]
+    got = decode_gif(encode_gif(frames))
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    # arbitrary colors land on the nearest web-safe entry (<= 26 off)
+    f = rng.randint(0, 256, (6, 6, 3), dtype=np.uint8)
+    g = decode_gif(encode_gif([f]))[0]
+    assert np.abs(g.astype(int) - f.astype(int)).max() <= 26
+
+
+def test_gif_subrect_compositing():
+    """Hand-built GIF with a 1x1 sub-rectangle second frame: the frame
+    composites onto the prior canvas, rest of the pixels carry over."""
+    import struct
+
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import (
+        _gif_lzw_encode_literals,
+        decode_gif,
+        encode_gif,
+    )
+
+    base = (np.ones((4, 4, 3)) * 51).astype(np.uint8)  # palette cube index 43
+    gif = bytearray(encode_gif([base]))
+    assert gif[-1] == 0x3B
+    gif.pop()  # drop trailer, append a 1x1 frame at (2,1) with color index 0
+    sub = b"\x2c" + struct.pack("<HHHH", 2, 1, 1, 1) + b"\x00" + bytes([8])
+    data = _gif_lzw_encode_literals(np.array([215], np.uint8), 8)  # cube idx 215 = (5,5,5)*51=255
+    sub += bytes([len(data)]) + data + b"\x00" + b"\x3b"
+    frames = decode_gif(bytes(gif) + sub)
+    assert len(frames) == 2
+    assert (frames[0] == base).all()
+    expect = base.copy()
+    expect[1, 2] = [255, 255, 255]
+    assert (frames[1] == expect).all()
+
+
+def test_gif_frame_sampling_stage():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_gif,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(6)
+    frames = [(rng.randint(0, 6, (8, 6, 3)) * 51).astype(np.uint8) for _ in range(5)]
+    t = pa.Table.from_pylist(
+        [
+            {
+                "media_id": 9,
+                "media_type": "image/gif",
+                "payload": encode_gif(frames),
+                "meta": {"width": 6, "height": 8, "sample_rate": 0},
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    out = sample_frames(rd.from_arrow(t), every=2).take_all()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        px = decode_png(r["frame"])
+        assert (px == frames[r["frame_idx"]]).all()
