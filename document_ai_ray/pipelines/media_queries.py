@@ -52,12 +52,13 @@ def media_resize_then_decode(sf_dir: str):
 
 
 def _real_media_dataset():
-    """Mixed REAL-format corpus: BMP, PPM, PNG images, animated GIFs + PCM WAV clips,
-    synthesized deterministically in-task (numpy arrays -> real
-    container bytes via the module's encoders)."""
+    """Mixed REAL-format corpus: BMP, PPM, PNG, JPEG images, animated
+    GIFs + PCM WAV clips, synthesized deterministically in-task (numpy
+    arrays -> real container bytes via the module's encoders)."""
     import numpy as np
     import ray.data as rd
 
+    from document_ai_ray.functions.jpeg import encode_jpeg
     from document_ai_ray.stages.multimodal import (
         MEDIA_SCHEMA,
         encode_bmp,
@@ -71,8 +72,17 @@ def _real_media_dataset():
         rows = []
         for i in batch.column("id").to_pylist():
             rng = np.random.RandomState(i)
-            kind = i % 5
-            if kind == 4:
+            kind = i % 6
+            if kind == 5:
+                w, h = 16 + (i % 4) * 8, 20
+                yy, xx = np.mgrid[0:h, 0:w]
+                smooth = np.stack(
+                    [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) % 256], -1
+                ).astype(np.uint8)
+                payload = encode_jpeg(smooth, quality=85, subsample=bool(i % 2),
+                                      restart_interval=(i % 3))
+                mt, meta = "image/jpeg", {"width": w, "height": h, "sample_rate": 0}
+            elif kind == 4:
                 w, h = 10, 8
                 n_frames = 2 + (i % 3)
                 frames = [

@@ -13,15 +13,17 @@ Decode support is format-tiered:
   un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
   variable-width LZW, multi-frame with sub-rect compositing; the
   encoder web-safe-quantizes, so animated-GIF frame sampling is a
-  REAL video demux path).  These decode to pixel/sample
+  REAL video demux path), and baseline JPEG (numpy einsum DCT/IDCT,
+  Annex K Huffman + quantization tables, 4:2:0/4:4:4, restart
+  markers — `functions/jpeg.py`).  These decode to pixel/sample
   arrays and feed real feature extraction (4x4 gray-block means for
   images, 16 RMS window energies for audio) and real nearest-neighbor
   image resize with re-encode.
-- REMAINING compressed codecs (JPEG/MP3/MP4...) need libraries absent
+- REMAINING compressed codecs (MP3/MP4/WebP...) need libraries absent
   from this container and stay STUBBED: strict mode raises
   NotImplementedError; non-strict emits the per-row error column.
   Within PNG, 16-bit depth and Adam7 interlacing are in this stub
-  tier too.
+  tier; within JPEG, progressive (SOF2) and arithmetic coding are.
 - The `SYNM` synthetic payload keeps the deterministic fake decoder
   for plumbing tests.
 """
@@ -526,6 +528,10 @@ class DecodeMedia:
         self.strict = strict
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"\xff\xd8":
+            from document_ai_ray.functions.jpeg import decode_jpeg
+
+            return _image_features(decode_jpeg(payload), self.FEATURE_DIM)
         if payload[:8] == _PNG_SIG:
             return _image_features(decode_png(payload), self.FEATURE_DIM)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -539,7 +545,7 @@ class DecodeMedia:
         if payload[:4] != _MAGIC:
             if self.strict:
                 raise NotImplementedError(
-                    "compressed codecs (jpeg/mp3/...) require libraries not present in this environment"
+                    "compressed codecs (mp3/mp4/webp/...) require libraries not present in this environment"
                 )
             raise ValueError("unknown payload format")
         w, h, sr = struct.unpack("<III", payload[4:16])
@@ -608,6 +614,10 @@ class ResizeMedia:
         return px[ri][:, ci]
 
     def _resize(self, payload: bytes) -> bytes:
+        if payload[:2] == b"\xff\xd8":            # real JPEG resize + re-encode
+            from document_ai_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+            return encode_jpeg(self._nn(decode_jpeg(payload)))
         if payload[:8] == _PNG_SIG:               # real image resize + re-encode
             return encode_png(self._nn(decode_png(payload)))
         if payload[:6] in (b"GIF87a", b"GIF89a"):  # every frame resized
