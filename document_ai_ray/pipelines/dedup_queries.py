@@ -183,3 +183,80 @@ def simhash_near_dup_pairs(sf_dir: str):
         recall = 1.0                              # no sampled ground-truth pairs
     pdf["recall"] = np.round(recall, 6)
     return pdf
+
+
+_SPAN_WINS_CTE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(floor(len(w) / 8) AS BIGINT) - 1)) AS k,
+         w
+  FROM words
+),
+named AS (
+  SELECT doc_id, k, array_to_string(w[k*8+1 : k*8+8], ' ') AS win FROM wins
+)"""
+
+_SPAN_STATS_ORACLE = _SPAN_WINS_CTE + """,
+flagged AS (
+  SELECT doc_id, (COUNT(*) OVER (PARTITION BY win)) > 1 AS dup FROM named
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS dup_windows
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_windows, 0) AS n_windows,
+       COALESCE(a.dup_windows, 0) AS dup_windows,
+       ROUND(CASE WHEN COALESCE(a.n_windows, 0) = 0 THEN 0.0
+                  ELSE COALESCE(a.dup_windows, 0) * 1.0 / a.n_windows END,
+             6) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_SPAN_KEEP_FIRST_ORACLE = _SPAN_WINS_CTE + """,
+ranked AS (
+  SELECT doc_id, k, win,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, k) AS rn
+  FROM named
+),
+heads AS (
+  SELECT doc_id, string_agg(win, ' ' ORDER BY k) AS head
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tails AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(
+             w[CAST(floor(len(w) / 8) AS BIGINT)*8+1 : len(w)], ' '), '') AS tail
+  FROM words
+)
+SELECT t.doc_id,
+       CASE WHEN h.head IS NULL OR h.head = '' THEN t.tail
+            WHEN t.tail = '' THEN h.head
+            ELSE h.head || ' ' || t.tail END AS text
+FROM tails t LEFT JOIN heads h USING (doc_id)
+"""
+
+
+@register("span_dup_stats", oracle=_SPAN_STATS_ORACLE)
+def span_dup_stats(sf_dir: str):
+    """Per-doc duplicated-window fraction (Lee et al. 2021 substring
+    dedup signal, fixed-stride 8-token windows): hash-bucketed global
+    window counts, doc-bucketed per-doc aggregation — text never enters
+    the hash shuffle (stages/span_dedup.py)."""
+    from document_ai_ray.stages.span_dedup import dup_span_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_stats(docs)
+
+
+@register("substring_dedup_docs", oracle=_SPAN_KEEP_FIRST_ORACLE)
+def substring_dedup_docs(sf_dir: str):
+    """Keep-first substring dedup: every 8-token window keeps only its
+    corpus-globally first occurrence (by (doc_id, win_idx)), documents
+    are rebuilt from surviving windows + sub-window tails."""
+    from document_ai_ray.stages.span_dedup import dedup_spans_keep_first
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_spans_keep_first(docs)

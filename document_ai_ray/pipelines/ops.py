@@ -635,7 +635,15 @@ def _split_by_bucket(t: pa.Table, bucket_col: str, n_buckets: int):
     """One input block -> n_buckets per-bucket sub-tables (stable-sort
     + searchsorted boundaries: zero-copy slices, no per-bucket filter
     scan).  Runs as a Ray task with num_returns=n_buckets so each
-    bucket's slice is an independent object-store entry."""
+    bucket's slice is an independent object-store entry.
+
+    Ray's map_batches SKIPS empty input blocks, so an upstream map can
+    emit 0-row blocks with an EMPTY schema (no bucket column); those
+    pass through as schema-less empties and `apply_bucket` picks a
+    schema donor from a real block."""
+    if t.num_rows == 0 and bucket_col not in t.schema.names:
+        out = tuple(t for _ in range(n_buckets))
+        return out if n_buckets > 1 else out[0]
     bk = t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(bk, kind="stable")
     ts = t.take(pa.array(order))
@@ -697,10 +705,16 @@ def bucket_map_groups(
     def apply_bucket(*parts: pa.Table) -> pa.Table:
         live = [p for p in parts if p.num_rows]
         # empty buckets still go through fn so every output block shares
-        # fn's OUTPUT schema (from_arrow_refs requires consistent blocks)
-        t = (
-            pa.concat_tables(live).combine_chunks() if live else parts[0]
-        ).drop_columns([bucket_col])
+        # fn's OUTPUT schema (from_arrow_refs requires consistent blocks);
+        # the schema donor must be a part that actually carries the
+        # bucket column (schema-less empties exist — see _split_by_bucket)
+        if live:
+            t = pa.concat_tables(live).combine_chunks()
+        else:
+            t = next((p for p in parts if bucket_col in p.schema.names), None)
+            if t is None:  # every input block was a schema-less empty
+                return parts[0]
+        t = t.drop_columns([bucket_col])
         if batch_format == "pandas":
             out = fn(t.to_pandas())
             return pa.Table.from_pandas(out, preserve_index=False)
