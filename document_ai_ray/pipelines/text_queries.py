@@ -957,3 +957,39 @@ def cap_docs_per_source(sf_dir: str):
     return capped.map_batches(
         lambda t: t.select(["doc_id", "source", "n_chars"]), batch_format="pyarrow"
     )
+
+
+_DSIR_ORACLE = """
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8)) AS BIGINT)
+               % 1024 AS b
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+tc AS (SELECT b, COUNT(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, COUNT(*) AS c FROM g GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM g WHERE lang = 'en') AS tt,
+               (SELECT COUNT(*) FROM g) AS tr),
+lr AS (SELECT rc.b,
+              ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024.0))
+              - ln((rc.c + 1.0) / (tot.tr + 1024.0)) AS lr
+       FROM rc LEFT JOIN tc USING (b), tot),
+per AS (SELECT g.doc_id, COUNT(*) AS n_bigrams, SUM(lr.lr) AS lw
+        FROM g JOIN lr USING (b) GROUP BY g.doc_id)
+SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       ROUND(COALESCE(p.lw, 0.0), 6) AS logweight
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("dsir_logweights", oracle=_DSIR_ORACLE)
+def dsir_logweights_query(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    target-vs-raw log-likelihood ratio per document, target = lang='en'.
+    Histogram partials aggregate per block with NO shuffle (fixed-size
+    vectors), the 1024-float log-ratio vector broadcasts via ray.put —
+    the md5 bucket hash is shared with the oracle so the whole operator
+    is value-checked (stages/dsir.py)."""
+    from document_ai_ray.stages.dsir import dsir_logweights
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return dsir_logweights(docs)
