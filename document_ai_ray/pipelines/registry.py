@@ -55,5 +55,6 @@ def _load_all() -> None:
     from document_ai_ray.pipelines import metrics_queries  # noqa: F401
     from document_ai_ray.pipelines import media_queries  # noqa: F401
     from document_ai_ray.pipelines import corpus  # noqa: F401
+    from document_ai_ray.pipelines import link_queries  # noqa: F401
 
     _LOADED = True

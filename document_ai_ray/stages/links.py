@@ -1,0 +1,179 @@
+"""Out-link extraction + host-graph analysis.
+
+The WAT-file side of a web crawl: CommonCrawl publishes extracted
+<a href> link metadata alongside WARC text, and the host-level
+webgraph feeds quality priors (host PageRank / harmonic centrality)
+used by pretraining-data filters.  The reference's extraction surface
+has no link analysis (SURVEY.md §2); this is part of the
+training-data suite.
+
+Stages:
+
+- `page_outlinks`: (url, html) pages -> one (url, href) row per
+  anchor, in document order.  Deliberately NOT fused into the fast
+  HTML scanner: the fast path's frozen contract ignores attributes
+  (tests/test_fast_parser.py pins event-equivalence with attrs
+  dropped), so this stage uses a stdlib-HTMLParser collector — warm
+  per worker, correct attribute/charref handling — and pays the extra
+  parse only on pipelines that ask for links.
+- `outlink_host_counts`: href -> host (urlsplit), then the combiner
+  aggregate (per-batch partial counts, shuffle-free merge) — hosts are
+  low-cardinality relative to links.
+- `pagerank_hosts`: damping-d power iteration over a (src, dst) edge
+  multigraph with dangling-mass redistribution.  The rank vector has
+  HOST cardinality (orders of magnitude below page/link cardinality);
+  each iteration is one streaming pass over the edges with the rank
+  vector broadcast via ray.put, and only host-sized tables ever reach
+  the driver.  If the host table outgrew worker memory the contribute
+  step would switch to the bucketed hash join (`ops.bucket_map_groups`)
+  — same iteration structure.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from document_ai_ray.pipelines.ops import (
+    get_broadcast,
+    partial_group_agg,
+    round_cols,
+)
+
+
+class _LinkCollector(HTMLParser):
+    """Collect <a href> values in document order (stdlib attribute
+    parsing: quotes stripped, charrefs unescaped)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
+
+
+def page_outlinks(
+    pages: rd.Dataset, url_col: str = "url", html_col: str = "html"
+) -> rd.Dataset:
+    """(url, href) — one row per anchor with an href, document order."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        hrefs: list[str] = []
+        for u, h in zip(t.column(url_col).to_pylist(), t.column(html_col).to_pylist()):
+            if h is None:
+                continue
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", "replace")
+            p = _LinkCollector()
+            try:
+                p.feed(h)
+                p.close()
+            except Exception:
+                pass  # tolerate broken markup; links found so far survive
+            urls.extend([u] * len(p.hrefs))
+            hrefs.extend(p.hrefs)
+        return pa.table(
+            {url_col: pa.array(urls, pa.string()), "href": pa.array(hrefs, pa.string())}
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def href_host(href: str) -> str:
+    """Lowercased hostname of an absolute href ('' if none)."""
+    try:
+        return (urlsplit(href).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def outlink_host_counts(links: rd.Dataset, href_col: str = "href") -> rd.Dataset:
+    """(host, n_links) over all anchors with a resolvable host."""
+
+    def to_host(t: pa.Table) -> pa.Table:
+        hosts = [href_host(h) for h in t.column(href_col).to_pylist()]
+        arr = pa.array(hosts, pa.string())
+        out = pa.table({"host": arr})
+        return out.filter(pa.compute.not_equal(arr, ""))
+
+    hosts = links.map_batches(to_host, batch_format="pyarrow")
+    return partial_group_agg(hosts, keys=["host"], count_alias="n_links")
+
+
+def pagerank_hosts(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 20,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """PageRank over the host multigraph (parallel edges count as
+    weight).  Returns (host, rank) for every host appearing as src or
+    dst; ranks sum to 1 and are rounded for stable comparison.
+
+    Each of the `iters` power iterations is ONE streaming pass over the
+    edge dataset (per-block bincount partials -> one tiny vector
+    merge); the driver only ever holds host-cardinality vectors."""
+    import pandas as pd
+
+    # host universe + per-src out-degree: two host-sized aggregates
+    outdeg_rows = partial_group_agg(
+        edges.select_columns([src_col]), keys=[src_col], count_alias="outdeg"
+    ).take_all()
+    dst_rows = partial_group_agg(
+        edges.select_columns([dst_col]), keys=[dst_col], count_alias="n"
+    ).take_all()
+    outdeg_map = {r[src_col]: r["outdeg"] for r in outdeg_rows}
+    hosts = sorted(set(outdeg_map) | {r[dst_col] for r in dst_rows})
+    n = len(hosts)
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"host": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+    outdeg = np.array([outdeg_map.get(h, 0) for h in hosts], np.float64)
+    dangling = outdeg == 0
+    # static per-run state (index + out-degrees) broadcast ONCE, not
+    # re-pickled into every task closure — host-sized, can be large
+    static_ref = (ray.put((pd.Index(hosts), outdeg)),)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rank_ref = (ray.put(rank),)
+
+        def contrib(t: pa.Table, rank_ref=rank_ref) -> pa.Table:
+            idx, od = get_broadcast(static_ref, tag="pr_static")
+            r = get_broadcast(rank_ref, tag="pr_rank")
+            si = idx.get_indexer(t.column(src_col).to_pylist())
+            di = idx.get_indexer(t.column(dst_col).to_pylist())
+            w = r[si] / np.maximum(od[si], 1.0)
+            return pa.table({"v": [np.bincount(di, weights=w, minlength=len(idx)).tolist()]})
+
+        merged = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(
+                lambda t: pa.table(
+                    {"v": [np.asarray(t.column("v").to_pylist(), np.float64).sum(axis=0).tolist()]}
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        s = np.asarray(merged[0]["v"], np.float64)
+        dm = rank[dangling].sum() / n
+        rank = (1.0 - damping) / n + damping * (s + dm)
+
+    out = pa.table({"host": pa.array(hosts, pa.string()), "rank": pa.array(rank)})
+    return rd.from_arrow(round_cols(out, {"rank": round_to}))

@@ -1,0 +1,98 @@
+"""Out-link extraction + host PageRank: collector correctness, stage
+plumbing, power iteration vs a dense numpy reference."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from document_ai_ray.stages.links import (
+    _LinkCollector,
+    href_host,
+    outlink_host_counts,
+    page_outlinks,
+    pagerank_hosts,
+)
+
+
+def test_link_collector_attrs_and_charrefs():
+    p = _LinkCollector()
+    p.feed(
+        '<div><a href="http://a.example/x?q=1&amp;r=2">one</a>'
+        "<a name='no-href'>skip</a>"
+        "<a href='http://b.example/'>two</a><a href=http://c.example>three</a></div>"
+    )
+    p.close()
+    assert p.hrefs == [
+        "http://a.example/x?q=1&r=2",   # charref unescaped like stdlib
+        "http://b.example/",
+        "http://c.example",
+    ]
+
+
+def test_href_host():
+    assert href_host("http://A.Example/path") == "a.example"
+    assert href_host("/relative/only") == ""
+    assert href_host("mailto:x@y.z") == ""
+
+
+def _pages():
+    rows = [
+        {"url": "p1", "html": b'<main><a href="http://x.example/1">x</a><a href="http://y.example/2">y</a></main>'},
+        {"url": "p2", "html": b'<main><a href="http://x.example/3">x</a></main>'},
+        {"url": "p3", "html": b"<main>no links</main>"},
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_page_outlinks_and_host_counts():
+    links = page_outlinks(_pages()).take_all()
+    assert [(r["url"], r["href"]) for r in sorted(links, key=lambda r: (r["url"], r["href"]))] == [
+        ("p1", "http://x.example/1"),
+        ("p1", "http://y.example/2"),
+        ("p2", "http://x.example/3"),
+    ]
+    counts = {r["host"]: r["n_links"] for r in outlink_host_counts(page_outlinks(_pages())).take_all()}
+    assert counts == {"x.example": 2, "y.example": 1}
+
+
+def _ref_pagerank(edges, d=0.85, iters=20):
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    ix = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    m = np.zeros((n, n))
+    for s, t in edges:
+        m[ix[t], ix[s]] += 1.0
+    od = m.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = m @ (r / np.maximum(od, 1.0))
+        dm = r[od == 0].sum() / n
+        r = (1.0 - d) / n + d * (contrib + dm)
+    return dict(zip(hosts, r))
+
+
+def test_pagerank_matches_dense_reference():
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("a", "b"),          # parallel edge = weight 2
+        ("e", "sink"),                    # 'sink' is dangling
+    ]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(ds, iters=20).take_all()}
+    ref = _ref_pagerank(edges, iters=20)
+    assert set(got) == set(ref)
+    for h in ref:
+        assert abs(got[h] - ref[h]) < 1e-6, h
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_direction():
+    # everyone links to 'hub' (dangling) -> hub outranks every spoke
+    edges = [("s%d" % i, "hub") for i in range(5)]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(ds, iters=15).take_all()}
+    assert got["hub"] > max(v for h, v in got.items() if h != "hub") * 2
