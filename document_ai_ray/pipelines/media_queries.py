@@ -94,7 +94,9 @@ def _real_media_dataset():
             elif kind == 3:
                 w, h = 12 + (i % 6) * 4, 18
                 payload = encode_png(
-                    rng.randint(0, 256, (h, w, 3), dtype=np.uint8), filter_type=i % 5
+                    rng.randint(0, 256, (h, w, 3), dtype=np.uint8),
+                    filter_type=i % 5,
+                    interlace=bool(i % 2),
                 )
                 mt, meta = "image/png", {"width": w, "height": h, "sample_rate": 0}
             elif kind == 0:

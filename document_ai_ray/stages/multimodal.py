@@ -8,9 +8,9 @@ Decode support is format-tiered:
 
 - REAL pure-Python/numpy decoders:
   BMP (uncompressed 24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
-  WAV (PCM 8/16-bit, stdlib `wave`), PNG (8-bit non-interlaced
-  gray/RGB/palette/alpha — stdlib zlib inflate + all five row
-  un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
+  WAV (PCM 8/16-bit, stdlib `wave`), PNG (8/16-bit
+  gray/RGB/palette/alpha, non-interlaced or Adam7 — stdlib zlib
+  inflate + all five row un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
   variable-width LZW, multi-frame with sub-rect compositing; the
   encoder web-safe-quantizes, so animated-GIF frame sampling is a
   REAL video demux path), and baseline JPEG (numpy einsum DCT/IDCT,
@@ -22,8 +22,8 @@ Decode support is format-tiered:
 - REMAINING compressed codecs (MP3/MP4/WebP...) need libraries absent
   from this container and stay STUBBED: strict mode raises
   NotImplementedError; non-strict emits the per-row error column.
-  Within PNG, 16-bit depth and Adam7 interlacing are in this stub
-  tier; within JPEG, progressive (SOF2) and arithmetic coding are.
+  Within JPEG, progressive (SOF2) and arithmetic coding are in this
+  stub tier.
 - The `SYNM` synthetic payload keeps the deterministic fake decoder
   for plumbing tests.
 """
@@ -123,28 +123,26 @@ def _paeth_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
 
 
-def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 image -> real 8-bit non-interlaced PNG via stdlib zlib.
-    Shapes: (h, w) gray -> color type 0, (h, w, 3) -> truecolor 2,
-    (h, w, 4) -> truecolor+alpha 6.  ``filter_type`` applies one PNG
-    row filter (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to every
-    scanline — exposed so tests exercise every un-filter branch of
-    `decode_png`."""
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    px = np.ascontiguousarray(px, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, nch = px.shape
-    color = {1: 0, 3: 2, 4: 6}[nch]
-    flat = px.reshape(h, w * nch).astype(np.int32)
+
+def _filter_byte_rows(flat: np.ndarray, bpp: int, filter_type: int) -> bytearray:
+    """(nrows, stride) int32 BYTE rows -> filtered scanline stream
+    (filter byte + filtered bytes per row).  ``bpp`` is bytes per
+    pixel — the left-neighbor offset the Sub/Average/Paeth filters
+    use."""
     raw = bytearray()
-    prev = np.zeros(w * nch, np.int32)
-    zero_left = np.zeros(nch, np.int32)
-    for r in range(h):
+    nrows, stride = flat.shape
+    prev = np.zeros(stride, np.int32)
+    zero_left = np.zeros(bpp, np.int32)
+    for r in range(nrows):
         row = flat[r]
-        left = np.concatenate([zero_left, row[:-nch]])
-        upleft = np.concatenate([zero_left, prev[:-nch]])
+        left = np.concatenate([zero_left, row[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
+        upleft = np.concatenate([zero_left, prev[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
         if filter_type == 0:
             f = row
         elif filter_type == 1:
@@ -160,7 +158,46 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw += (f % 256).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return raw
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """image -> real PNG via stdlib zlib.  uint8 input encodes 8-bit,
+    uint16 input encodes 16-bit (big-endian samples).  Shapes: (h, w)
+    gray -> color type 0, (h, w, 3) -> truecolor 2, (h, w, 4) ->
+    truecolor+alpha 6.  ``filter_type`` applies one PNG row filter
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to every scanline —
+    exposed so tests exercise every un-filter branch of `decode_png`.
+    ``interlace`` emits Adam7 (7 sub-image passes)."""
+    import zlib
+
+    px = np.asarray(px)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = np.ascontiguousarray(px, dtype=np.uint16 if depth == 16 else np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    bpp = nch * (depth // 8)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        hh, ww = sub.shape[:2]
+        sub = np.ascontiguousarray(sub)
+        if depth == 16:
+            b = sub.astype(">u2").view(np.uint8).reshape(hh, ww * nch * 2)
+        else:
+            b = sub.reshape(hh, ww * nch)
+        return b.astype(np.int32)
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_byte_rows(byte_rows(sub), bpp, filter_type)
+    else:
+        raw = _filter_byte_rows(byte_rows(px), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -169,17 +206,52 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _unfilter_byte_rows(raw: bytes, offset: int, nrows: int, stride: int, bpp: int):
+    """Reconstruct ``nrows`` filtered scanlines of ``stride`` bytes
+    starting at ``offset`` -> ((nrows, stride) uint8, next offset).
+    Filters 1/3/4 reconstruct byte-sequentially within a row
+    (spec-mandated data dependence) — fine for thumbnail-scale media;
+    a hot loop would want a C kernel."""
+    out = np.zeros((nrows, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for r in range(nrows):
+        ft = raw[offset]
+        line = np.frombuffer(raw, np.uint8, stride, offset + 1).astype(np.int32)
+        offset += stride + 1
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - ul
+                    pa_, pb_, pc_ = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out, offset
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """REAL PNG decode via stdlib zlib + numpy: chunk walk with CRC
     verify, inflate, per-scanline un-filter (all five PNG filter
-    types), channel expansion -> (h, w, 3) uint8 RGB.  Supports 8-bit
-    non-interlaced gray (0), truecolor (2), palette (3), gray+alpha
-    (4) and RGBA (6); alpha is dropped like the 32-bit BMP path.
-    16-bit depth and Adam7 interlacing raise NotImplementedError (the
-    honest-stub convention for the unsupported tier).  Filters 1/3/4
-    reconstruct byte-sequentially within a row (spec-mandated data
-    dependence) — fine for thumbnail-scale media; a hot loop would
-    want a C kernel."""
+    types), channel expansion -> (h, w, 3) uint8 RGB.  Supports 8- and
+    16-bit gray (0), truecolor (2), palette (3), gray+alpha (4) and
+    RGBA (6), non-interlaced or Adam7-interlaced; alpha is dropped
+    like the 32-bit BMP path and 16-bit samples scale to 8-bit
+    output."""
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -209,46 +281,45 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = hdr
     if comp != 0 or filt != 0:
         raise ValueError(f"PNG compression={comp}/filter-method={filt} invalid")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit PNG unsupported")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is invalid")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace} unsupported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise NotImplementedError(f"PNG color type {color} unsupported")
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1).astype(np.int32)
-        if ft == 0:
-            rec = line
-        elif ft == 2:
-            rec = (line + prev) % 256
-        elif ft in (1, 3, 4):
-            rec = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = rec[i - nch] if i >= nch else 0
-                up = prev[i]
-                ul = prev[i - nch] if i >= nch else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + up) // 2
-                else:
-                    p = a + up - ul
-                    pa_, pb_, pc_ = abs(p - a), abs(p - up), abs(p - ul)
-                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
-                rec[i] = (line[i] + pred) % 256
-        else:
-            raise ValueError(f"bad PNG row filter {ft}")
-        out[r] = rec.astype(np.uint8)
-        prev = rec
-    px = out.reshape(h, w, nch)
+    bps = depth // 8
+    bpp = nch * bps
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        rows, _ = _unfilter_byte_rows(raw, 0, h, stride, bpp)
+        full = rows.reshape(h, w, bpp)
+    else:  # Adam7: 7 independently-filtered sub-image passes
+        full = np.zeros((h, w, bpp), np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            rows, offset = _unfilter_byte_rows(raw, offset, ph, pw * bpp, bpp)
+            full[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+    if depth == 16:
+        px = (
+            np.ascontiguousarray(full.reshape(h, w * nch, 2))
+            .view(">u2")
+            .reshape(h, w, nch)
+            >> 8
+        ).astype(np.uint8)
+    else:
+        px = full
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

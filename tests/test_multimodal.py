@@ -164,19 +164,15 @@ def test_png_palette_and_error_tiers():
     px = decode_png(png)
     assert px.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 7, 7]]]
 
-    # 16-bit and interlaced are honest NotImplementedError stubs
-    for ihdr in (
-        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
-        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),
-    ):
-        bad = (
-            _PNG_SIG
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
-            + _png_chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            decode_png(bad)
+    # sub-byte depths stay honest NotImplementedError stubs
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 3))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
 
     # corrupted CRC is a hard error
     good = _png_chunk(b"IEND", b"")
@@ -298,3 +294,32 @@ def test_gif_frame_sampling_stage():
     for r in out:
         px = decode_png(r["frame"])
         assert (px == frames[r["frame_idx"]]).all()
+
+
+def test_png_adam7_and_16bit():
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(9)
+    # interlaced decodes identically to non-interlaced for every filter
+    # and for sizes straddling the 8x8 Adam7 grid
+    for shape in [(1, 1, 3), (3, 9, 3), (8, 8, 3), (17, 5, 3), (9, 13, 4), (10, 7)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for ft in range(5):
+            assert np.array_equal(
+                decode_png(encode_png(img, filter_type=ft, interlace=True)),
+                decode_png(encode_png(img, filter_type=ft)),
+            ), (shape, ft)
+    # 16-bit samples scale to the high byte, plain and interlaced
+    img16 = rng.randint(0, 65536, (7, 11, 3)).astype(np.uint16)
+    exp = (img16 >> 8).astype(np.uint8)
+    for inter in (False, True):
+        assert np.array_equal(
+            decode_png(encode_png(img16, filter_type=4, interlace=inter)), exp
+        )
+    g16 = rng.randint(0, 65536, (5, 6)).astype(np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png(g16, interlace=True)),
+        np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, 2),
+    )
