@@ -1,11 +1,15 @@
-"""Baseline JPEG codec — pure numpy + stdlib, no external libraries.
+"""JPEG codec — pure numpy + stdlib, no external libraries.
 
 This removes JPEG (the dominant web image format) from the stubbed
 codec tier of `stages/multimodal.py`: `decode_jpeg` handles baseline
-sequential DCT JPEGs (SOF0) — grayscale or YCbCr, arbitrary sampling
-factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers — and
-`encode_jpeg` emits interchange-format baseline JPEG with the Annex K
-quantization + Huffman tables and libjpeg-convention quality scaling.
+sequential (SOF0/SOF1) and progressive (SOF2) Huffman JPEGs —
+grayscale or YCbCr, arbitrary sampling factors up to 2x2 (4:4:4 /
+4:2:2 / 4:2:0), spectral selection + successive approximation,
+restart markers — and `encode_jpeg` emits interchange-format baseline
+JPEG with the Annex K quantization + Huffman tables and
+libjpeg-convention quality scaling, or (``progressive=True``) an
+SOF2 stream with the standard luma/chroma scan script and per-scan
+optimized Huffman tables.
 
 Reference parity note: the reference rasterizes PDFs to JPEG pages via
 pdf2image and feeds JPEG bytes to its CV stack
@@ -14,9 +18,10 @@ this module gives the Ray engine a real JPEG ingest path for the same
 payloads without any native dependency.
 
 Everything here derives from the public JPEG ITU-T T.81 spec (Annex F
-entropy coding, Annex K tables) and the public libjpeg quality-scaling
-convention.  Progressive (SOF2), arithmetic coding, 12-bit precision
-and CMYK raise NotImplementedError — the honest-stub convention.
+sequential and Annex G progressive entropy coding, Annex K tables) and
+the public libjpeg quality-scaling convention.  Arithmetic coding,
+hierarchical/lossless layouts, 12-bit precision and CMYK raise
+NotImplementedError — the honest-stub convention.
 
 Per-pixel work is vectorized (batched einsum DCT/IDCT over all blocks
 of a component); only the entropy coder is a Python bit loop, which is
@@ -267,20 +272,274 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
 
 
+def _flat_huff_spec(symbols) -> tuple[list[int], list[int]]:
+    """(bits, vals) giving every used symbol one common code length L
+    with 2^L - 1 > n, so the reserved all-ones code stays unused
+    (T.81 C.2).  Suboptimal vs true Huffman but valid and tiny."""
+    syms = sorted(symbols) or [0]
+    n = len(syms)
+    length = max(1, n.bit_length())
+    if n >= (1 << length):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def _code_progressive_scan(
+    sym, bits, restart, comps_sel, params, mcus, frame_dims, restart_interval
+):
+    """Entropy-code one progressive scan (T.81 G.1.2) through emitter
+    callbacks, so the same traversal runs twice: once counting symbols
+    to build the scan's Huffman table, once writing bits.
+
+    ``comps_sel``: dicts with ``blocks`` ((n, 64) zigzag quantized
+    coefficients), ``bw``, ``h``, ``v``.  EOB runs and the correction
+    bits of blocks they cover are buffered and flushed with the EOBn
+    symbol, exactly where the decoder consumes them."""
+    ss, se, ah, al = params
+    mcus_x, mcus_y = mcus
+    fw, fh, hmax, vmax = frame_dims
+    st = {"eobrun": 0, "ebits": []}
+    pred = [0] * len(comps_sel)
+    unit = 0
+
+    def flush_eob():
+        e = st["eobrun"]
+        if e:
+            r = e.bit_length() - 1
+            sym((r << 4) | 0)
+            bits(e - (1 << r), r)
+            st["eobrun"] = 0
+        for v in st["ebits"]:
+            bits(v, 1)
+        st["ebits"] = []
+
+    def bump_eob(extra_bits):
+        st["eobrun"] += 1
+        st["ebits"].extend(extra_bits)
+        if st["eobrun"] == 0x7FFF:  # EOBn extension field is 14 bits max
+            flush_eob()
+
+    def dc_code(ci, blk):
+        if ah == 0:  # first scan: DPCM over the point-transformed DC
+            v = int(blk[0]) >> al  # arithmetic shift (T.81 A.4, DC)
+            diff = v - pred[ci]
+            pred[ci] = v
+            size, mb = _magnitude(diff)
+            sym(size)
+            bits(mb, size)
+        else:  # refinement: one raw bit per block
+            bits((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(blk):
+        # AC point transform truncates toward zero (T.81 A.4, AC)
+        tv = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            tv.append((abs(v) >> al) * (1 if v >= 0 else -1))
+        nz = [i for i, t in enumerate(tv) if t]
+        if not nz:
+            bump_eob(())
+            return
+        flush_eob()
+        r = 0
+        for t in tv[: nz[-1] + 1]:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                sym(0xF0)
+                r -= 16
+            size, mb = _magnitude(t)
+            sym((r << 4) | size)
+            bits(mb, size)
+            r = 0
+        if nz[-1] < se - ss:
+            bump_eob(())
+
+    def ac_refine(blk):
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: newly-significant
+        # coefficients are coded run/1 + sign; already-nonzero ones get a
+        # correction bit, buffered until the next symbol (or EOB) flush.
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:  # ==1 at this precision <=> newly significant
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                sym(0xF0)
+                r -= 16
+                for v in br:
+                    bits(v, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            sym((r << 4) | 1)
+            bits(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for v in br:
+                bits(v, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            bump_eob(br)
+
+    def maybe_restart():
+        nonlocal pred
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            restart()
+            pred = [0] * len(comps_sel)
+
+    if len(comps_sel) > 1:  # interleaved scan: DC only, MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for ci, c in enumerate(comps_sel):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["blocks"][
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            ]
+                            dc_code(ci, blk)
+    else:  # non-interleaved: the component's own ceil-grid, raster order
+        c = comps_sel[0]
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                unit += 1
+                blk = c["blocks"][by * c["bw"] + bx]
+                if ss == 0:
+                    dc_code(0, blk)
+                elif ah == 0:
+                    ac_first(blk)
+                else:
+                    ac_refine(blk)
+    flush_eob()
+
+
+# Standard progressive scan script (the libjpeg default): interleaved
+# DC with one bit of successive approximation, spectrally-selected AC
+# first scans, then AC + DC refinement.  Entries: (comp idxs, ss, se, ah, al).
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _emit_progressive_scans(
+    out, comps, comp_blocks, comp_dims, mcus, frame_dims, restart_interval
+):
+    """Append DHT + SOS + entropy data for every scan of the script."""
+    script = _PROG_SCRIPT_COLOR if len(comps) == 3 else _PROG_SCRIPT_GRAY
+    for comp_idxs, ss, se, ah, al in script:
+        comps_sel = []
+        for ci in comp_idxs:
+            cid, (hi, vi), _qi, _dt, _at = comps[ci]
+            comps_sel.append(
+                {"id": cid, "h": hi, "v": vi, "bw": comp_dims[ci][0],
+                 "blocks": comp_blocks[ci]}
+            )
+        params = (ss, se, ah, al)
+        is_dc_refine = ss == 0 and ah != 0
+        if not is_dc_refine:  # DC refinement scans emit raw bits only
+            seen: set[int] = set()
+            _code_progressive_scan(
+                seen.add, lambda v, n: None, lambda: None,
+                comps_sel, params, mcus, frame_dims, restart_interval,
+            )
+            hbits, hvals = _flat_huff_spec(seen)
+            table = _huff_codes(hbits, hvals)
+            tc_th = 0x00 if ss == 0 else 0x10  # redefine table id 0 per scan
+            body = bytes([tc_th]) + bytes(hbits) + bytes(hvals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+            wr = _BitWriter()
+            rst = [0]
+
+            def write_sym(s):
+                code, ln = table[s]
+                wr.put(code, ln)
+
+            def write_restart():
+                wr.flush()
+                wr.buf += bytes([0xFF, 0xD0 + rst[0]])
+                rst[0] = (rst[0] + 1) & 7
+
+            _code_progressive_scan(
+                write_sym, wr.put, write_restart,
+                comps_sel, params, mcus, frame_dims, restart_interval,
+            )
+        else:
+            wr = _BitWriter()
+            rst = [0]
+
+            def write_restart():
+                wr.flush()
+                wr.buf += bytes([0xFF, 0xD0 + rst[0]])
+                rst[0] = (rst[0] + 1) & 7
+
+            _code_progressive_scan(
+                lambda s: None, wr.put, write_restart,
+                comps_sel, params, mcus, frame_dims, restart_interval,
+            )
+        wr.flush()
+        sos = bytearray([len(comps_sel)])
+        for c in comps_sel:
+            sos += bytes([c["id"], 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += wr.buf
+
+
 def encode_jpeg(
     px: np.ndarray,
     quality: int = 85,
     subsample: bool = True,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 image -> baseline sequential JPEG bytes.
+    """uint8 image -> JPEG bytes (baseline, or SOF2 ``progressive``).
 
     (h, w, 3) RGB encodes as 3-component YCbCr (4:2:0 when
     ``subsample`` else 4:4:4); (h, w) or (h, w, 1) encodes as
-    single-component grayscale.  Annex K quant + Huffman tables,
-    libjpeg quality convention, JFIF APP0 header.  A nonzero
-    ``restart_interval`` emits DRI + RSTn markers every that many
-    MCUs (the error-resilience feature real camera JPEGs use)."""
+    single-component grayscale.  Annex K quant tables, libjpeg quality
+    convention, JFIF APP0 header.  A nonzero ``restart_interval``
+    emits DRI + RSTn markers every that many MCUs/blocks (the
+    error-resilience feature real camera JPEGs use).  ``progressive``
+    emits the standard successive-approximation scan script with
+    per-scan optimized Huffman tables; the quantized coefficients are
+    identical to the baseline encoding, so both decode to the same
+    pixels."""
     px = np.asarray(px)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -331,7 +590,8 @@ def encode_jpeg(
     pred = [0] * len(comps)
     mcu_count = 0
     rst_n = 0
-    for my in range(mcus_y):
+    mcu_rows = () if progressive else range(mcus_y)  # progressive scans below
+    for my in mcu_rows:
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 bw_writer.flush()
@@ -379,27 +639,34 @@ def encode_jpeg(
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(ql_z.astype(np.uint8))
     if not gray:
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes(qc_z.astype(np.uint8))
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
     for cid, (hi, vi), qi, _dt, _at in comps:
         sof += bytes([cid, (hi << 4) | vi, qi])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT
-    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
-    if not gray:
-        tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
-    for tc_th, (bits, vals) in tables:
-        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytearray([len(comps)])
-    for cid, _s, _qi, dt, at in comps:
-        sos += bytes([cid, (dt << 4) | at])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += bw_writer.buf
+    if progressive:
+        _emit_progressive_scans(
+            out, comps, comp_blocks, comp_dims,
+            (mcus_x, mcus_y), (w, h, hmax, vmax), restart_interval,
+        )
+    else:
+        # DHT
+        tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+        if not gray:
+            tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+        for tc_th, (bits, vals) in tables:
+            body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        # SOS
+        sos = bytearray([len(comps)])
+        for cid, _s, _qi, dt, at in comps:
+            sos += bytes([cid, (dt << 4) | at])
+        sos += b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += bw_writer.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -486,15 +753,175 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline sequential JPEG bytes -> (h, w, 3) uint8 RGB.
+def _dc_decode(reader, blk, dctab, pred, cid, ah, al):
+    """DC coefficient for one block: first scan (ah==0) decodes a
+    point-transformed diff, refinement appends one bit."""
+    if ah == 0:
+        size = _decode_huff(reader, dctab)
+        pred[cid] += _extend(reader.bits(size), size)
+        blk[0] = pred[cid] << al
+    elif reader.bit():
+        blk[0] |= 1 << al
 
-    Supports SOF0 (and SOF1 extended-sequential Huffman — same
-    decoding path), 8-bit precision, 1-component grayscale or
-    3-component YCbCr with any sampling factors that divide the max
-    factor, DRI/RSTn restart intervals.  Progressive (SOF2),
-    arithmetic coding (SOF9+) and other layouts raise
-    NotImplementedError."""
+
+def _ac_decode_first(reader, blk, actab, ss, se, al, eobrun):
+    """AC band, first scan (ah==0): run/size coding with EOBn runs
+    (T.81 G.1.2.2; baseline is the ss=1, se=63, al=0, eobrun-degenerate
+    case of the same procedure).  Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break  # EOBn: this block ends, eobrun more blocks skip
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_decode_refine(reader, blk, actab, ss, se, al, eobrun):
+    """AC band, refinement scan (ah>0): one correction bit per already-
+    nonzero coefficient, newly-significant coefficients inserted at
+    zero-history positions (T.81 G.1.2.3).  Returns remaining EOB run."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, actab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # r == 15: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if blk[k] != 0 and reader.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """First byte position at or after ``pos`` of a non-RST, non-stuffed
+    marker (entropy-coded data may contain 0xFF00 and RSTn)."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (0xD0 <= b[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _decode_scan(
+    b, pos, frame, stabs, params, dc_tabs, ac_tabs, restart_interval, progressive
+):
+    """Entropy-decode one scan into the components' coefficient arrays;
+    returns the byte position of the next marker after the scan data."""
+    ss, se, ah, al = params
+    comps = [c for c in frame["comps"] if c["id"] in stabs]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    reader = _BitReader(b, pos)
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+
+    if len(comps) > 1:  # interleaved scan: MCU order (DC-only if progressive)
+        if progressive and ss != 0:
+            raise ValueError("interleaved progressive AC scan is invalid")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for c in comps:
+                    dt, at = stabs[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            ]
+                            if ss == 0:
+                                _dc_decode(reader, blk, dc_tabs[dt], pred, c["id"], ah, al)
+                            if se > 0:
+                                eobrun = _ac_decode_first(
+                                    reader, blk, ac_tabs[at], max(ss, 1), se, al, eobrun
+                                )
+    else:  # non-interleaved: block raster order over the component's own grid
+        c = comps[0]
+        dt, at = stabs[c["id"]]
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                unit += 1
+                blk = c["coef"][by * c["bw"] + bx]
+                if ss == 0:
+                    _dc_decode(reader, blk, dc_tabs[dt], pred, c["id"], ah, al)
+                if se > 0:
+                    if ah == 0:
+                        eobrun = _ac_decode_first(
+                            reader, blk, ac_tabs[at], max(ss, 1), se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_decode_refine(
+                            reader, blk, ac_tabs[at], max(ss, 1), se, al, eobrun
+                        )
+    return _next_marker(b, reader.pos)
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    Supports baseline (SOF0), extended sequential (SOF1) and
+    PROGRESSIVE (SOF2) Huffman JPEGs: spectral selection, successive
+    approximation (DC + AC refinement scans, EOBn runs), 8-bit
+    precision, 1-component grayscale or 3-component YCbCr with any
+    sampling factors that divide the max factor, DRI/RSTn restart
+    intervals.  Arithmetic coding (SOF9+), hierarchical and lossless
+    layouts raise NotImplementedError."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -502,8 +929,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    saw_scan = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -534,7 +962,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_map(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -543,71 +972,42 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError("non-dividing JPEG sampling factors unsupported")
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0xFF{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             stabs = {}
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 stabs[cs] = (tdta >> 4, tdta & 0x0F)
-            scan = (stabs, pos)
-            break
+            p_ss, p_se, p_a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            params = (p_ss, p_se, p_a >> 4, p_a & 0x0F)
+            pos = _decode_scan(
+                b, pos, frame, stabs, params, dc_tabs, ac_tabs,
+                restart_interval, progressive,
+            )
+            saw_scan = True
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    stabs, data_pos = scan
     comps = frame["comps"]
     fh, fw = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
-        raise NotImplementedError("non-dividing JPEG sampling factors unsupported")
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
-        c["dt"], c["at"] = stabs[c["id"]]
-
-    reader = _BitReader(b, data_pos)
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for c in comps:
-                dctab = dc_tabs[c["dt"]]
-                actab = ac_tabs[c["at"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = c["coef"][(my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)]
-                        size = _decode_huff(reader, dctab)
-                        diff = _extend(reader.bits(size), size)
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k <= 63:
-                            rs = _decode_huff(reader, actab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            blk[k] = _extend(reader.bits(s), s)
-                            k += 1
 
     planes = []
     for c in comps:

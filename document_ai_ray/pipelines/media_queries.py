@@ -80,7 +80,8 @@ def _real_media_dataset():
                     [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) % 256], -1
                 ).astype(np.uint8)
                 payload = encode_jpeg(smooth, quality=85, subsample=bool(i % 2),
-                                      restart_interval=(i % 3))
+                                      restart_interval=(i % 3),
+                                      progressive=bool(i % 4 == 1))
                 mt, meta = "image/jpeg", {"width": w, "height": h, "sample_rate": 0}
             elif kind == 4:
                 w, h = 10, 8

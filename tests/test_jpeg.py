@@ -80,11 +80,53 @@ def test_marker_structure():
 def test_not_a_jpeg_and_unsupported_tiers():
     with pytest.raises(ValueError):
         decode_jpeg(b"PK\x03\x04 not a jpeg")
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError tier
+    # flip SOF0 -> SOF9 (arithmetic coding): honest NotImplementedError tier
     b = bytearray(encode_jpeg(_gradient(16, 16)))
-    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    b[b.index(b"\xff\xc0") + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(b))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    # Progressive re-codes the SAME quantized coefficients, so decode
+    # must be pixel-identical to the baseline decode.
+    img = _gradient(40, 56)
+    for q, sub in [(90, True), (90, False), (50, True)]:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        b = encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in b and b"\xff\xc0" not in b[2:4]
+        assert b.count(b"\xff\xda") >= 10  # full 10-scan color script
+        assert np.array_equal(decode_jpeg(b), base), (q, sub)
+
+
+def test_progressive_random_and_sparse():
+    rng = np.random.RandomState(3)
+    # dense noise exercises ZRL + refinement insertions; the sparse
+    # dot image at low quality forces long EOBn runs across blocks
+    noise = rng.randint(0, 256, (33, 47, 3), np.uint8)
+    sparse = np.full((64, 64, 3), 128, np.uint8)
+    sparse[5, 5] = (255, 0, 0)
+    sparse[40, 60] = (0, 255, 0)
+    for img, q in [(noise, 95), (noise, 40), (sparse, 30), (sparse, 90)]:
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(prog, base), q
+
+
+def test_progressive_grayscale():
+    g = _gradient(33, 41)[:, :, 0]
+    base = decode_jpeg(encode_jpeg(g, quality=85))
+    prog = decode_jpeg(encode_jpeg(g, quality=85, progressive=True))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_restart_intervals():
+    img = _gradient(50, 70)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3):
+        b = encode_jpeg(img, quality=90, restart_interval=ri, progressive=True)
+        assert b"\xff\xdd" in b
+        assert np.array_equal(decode_jpeg(b), base), ri
 
 
 def test_subsampled_chroma_smooth_regions():
