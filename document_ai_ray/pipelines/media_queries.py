@@ -131,6 +131,56 @@ def media_real_decode(sf_dir: str):
     return media_features(resize_media(_real_media_dataset(), width=12, height=12))
 
 
+@register("media_audio_spectrogram")
+def media_audio_spectrogram(sf_dir: str):
+    """REAL audio DSP path: PCM WAV clips -> Hann/rfft power
+    spectrogram -> band energies + dominant frequency.  The corpus
+    clips are pure sines at (200 + media_id) Hz, so every row carries
+    expected_hz next to the measured dominant_hz and their absolute
+    error — a self-evidencing rows-only output (same pattern as the
+    knn_ivf recall column).  sf_dir unused."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from document_ai_ray.stages.multimodal import (
+        decode_wav,
+        dominant_frequency,
+        stft_spectrogram,
+    )
+
+    wavs = _real_media_dataset().map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "audio/wav")),
+        batch_format="pyarrow",
+    )
+
+    def spect(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            samples, sr = decode_wav(payload)
+            power = stft_spectrogram(samples)
+            dom = dominant_frequency(power, sr)
+            expected = 200.0 + mid
+            bands = [
+                float(b.mean()) for b in np.array_split(power.mean(axis=0), 8)
+            ]
+            rows.append(
+                {
+                    "media_id": mid,
+                    "sample_rate": sr,
+                    "n_frames": power.shape[0],
+                    "dominant_hz": round(dom, 2),
+                    "expected_hz": expected,
+                    "err_hz": round(abs(dom - expected), 2),
+                    "band_power": bands,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return wavs.map_batches(spect, batch_format="pyarrow")
+
+
 @register("media_gif_frames")
 def media_gif_frames(sf_dir: str):
     """REAL video-analogue path end-to-end: animated GIFs are demuxed

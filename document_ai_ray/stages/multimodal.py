@@ -553,6 +553,40 @@ def _audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
         [np.sqrt((c ** 2).mean()) if len(c) else 0.0 for c in chunks], dtype=np.float32
     )
 
+
+def stft_spectrogram(
+    samples: np.ndarray, n_fft: int = 256, hop: int = 128
+) -> np.ndarray:
+    """(n_frames, n_fft//2 + 1) power spectrogram: Hann-windowed rfft
+    frames, fully vectorized (stride-tricked framing, batched FFT).
+    Short inputs are zero-padded to one frame."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    stride = x.strides[0]
+    frames = np.lib.stride_tricks.as_strided(
+        x, (n_frames, n_fft), (stride * hop, stride), writeable=False
+    )
+    spec = np.fft.rfft(frames * np.hanning(n_fft), axis=1)
+    return (spec.real**2 + spec.imag**2).astype(np.float32)
+
+
+def dominant_frequency(power: np.ndarray, sample_rate: int) -> float:
+    """Peak frequency (Hz) of a time-averaged power spectrogram, with
+    quadratic interpolation on log power around the peak bin for
+    sub-bin accuracy (standard spectral-peak refinement)."""
+    n_fft = 2 * (power.shape[1] - 1)
+    mean_p = power.mean(axis=0)
+    k = int(mean_p[1:].argmax()) + 1  # skip DC
+    delta = 0.0
+    if 1 <= k < len(mean_p) - 1 and mean_p[k] > 0:
+        la, lb, lc = (float(np.log(max(mean_p[j], 1e-30))) for j in (k - 1, k, k + 1))
+        denom = la - 2 * lb + lc
+        if denom < 0:
+            delta = float(np.clip(0.5 * (la - lc) / denom, -0.5, 0.5))
+    return (k + delta) * sample_rate / n_fft
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),

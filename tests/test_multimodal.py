@@ -1,6 +1,7 @@
 """Multimodal plumbing: resize + frame-sample stages (decode/features
 covered in test_text_analysis)."""
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -323,3 +324,55 @@ def test_png_adam7_and_16bit():
         decode_png(encode_png(g16, interlace=True)),
         np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, 2),
     )
+
+
+def test_stft_spectrogram_pure_tones_and_parseval():
+    from document_ai_ray.stages.multimodal import dominant_frequency, stft_spectrogram
+
+    sr = 8000
+    t = np.arange(4000) / sr
+    for f in (440.0, 1234.0, 3100.0):
+        x = 0.5 * np.sin(2 * np.pi * f * t)
+        power = stft_spectrogram(x)
+        assert power.shape == (1 + (4000 - 256) // 128, 129)
+        # quadratic peak interpolation: well under one 31.25 Hz bin
+        assert abs(dominant_frequency(power, sr) - f) < 4.0, f
+    # Parseval: frame power-spectrum sum ~ windowed-frame energy * n_fft/2
+    win = np.hanning(256)
+    frame = (0.5 * np.sin(2 * np.pi * 440.0 * t[:256])) * win
+    spec = np.fft.rfft(frame)
+    lhs = (spec.real**2 + spec.imag**2).sum() * 2 / 256  # rfft half-spectrum
+    assert abs(lhs - (frame**2).sum()) / (frame**2).sum() < 0.02
+
+
+def test_stft_two_tone_band_separation():
+    from document_ai_ray.stages.multimodal import stft_spectrogram
+
+    sr = 8000
+    t = np.arange(2048) / sr
+    x = np.sin(2 * np.pi * 300 * t) + 0.2 * np.sin(2 * np.pi * 2500 * t)
+    bands = np.array_split(stft_spectrogram(x).mean(axis=0), 8)
+    energies = [b.sum() for b in bands]
+    # 300 Hz lives in band 0 (<500 Hz), 2500 Hz in band 5 — both peaks
+    # present, low band dominant (amplitude 1.0 vs 0.2)
+    assert np.argmax(energies) == 0
+    assert energies[5] > 10 * max(energies[i] for i in (2, 3, 7))
+
+
+def test_stft_short_input_pads():
+    from document_ai_ray.stages.multimodal import stft_spectrogram
+
+    power = stft_spectrogram(np.ones(10), n_fft=64, hop=32)
+    assert power.shape == (1, 33)
+
+
+def test_media_audio_spectrogram_query():
+    from document_ai_ray.pipelines.media_queries import media_audio_spectrogram
+
+    rows = media_audio_spectrogram("").take_all()
+    assert rows, "no WAV rows in the corpus"
+    for r in rows:
+        # pure sine at expected_hz: interpolated peak lands within 5 Hz
+        assert r["err_hz"] < 5.0, (r["media_id"], r["dominant_hz"], r["expected_hz"])
+        assert r["n_frames"] >= 5
+        assert len(r["band_power"]) == 8
