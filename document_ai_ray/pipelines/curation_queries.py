@@ -1,0 +1,157 @@
+"""Web-corpus curation queries: C4 line filter, Gopher rule battery,
+CCNet-style corpus-level line dedup (stages/curation.py).
+
+The raw `documents` corpus is single-line and punctuation-free, so the
+line-based operators run over a deterministically derived page (10-word
+lines; C4 adds cycling synthetic terminal punctuation).  Each oracle
+rebuilds the IDENTICAL page in SQL with list lambdas, so both engines
+genuinely execute the filter logic — the url_parse_parts precedent.
+"""
+
+from __future__ import annotations
+
+from document_ai_ray.pipelines.registry import register
+from document_ai_ray.sources.tables import read_table
+from document_ai_ray.stages.curation import (
+    C4_MIN_LINE_WORDS,
+    C4_MIN_LINES,
+    GOPHER_MAX_BULLET_FRAC,
+    GOPHER_MAX_ELLIPSIS_FRAC,
+    GOPHER_MAX_MEAN_WLEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WLEN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    LINE_WORDS,
+    c4_filter_batch,
+    gopher_batch,
+    line_dedup_docs,
+)
+
+# Derived page, shared by the C4 and line-dedup oracles: words regrouped
+# into LINE_WORDS-word lines (generate_series is 1-based, ln is 0-based).
+_LINES_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l AS (SELECT doc_id, CAST((t.i - 1) // {LINE_WORDS} AS BIGINT) AS ln,
+             array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i + {LINE_WORDS - 1} AS BIGINT)], ' ') AS line
+      FROM w, UNNEST(generate_series(1, len(ws), {LINE_WORDS})) AS t(i))
+"""
+
+_C4_ORACLE = rf"""
+WITH {_LINES_CTE},
+p AS (SELECT doc_id, ln,
+             line || CASE CAST((doc_id + ln) % 3 AS INT)
+                       WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '!' END AS pline
+      FROM l),
+a AS (SELECT doc_id,
+             list(pline ORDER BY ln) AS lines
+      FROM p GROUP BY doc_id),
+k AS (SELECT doc_id,
+             len(lines) AS n_lines,
+             list_filter(lines,
+               x -> (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))
+                    AND len(regexp_extract_all(x, '\S+')) >= {C4_MIN_LINE_WORDS}) AS kept,
+             array_to_string(lines, chr(10)) AS page
+      FROM a)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       n_lines,
+       len(kept) AS n_lines_kept,
+       (len(kept) >= {C4_MIN_LINES}
+        AND NOT contains(page, '{{')
+        AND NOT contains(lower(page), 'lorem ipsum')) AS keep
+FROM k
+"""
+
+
+@register("c4_line_filter_docs", oracle=_C4_ORACLE)
+def c4_line_filter_docs(sf_dir: str):
+    """C4 line filter (Raffel et al. 2020 §2.2): keep lines ending in
+    terminal punctuation with >= 5 words; keep docs with >= 3 surviving
+    lines, no '{' and no 'lorem ipsum'.  Stateless per-batch pass, no
+    shuffle — at 100 TB this is a pure streaming map."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
+_GOPHER_ORACLE = rf"""
+WITH b AS (SELECT doc_id, text,
+                  regexp_extract_all(text, '\S+') AS ws,
+                  string_split(text, chr(10)) AS ls
+           FROM documents),
+m AS (SELECT doc_id,
+        len(ws) AS nw,
+        CASE WHEN len(ws) = 0 THEN 0.0
+             ELSE list_sum(list_transform(ws, x -> len(x))) / CAST(len(ws) AS DOUBLE) END AS mwl,
+        CASE WHEN len(ws) = 0 THEN 0.0
+             ELSE (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))
+                  / CAST(len(ws) AS DOUBLE) END AS sym,
+        len(list_filter(ls, x -> starts_with(trim(x), '•') OR starts_with(trim(x), '- ')))
+            / CAST(len(ls) AS DOUBLE) AS bul,
+        len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+            / CAST(len(ls) AS DOUBLE) AS ell,
+        CASE WHEN len(ws) = 0 THEN 0.0
+             ELSE len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                  / CAST(len(ws) AS DOUBLE) END AS alp,
+        len(list_filter(ws, x -> lower(x) IN ('the','be','to','of','and','that','have','with'))) AS stops
+      FROM b)
+SELECT doc_id,
+       nw AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(sym, 6) AS symbol_word_ratio,
+       ROUND(bul, 6) AS bullet_line_frac,
+       ROUND(ell, 6) AS ellipsis_line_frac,
+       ROUND(alp, 6) AS alpha_word_frac,
+       stops AS n_stop_hits,
+       (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mwl BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+        AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND bul <= {GOPHER_MAX_BULLET_FRAC}
+        AND ell <= {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND alp >= {GOPHER_MIN_ALPHA_FRAC}
+        AND stops >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+"""
+
+
+@register("gopher_filter_docs", oracle=_GOPHER_ORACLE)
+def gopher_filter_docs(sf_dir: str):
+    """Gopher/MassiveText document-quality rule battery (Rae et al.
+    2021): word-count and mean-word-length bounds, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, minimum
+    stop-word hits, and the AND-of-all keep decision.  Stateless
+    per-batch pass; the keep comparisons run on UNROUNDED doubles on
+    both sides, emitted ratios are ROUND(...,6)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(gopher_batch, batch_format="pyarrow")
+
+
+_LINEDEDUP_ORACLE = f"""
+WITH {_LINES_CTE},
+r AS (SELECT doc_id, ln, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+      FROM l),
+k AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+             COUNT(*) AS n_lines_kept
+      FROM r WHERE rn = 1 GROUP BY doc_id),
+n AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT n.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       n.n_lines,
+       COALESCE(k.n_lines_kept, 0) AS n_lines_kept
+FROM n LEFT JOIN k USING (doc_id)
+"""
+
+
+@register("line_dedup_docs", oracle=_LINEDEDUP_ORACLE)
+def line_dedup_docs_query(sf_dir: str):
+    """CCNet-style corpus-level line dedup: a (derived 10-word) line
+    survives only at its FIRST (doc_id, line_no) occurrence corpus-wide;
+    docs are reassembled from surviving lines.  Winner election moves
+    only (md5, doc_id, ln) triples through a hash-bucketed exchange;
+    the single corpus-sized exchange is the final reassembly join."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup_docs(docs)

@@ -1,0 +1,328 @@
+"""Web-corpus curation operators: C4 line filtering, the Gopher rule
+battery, and CCNet-style corpus-level line deduplication.
+
+These are the named line/document filters every public LLM web corpus
+runs (C4, Raffel et al. 2020; Gopher/MassiveText, Rae et al. 2021;
+CCNet, Wenzek et al. 2020) re-expressed as Ray Data stages:
+
+* per-document rules (C4, Gopher) are stateless ``map_batches`` passes —
+  embarrassingly parallel, no shuffle;
+* corpus-level line dedup needs global per-line state, expressed as a
+  hash-bucketed exchange over narrow (hash, doc_id, line_no) triples —
+  the line TEXT never shuffles in the winner election, only in the
+  final doc-side reassembly join.
+
+The raw `documents` corpus is single-line, so the line-based operators
+run over a deterministically DERIVED page: the text's words re-grouped
+into 10-word lines (and, for C4, synthetic terminal punctuation keyed
+on (doc_id + line_no) % 3).  The DuckDB oracles rebuild the identical
+page in SQL, so both sides genuinely execute the filter logic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from document_ai_ray.functions.scale import auto_buckets
+from document_ai_ray.pipelines.ops import bucket_map_groups
+
+LINE_WORDS = 10  # derived-page line width (words)
+
+# --- C4 rules (Raffel et al. 2020 §2.2) -----------------------------------
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+C4_BAD_SUBSTRINGS = ("lorem ipsum",)  # checked on lower(page)
+C4_BRACE = "{"
+
+# --- Gopher rules (Rae et al. 2021, table A1 spirit) -----------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_NONWS_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def derive_lines(text: str) -> list[str]:
+    """Words (single-space split, SQL string_split parity) regrouped
+    into LINE_WORDS-word lines.  '' -> [''] -> one empty line, exactly
+    like the oracle's generate_series(1, len(ws), 10)."""
+    ws = (text or "").split(" ")
+    return [" ".join(ws[i : i + LINE_WORDS]) for i in range(0, len(ws), LINE_WORDS)]
+
+
+def _round6(x: float) -> float:
+    # ROUND(x, 6) half-away-from-zero — the repo-wide DuckDB convention
+    return float(np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6)
+
+
+def c4_punct(doc_id: int, line_no: int) -> str:
+    """Deterministic synthetic terminal punctuation for the derived C4
+    page (the raw corpus has none): '.', '', '!' cycling on
+    (doc_id + line_no) % 3 — mirrored verbatim in the SQL oracle."""
+    return (".", "", "!")[(doc_id + line_no) % 3]
+
+
+def c4_filter_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """C4 line filter over the derived page: keep lines that end in a
+    terminal punctuation mark AND have >= C4_MIN_LINE_WORDS words; a
+    document keeps iff >= C4_MIN_LINES lines survive and the page has
+    no '{' and no 'lorem ipsum'.  Annotates every doc (no row drop) so
+    the oracle compares the full decision surface."""
+    ids_out, clean, n_lines, n_kept, keep = [], [], [], [], []
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        lines = [
+            ln + c4_punct(i, k) for k, ln in enumerate(derive_lines(txt or ""))
+        ]
+        kept = [
+            ln
+            for ln in lines
+            if ln.endswith(C4_TERMINALS) and len(_NONWS_RE.findall(ln)) >= C4_MIN_LINE_WORDS
+        ]
+        page = "\n".join(lines)
+        low = page.lower()
+        ok = (
+            len(kept) >= C4_MIN_LINES
+            and C4_BRACE not in page
+            and not any(b in low for b in C4_BAD_SUBSTRINGS)
+        )
+        ids_out.append(i)
+        clean.append("\n".join(kept))
+        n_lines.append(len(lines))
+        n_kept.append(len(kept))
+        keep.append(ok)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids_out, pa.int64()),
+            pa.array(clean, pa.string()),
+            pa.array(n_lines, pa.int64()),
+            pa.array(n_kept, pa.int64()),
+            pa.array(keep, pa.bool_()),
+        ],
+        names=[id_col, "clean_text", "n_lines", "n_lines_kept", "keep"],
+    )
+
+
+def gopher_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher/MassiveText document-quality rule battery: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and ...),
+    bullet-start / ellipsis-end line fractions, alpha-word fraction,
+    and a minimum stop-word hit count.  keep = AND of all rules,
+    evaluated on UNROUNDED values (the oracle does the same); emitted
+    ratios are ROUND(...,6)."""
+    ids_out = []
+    cols: dict[str, list] = {
+        "n_words": [],
+        "mean_word_len": [],
+        "symbol_word_ratio": [],
+        "bullet_line_frac": [],
+        "ellipsis_line_frac": [],
+        "alpha_word_frac": [],
+        "n_stop_hits": [],
+        "keep": [],
+    }
+    for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        s = txt or ""
+        ws = _NONWS_RE.findall(s)
+        nw = len(ws)
+        lines = s.split("\n")
+        nl = len(lines)  # >= 1 always ('' -> [''])
+        mean_wlen = sum(map(len, ws)) / nw if nw else 0.0
+        symbol = (s.count("#") + s.count("...")) / nw if nw else 0.0
+        bullet = (
+            sum(1 for ln in lines if ln.strip(" ").startswith(("•", "- "))) / nl
+        )
+        ellipsis = sum(1 for ln in lines if ln.endswith(("...", "…"))) / nl
+        alpha = (
+            sum(1 for w in ws if _ALPHA_RE.search(w)) / nw if nw else 0.0
+        )
+        stops = sum(1 for w in ws if w.lower() in GOPHER_STOPWORDS)
+        ok = (
+            GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WLEN <= mean_wlen <= GOPHER_MAX_MEAN_WLEN
+            and symbol <= GOPHER_MAX_SYMBOL_RATIO
+            and bullet <= GOPHER_MAX_BULLET_FRAC
+            and ellipsis <= GOPHER_MAX_ELLIPSIS_FRAC
+            and alpha >= GOPHER_MIN_ALPHA_FRAC
+            and stops >= GOPHER_MIN_STOP_HITS
+        )
+        ids_out.append(i)
+        cols["n_words"].append(nw)
+        cols["mean_word_len"].append(_round6(mean_wlen))
+        cols["symbol_word_ratio"].append(_round6(symbol))
+        cols["bullet_line_frac"].append(_round6(bullet))
+        cols["ellipsis_line_frac"].append(_round6(ellipsis))
+        cols["alpha_word_frac"].append(_round6(alpha))
+        cols["n_stop_hits"].append(stops)
+        cols["keep"].append(ok)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids_out, pa.int64()),
+            pa.array(cols["n_words"], pa.int64()),
+            pa.array(cols["mean_word_len"], pa.float64()),
+            pa.array(cols["symbol_word_ratio"], pa.float64()),
+            pa.array(cols["bullet_line_frac"], pa.float64()),
+            pa.array(cols["ellipsis_line_frac"], pa.float64()),
+            pa.array(cols["alpha_word_frac"], pa.float64()),
+            pa.array(cols["n_stop_hits"], pa.int64()),
+            pa.array(cols["keep"], pa.bool_()),
+        ],
+        names=[
+            id_col,
+            "n_words",
+            "mean_word_len",
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "n_stop_hits",
+            "keep",
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-level line dedup: a line occurrence survives iff it
+# is the (doc_id, line_no)-minimal occurrence of its text corpus-wide.
+# ---------------------------------------------------------------------------
+
+_REBUILD_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("ln", pa.int64()), ("text", pa.string())]
+)
+
+
+def line_dedup_docs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Corpus-level exact line dedup over the derived 10-word-line page
+    (CCNet's duplicated-paragraph removal): every line keeps only its
+    FIRST occurrence in (doc_id, line_no) order, all later copies are
+    dropped, and each document is reassembled from its surviving lines.
+
+    Distributed shape (the 10^12-doc shape):
+      1. occurrence scan — flat map to (md5(line), doc_id, ln) triples;
+         only 16-byte hashes + two ints shuffle, never line text
+         (md5 collisions are the documented 2^-64-scale assumption);
+      2. winner election — hash-bucketed exchange, per bucket a
+         vectorized sort + duplicated(keep='first'); emits LOSER
+         occurrences only (output is duplicate-sized, not corpus-sized);
+      3. reassembly — one bucketed hash join of losers against the docs
+         (the only corpus-sized exchange, unavoidable: the output IS the
+         corpus), re-deriving lines in-task and dropping losers.
+    Nothing is ever collected on the driver."""
+    P = n_buckets or auto_buckets(docs.count())
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        keys, ids, lns, buckets = [], [], [], []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            for k, line in enumerate(derive_lines(txt or "")):
+                d = hashlib.md5(line.encode("utf-8", "surrogatepass")).digest()
+                keys.append(d)
+                ids.append(i)
+                lns.append(k)
+                buckets.append(zlib.crc32(d) % P)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.binary(16)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ln": pa.array(lns, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow")
+
+    def losers_in_bucket(df):
+        if len(df) == 0:
+            return df[["doc_id", "ln"]]
+        df = df.sort_values(["key", "doc_id", "ln"], kind="mergesort")
+        dup = df.duplicated(subset=["key"], keep="first")
+        return df.loc[dup, ["doc_id", "ln"]]
+
+    losers = bucket_map_groups(occ, "bucket", losers_in_bucket, P, batch_format="pandas")
+
+    def losers_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("ln"), pa.nulls(len(t), pa.string())],
+            schema=_REBUILD_SCHEMA,
+        )
+
+    def docs_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column(id_col).cast(pa.int64()),
+                pa.nulls(len(t), pa.int64()),
+                t.column(text_col),
+            ],
+            schema=_REBUILD_SCHEMA,
+        )
+
+    unioned = losers.map_batches(losers_side, batch_format="pyarrow").union(
+        docs.map_batches(docs_side, batch_format="pyarrow")
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.mod(t.column("doc_id").to_numpy(zero_copy_only=False), P).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def rebuild(df):
+        import pandas as pd
+
+        out_schema = {
+            "doc_id": pd.Series(dtype="int64"),
+            "clean_text": pd.Series(dtype="object"),
+            "n_lines": pd.Series(dtype="int64"),
+            "n_lines_kept": pd.Series(dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(out_schema)
+        lose = df[df["text"].isna()]
+        drops: dict[int, set[int]] = {}
+        for i, ln in zip(lose["doc_id"].to_numpy(), lose["ln"].to_numpy()):
+            drops.setdefault(int(i), set()).add(int(ln))
+        d = df[df["text"].notna()]
+        ids_out, clean, n_all, n_kept = [], [], [], []
+        for i, txt in zip(d["doc_id"].to_numpy(), d["text"]):
+            lines = derive_lines(txt or "")
+            gone = drops.get(int(i), ())
+            kept = [ln for k, ln in enumerate(lines) if k not in gone]
+            ids_out.append(int(i))
+            clean.append("\n".join(kept))
+            n_all.append(len(lines))
+            n_kept.append(len(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "clean_text": clean,
+                "n_lines": pd.Series(n_all, dtype="int64"),
+                "n_lines_kept": pd.Series(n_kept, dtype="int64"),
+            }
+        )
+
+    return bucket_map_groups(
+        unioned.map_batches(add_bucket, batch_format="pyarrow"),
+        "bucket",
+        rebuild,
+        P,
+        batch_format="pandas",
+    )

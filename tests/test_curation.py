@@ -1,0 +1,171 @@
+"""C4 line filter, Gopher rule battery, corpus-level line dedup
+(stages/curation.py) — crafted-input rule coverage + brute-force
+equivalence; the DuckDB oracles are the primary corpus gate."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from document_ai_ray.stages.curation import (
+    LINE_WORDS,
+    c4_filter_batch,
+    c4_punct,
+    derive_lines,
+    gopher_batch,
+    line_dedup_docs,
+)
+
+
+def _tbl(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- derive
+
+
+def test_derive_lines_chunking():
+    ws = [f"w{i}" for i in range(23)]
+    lines = derive_lines(" ".join(ws))
+    assert len(lines) == 3
+    assert lines[0].split(" ") == ws[:LINE_WORDS]
+    assert lines[2].split(" ") == ws[20:]
+    assert derive_lines("") == [""]  # SQL string_split('') parity
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def _gopher_row(text, doc_id=0):
+    out = gopher_batch(_tbl([(doc_id, text)]))
+    return {c: out.column(c)[0].as_py() for c in out.column_names}
+
+
+GOOD = "the quick brown fox jumps over lazy dogs and then runs off to be with all of that good crew having fun " * 3  # 63 words, all rules pass
+
+
+def test_gopher_good_doc_keeps():
+    r = _gopher_row(GOOD)
+    assert r["keep"] and r["n_words"] >= 50 and r["n_stop_hits"] >= 2
+    assert 3.0 <= r["mean_word_len"] <= 10.0
+
+
+def test_gopher_too_few_words():
+    assert not _gopher_row("the quick brown fox with that")["keep"]
+
+
+def test_gopher_mean_word_length_bounds():
+    long_words = " ".join(["absolutelyenormousword"] * 60) + " the of"
+    assert not _gopher_row(long_words)["keep"]
+    short_words = " ".join(["a b"] * 60) + " the of"
+    r = _gopher_row(short_words)
+    assert r["mean_word_len"] < 3.0 and not r["keep"]
+
+
+def test_gopher_symbol_ratio():
+    spam = GOOD + " " + "#" * 1  # one '#' per ~63 words is fine
+    assert _gopher_row(spam)["keep"]
+    spam = GOOD + " " + " ".join(["#"] * 20)
+    r = _gopher_row(spam)
+    assert r["symbol_word_ratio"] > 0.1 and not r["keep"]
+
+
+def test_gopher_ellipsis_and_bullet_lines():
+    lines = [GOOD] + [f"- item {i} of the list with that" for i in range(40)]
+    r = _gopher_row("\n".join(lines))
+    assert r["bullet_line_frac"] > 0.9 and not r["keep"]
+    lines = [GOOD] + [f"teaser {i} of the story continues..." for i in range(40)]
+    r = _gopher_row("\n".join(lines))
+    assert r["ellipsis_line_frac"] > 0.3 and not r["keep"]
+
+
+def test_gopher_alpha_and_stopwords():
+    nums = GOOD + " " + " ".join(str(i) for i in range(200))
+    r = _gopher_row(nums)
+    assert r["alpha_word_frac"] < 0.8 and not r["keep"]
+    no_stops = " ".join(["zork grue flask"] * 30)
+    r = _gopher_row(no_stops)
+    assert r["n_stop_hits"] < 2 and not r["keep"]
+
+
+# -------------------------------------------------------------------- c4
+
+
+def test_c4_punct_cycle_and_line_rule():
+    words = " ".join(["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 4)
+    out = c4_filter_batch(_tbl([(0, words)]))
+    lines = out.column("clean_text")[0].as_py().split("\n")
+    # doc 0: line punct cycles '.', '', '!' — lines 1 (no terminal) drop
+    assert out.column("n_lines")[0].as_py() == 4
+    assert all(ln.endswith((".", "!", "?", '"')) for ln in lines if ln)
+    kept = out.column("n_lines_kept")[0].as_py()
+    assert kept == len([ln for ln in lines if ln])
+    assert c4_punct(0, 0) == "." and c4_punct(0, 1) == "" and c4_punct(0, 2) == "!"
+
+
+def test_c4_short_line_dropped_and_min_lines():
+    # 40 words -> 4 lines, but only ceil fraction get terminal punct;
+    # a 3-word tail line must drop even when punctuated
+    words = " ".join([f"w{i}" for i in range(33)])
+    out = c4_filter_batch(_tbl([(0, words)]))
+    for ln in out.column("clean_text")[0].as_py().split("\n"):
+        if ln:
+            assert len(ln.split()) >= 5
+
+
+def test_c4_brace_and_lorem_kill_doc():
+    base = " ".join(["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 9)
+    ok = c4_filter_batch(_tbl([(0, base)]))
+    assert ok.column("keep")[0].as_py()
+    brace = c4_filter_batch(_tbl([(0, base + " {config}")]))
+    assert not brace.column("keep")[0].as_py()
+    lorem = c4_filter_batch(_tbl([(0, base + " Lorem Ipsum dolor")]))
+    assert not lorem.column("keep")[0].as_py()
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def _brute_line_dedup(rows):
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        lines = derive_lines(text)
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_line_dedup_matches_bruteforce():
+    chunk_a = " ".join([f"a{i}" for i in range(LINE_WORDS)])
+    chunk_b = " ".join([f"b{i}" for i in range(LINE_WORDS)])
+    chunk_c = " ".join([f"c{i}" for i in range(LINE_WORDS)])
+    rows = [
+        (0, f"{chunk_a} {chunk_b}"),        # both survive (first)
+        (1, f"{chunk_b} {chunk_c}"),        # b drops, c survives
+        (2, f"{chunk_a} {chunk_b}"),        # loses EVERYTHING
+        (3, f"{chunk_c} unique tail words"),  # c drops, tail survives
+    ]
+    ds = rd.from_arrow(_tbl(rows))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+        for r in line_dedup_docs(ds, n_buckets=4).take_all()
+    }
+    assert got == _brute_line_dedup(rows)
+    assert got[2][0] == "" and got[2][2] == 0  # total loss -> empty doc
+
+
+def test_line_dedup_first_occurrence_order_within_doc():
+    # the same chunk twice WITHIN one doc: second copy drops too
+    chunk = " ".join([f"x{i}" for i in range(LINE_WORDS)])
+    ds = rd.from_arrow(_tbl([(7, f"{chunk} {chunk}")]))
+    [row] = line_dedup_docs(ds, n_buckets=2).take_all()
+    assert row["n_lines"] == 2 and row["n_lines_kept"] == 1
+    assert row["clean_text"] == chunk
