@@ -155,3 +155,68 @@ def line_dedup_docs_query(sf_dir: str):
     the single corpus-sized exchange is the final reassembly join."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return line_dedup_docs(docs)
+
+
+def _ccnet_oracle() -> str:
+    from document_ai_ray.pipelines.text_queries import _ULM_ORACLE
+
+    return (
+        "WITH u AS ("
+        + _ULM_ORACLE
+        + """),
+r AS (SELECT doc_id, avg_logprob,
+             NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS t
+      FROM u)
+SELECT doc_id, avg_logprob,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+    )
+
+
+@register("ccnet_perplexity_buckets", oracle=_ccnet_oracle())
+def ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail partition (Wenzek et al. 2020): docs
+    ranked by unigram-LM mean log-probability (a perplexity proxy,
+    highest-first) and cut into three equal-depth buckets — head is the
+    most fluent third, tail the rare-word soup.  The rank is ON the
+    ROUNDED score (6 dp, doc_id tie-break) on both sides so float noise
+    cannot move the cut; the global rank comes from the distributed
+    range-partitioned sort substrate (`ops.with_group_ranks`), and the
+    tile is a vectorized function of (rank, n) per block — NTILE's
+    first-(n mod k)-tiles-are-larger rule reproduced exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+    from document_ai_ray.pipelines.text_queries import unigram_scored
+
+    scored = unigram_scored(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        neg = np.negative(t.column("avg_logprob").to_numpy(zero_copy_only=False))
+        t = t.append_column("__neglp", pa.array(neg, pa.float64()))
+        return t.append_column("__g", pa.array(np.zeros(len(t), np.int8)))
+
+    ranked = with_group_ranks(
+        scored.map_batches(prep, batch_format="pyarrow"), "__g", ["__neglp", "doc_id"]
+    )
+    k = 3
+    names = np.array(["head", "middle", "tail"])
+
+    def tile_batch(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        size, rem = n // k, n % k
+        big = rem * (size + 1)
+        tile = np.where(r < big, r // (size + 1), rem + (r - big) // np.maximum(size, 1))
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                t.column("avg_logprob"),
+                pa.array(names[tile.astype(np.int64)]),
+            ],
+            names=["doc_id", "avg_logprob", "bucket"],
+        )
+
+    return ranked.map_batches(tile_batch, batch_format="pyarrow")

@@ -82,6 +82,83 @@ def outlink_host_degree(sf_dir: str):
     return outlink_host_counts(page_outlinks(_link_pages(docs)))
 
 
+_ANCHOR_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, unnest(generate_series(1, LEAST(len(ws), 6))) AS i, ws FROM w),
+a AS (SELECT regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug, ws[i] AS anchor FROM k),
+f AS (SELECT slug || '.example' AS host, anchor FROM a WHERE slug <> '')
+SELECT host, COUNT(*) AS n_links,
+       COUNT(DISTINCT anchor) AS n_distinct_anchors,
+       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+FROM f GROUP BY host
+"""
+
+
+@register("anchor_text_per_host", oracle=_ANCHOR_ORACLE)
+def anchor_text_per_host(sf_dir: str):
+    """WAT-style anchor-text aggregation: the visible text of every
+    <a href> pointing at a host, collected per host (total link count,
+    distinct anchor count, sorted '|'-joined distinct anchors) — the
+    signal web-corpus quality filters and search rankers mine.  Anchors
+    come from the REAL HTML parse (stages/links.py collects each
+    anchor's unescaped text).  Shape: per-batch (host, anchor) combiner
+    partials, then one hash-bucketed exchange on host — anchor VOCAB
+    moves, never pages."""
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    links = page_outlinks(_link_pages(docs), with_text=True)
+    P = auto_buckets(docs.count())
+
+    def combine(t: pa.Table) -> pa.Table:
+        hosts = [href_host(h) for h in t.column("href").to_pylist()]
+        g = (
+            pa.table({"host": pa.array(hosts, pa.string()), "anchor": t.column("anchor")})
+            .filter(pa.compute.not_equal(pa.array(hosts, pa.string()), ""))
+            .group_by(["host", "anchor"])
+            .aggregate([([], "count_all")])
+        )
+        bucket = pa.array(
+            [crc_bucket(h, P) for h in g.column("host").to_pylist()], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [g.column("host"), g.column("anchor"), g.column("count_all"), bucket],
+            names=["host", "anchor", "n", "bucket"],
+        )
+
+    def per_host(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype="object"),
+                    "n_links": pd.Series(dtype="int64"),
+                    "n_distinct_anchors": pd.Series(dtype="int64"),
+                    "anchors": pd.Series(dtype="object"),
+                }
+            )
+        # a (host, anchor) pair may arrive from several batches: re-sum
+        pairs = df.groupby(["host", "anchor"], as_index=False)["n"].sum()
+        out = pairs.sort_values("anchor").groupby("host", as_index=False).agg(
+            n_links=("n", "sum"),
+            n_distinct_anchors=("anchor", "size"),
+            anchors=("anchor", lambda s: "|".join(s)),
+        )
+        return out[["host", "n_links", "n_distinct_anchors", "anchors"]]
+
+    return bucket_map_groups(
+        links.map_batches(combine, batch_format="pyarrow"),
+        "bucket",
+        per_host,
+        P,
+        batch_format="pandas",
+    )
+
+
 @register("pagerank_hosts")
 def pagerank_hosts_query(sf_dir: str):
     """Host-graph PageRank (rows-only: iterative float fixpoint has no

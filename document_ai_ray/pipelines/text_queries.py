@@ -792,13 +792,10 @@ SELECT doc_id, ROUND(avg_logprob, 6) AS avg_logprob, n_tok FROM d
 """
 
 
-@register("unigram_logprob_docs", oracle=_ULM_ORACLE)
-def unigram_logprob_docs(sf_dir: str):
-    """CCNet-style LM quality proxy: train a unigram model on the
-    corpus (distributed bucketed word counts), broadcast the logprob
-    table once via ray.put, and score every document's mean token
-    log-probability in one streaming pass (low avg_logprob = rare-word
-    soup = candidate for the quality cut).
+def unigram_scored(sf_dir: str):
+    """(doc_id, avg_logprob ROUND 6, n_tok) under a corpus-trained
+    unigram LM — the shared substrate for `unigram_logprob_docs` and
+    `ccnet_perplexity_buckets`.
 
     Scale note: the broadcast model is VOCAB-sized, not corpus-sized;
     at 100 TB cap it to the top-K words by count (the Misra-Gries
@@ -872,6 +869,16 @@ def unigram_logprob_docs(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+@register("unigram_logprob_docs", oracle=_ULM_ORACLE)
+def unigram_logprob_docs(sf_dir: str):
+    """CCNet-style LM quality proxy: train a unigram model on the
+    corpus (distributed bucketed word counts), broadcast the logprob
+    table once via ray.put, and score every document's mean token
+    log-probability in one streaming pass (low avg_logprob = rare-word
+    soup = candidate for the quality cut).  See `unigram_scored`."""
+    return unigram_scored(sf_dir)
 
 
 @register(

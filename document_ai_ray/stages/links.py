@@ -47,29 +47,61 @@ from document_ai_ray.pipelines.ops import (
 
 
 class _LinkCollector(HTMLParser):
-    """Collect <a href> values in document order (stdlib attribute
-    parsing: quotes stripped, charrefs unescaped)."""
+    """Collect <a href> values (and each anchor's visible text) in
+    document order (stdlib attribute parsing: quotes stripped, charrefs
+    unescaped).  An <a> without </a> flushes at the next <a> or at
+    close() — the WAT-extractor-style tolerant behavior."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.hrefs: list[str] = []
+        self.texts: list[str] = []  # parallel to hrefs
+        self._open = False  # inside an <a href=...> whose text is texts[-1]
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._open:
+            self.texts[-1] = "".join(self._buf)
+        self._open, self._buf = False, []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
+            self._flush()
             for k, v in attrs:
                 if k == "href" and v:
+                    # href recorded eagerly (survives broken markup);
+                    # the text placeholder fills at the matching flush
                     self.hrefs.append(v)
+                    self.texts.append("")
+                    self._open = True
                     break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._open is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
 
 
 def page_outlinks(
-    pages: rd.Dataset, url_col: str = "url", html_col: str = "html"
+    pages: rd.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_text: bool = False,
 ) -> rd.Dataset:
-    """(url, href) — one row per anchor with an href, document order."""
+    """(url, href[, anchor]) — one row per anchor with an href, document
+    order; with_text=True adds the anchor's unescaped visible text."""
 
     def fn(t: pa.Table) -> pa.Table:
         urls: list[str] = []
         hrefs: list[str] = []
+        texts: list[str] = []
         for u, h in zip(t.column(url_col).to_pylist(), t.column(html_col).to_pylist()):
             if h is None:
                 continue
@@ -83,9 +115,11 @@ def page_outlinks(
                 pass  # tolerate broken markup; links found so far survive
             urls.extend([u] * len(p.hrefs))
             hrefs.extend(p.hrefs)
-        return pa.table(
-            {url_col: pa.array(urls, pa.string()), "href": pa.array(hrefs, pa.string())}
-        )
+            texts.extend(p.texts)
+        cols = {url_col: pa.array(urls, pa.string()), "href": pa.array(hrefs, pa.string())}
+        if with_text:
+            cols["anchor"] = pa.array(texts, pa.string())
+        return pa.table(cols)
 
     return pages.map_batches(fn, batch_format="pyarrow")
 

@@ -169,3 +169,22 @@ def test_line_dedup_first_occurrence_order_within_doc():
     [row] = line_dedup_docs(ds, n_buckets=2).take_all()
     assert row["n_lines"] == 2 and row["n_lines_kept"] == 1
     assert row["clean_text"] == chunk
+
+
+# ------------------------------------------------- ccnet buckets
+
+
+def test_ccnet_buckets_equal_depth_and_order(sf_tiny):
+    from document_ai_ray.pipelines.curation_queries import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(sf_tiny).take_all()
+    by_bucket: dict[str, list[float]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    sizes = {b: len(v) for b, v in by_bucket.items()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # equal depth
+    # head is the most fluent third: every head score >= every tail score
+    assert min(by_bucket["head"]) >= max(by_bucket["tail"])
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])

@@ -96,3 +96,30 @@ def test_pagerank_direction():
     )
     got = {r["host"]: r["rank"] for r in pagerank_hosts(ds, iters=15).take_all()}
     assert got["hub"] > max(v for h, v in got.items() if h != "hub") * 2
+
+
+def test_anchor_text_collection():
+    from document_ai_ray.stages.links import page_outlinks
+
+    html = (
+        b'<html><body>'
+        b'<a href="http://a.example/1">Alpha &amp; Beta</a> between '
+        b'<a href="http://b.example/2">second <b>bold</b> text</a>'
+        b'<a href="http://c.example/3">unclosed tail'  # no </a>, no </body>
+    )
+    ds = rd.from_arrow(pa.table({"url": ["u"], "html": [html]}))
+    rows = page_outlinks(ds, with_text=True).take_all()
+    got = {r["href"]: r["anchor"] for r in rows}
+    assert got["http://a.example/1"] == "Alpha & Beta"     # charref unescaped
+    assert got["http://b.example/2"] == "second bold text"  # nested tag text kept
+    assert got["http://c.example/3"] == "unclosed tail"     # flushed at close()
+
+
+def test_anchor_text_without_flag_keeps_old_schema():
+    from document_ai_ray.stages.links import page_outlinks
+
+    ds = rd.from_arrow(
+        pa.table({"url": ["u"], "html": [b'<a href="http://x.example/">t</a>']})
+    )
+    out = page_outlinks(ds)
+    assert out.schema().names == ["url", "href"]
