@@ -157,6 +157,49 @@ def line_dedup_docs_query(sf_dir: str):
     return line_dedup_docs(docs)
 
 
+@register("bpe_train_merges")
+def bpe_train_merges_query(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016): the top-40 merge
+    rules learned from the corpus — rows-only (iterative argmax has no
+    SQL analogue; tests assert exact equality with a brute-force
+    corpus-level trainer).  One distributed pass builds the exact
+    word-frequency table (pair statistics over the weighted word table
+    are IDENTICAL to the corpus's, since BPE never merges across word
+    boundaries); the merge loop is vocab-sized driver compute — the
+    SentencePiece/HF-trainer shape at any corpus scale."""
+    from document_ai_ray.stages.bpe import bpe_train_merges
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train_merges(docs, k=40)
+
+
+_WDS_ORACLE = """
+SELECT doc_id, text, lang, source FROM documents
+"""
+
+
+@register("webdataset_roundtrip", oracle=_WDS_ORACLE)
+def webdataset_roundtrip(sf_dir: str):
+    """Byte-identity through the WebDataset tar-shard exchange format
+    (the training-loader sink): documents spool to POSIX tar shards
+    (one per task batch, {doc_id}.txt + {doc_id}.json members,
+    deterministic bytes), are re-read via read_binary_files + in-task
+    tar parse, and must come back exactly — doc_id, text, lang, source
+    all value-checked against the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from document_ai_ray.sources.webdataset import read_webdataset, write_webdataset
+
+    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_wds_rt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    paths = [r["path"] for r in write_webdataset(docs, out_dir).take_all()]
+    return read_webdataset(paths)
+
+
 def _ccnet_oracle() -> str:
     from document_ai_ray.pipelines.text_queries import _ULM_ORACLE
 

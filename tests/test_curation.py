@@ -188,3 +188,90 @@ def test_ccnet_buckets_equal_depth_and_order(sf_tiny):
     assert min(by_bucket["head"]) >= max(by_bucket["tail"])
     assert min(by_bucket["head"]) >= max(by_bucket["middle"])
     assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+# ---------------------------------------------------- webdataset + bpe
+
+
+def test_webdataset_roundtrip_small(tmp_path):
+    from document_ai_ray.sources.webdataset import read_webdataset, write_webdataset
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "", "unicode – ✓ text"], pa.string()),
+            "lang": pa.array(["en", "fr", "de"], pa.string()),
+            "source": pa.array(["s1", "s2", "s3"], pa.string()),
+        }
+    )
+    paths = [
+        r["path"]
+        for r in write_webdataset(rd.from_arrow(t), str(tmp_path)).take_all()
+    ]
+    assert paths and all(p.endswith(".tar") for p in paths)
+    back = read_webdataset(paths).take_all()
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"]) for r in back}
+    assert got == {1: ("hello world", "en", "s1"), 2: ("", "fr", "s2"),
+                   3: ("unicode – ✓ text", "de", "s3")}
+
+
+def test_webdataset_bytes_deterministic(tmp_path):
+    from document_ai_ray.sources.webdataset import _tar_bytes
+
+    rows = [{"doc_id": 5, "text": "abc", "lang": "en", "source": "s0"}]
+    assert _tar_bytes(rows) == _tar_bytes([dict(r) for r in rows])
+
+
+def _ref_bpe_from_corpus(texts, k):
+    """Brute-force corpus-level BPE: pair counts over every word
+    occurrence (not the word-frequency table) — the equivalence the
+    distributed trainer's docstring claims."""
+    words = [list(w) for t in texts for w in t.split(" ") if w]
+    merges = []
+    for rank in range(k):
+        counts = {}
+        for syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (l, r), best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < 2:
+            break
+        merges.append((rank, l, r, best))
+        fused = l + r
+        for i, syms in enumerate(words):
+            j, out = 0, []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(fused); j += 2
+                else:
+                    out.append(syms[j]); j += 1
+            words[i] = out
+    return merges
+
+
+def test_bpe_matches_corpus_level_reference():
+    from document_ai_ray.stages.bpe import bpe_train_merges
+
+    texts = [
+        "the theatre then thundered",
+        "thin things the the then",
+        "other leather weather the",
+        "aaa aaab aab the",
+    ] * 3
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(ds, k=12, vocab_cap=1 << 20).take_all()
+    ]
+    got.sort()
+    assert got == _ref_bpe_from_corpus(texts, 12)
+    assert got[0][1:3] == ("t", "h")  # 'th' is the dominant first merge
+
+
+def test_bpe_stops_when_nothing_repeats():
+    from document_ai_ray.stages.bpe import train_merges_from_counts
+
+    merges = train_merges_from_counts([("abc", 1), ("def", 1)], k=10)
+    assert merges == []
