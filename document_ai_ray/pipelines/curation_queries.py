@@ -157,6 +157,87 @@ def line_dedup_docs_query(sf_dir: str):
     return line_dedup_docs(docs)
 
 
+BADWORDS = ("slow", "dup")  # stand-in blocklist present in the corpus vocab
+
+_BADWORD_ORACLE = rf"""
+WITH b AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)
+SELECT doc_id,
+       len(list_filter(ws, x -> lower(x) IN {BADWORDS!r})) AS n_bad,
+       len(list_filter(ws, x -> lower(x) IN {BADWORDS!r})) = 0 AS keep
+FROM b
+"""
+
+
+@register("badword_filter_docs", oracle=_BADWORD_ORACLE)
+def badword_filter_docs(sf_dir: str):
+    """C4-style blocklist filter: count words on the bad-word list
+    (case-insensitive whole-word membership — C4's actual mechanism)
+    and keep only clean docs.  Stateless per-batch pass; the list is
+    tiny and ships in the task closure (a real profanity list would
+    broadcast via ray.put, same shape as the decontamination set)."""
+    import pyarrow as pa
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bad = frozenset(BADWORDS)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        n_bad = [
+            sum(1 for w in (txt or "").split() if w.lower() in bad)
+            for txt in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bad": pa.array(n_bad, pa.int64()),
+                "keep": pa.array([n == 0 for n in n_bad], pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(annotate, batch_format="pyarrow")
+
+
+_SPLIT_SEED = "split-r3"
+
+_SPLIT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-{_SPLIT_SEED}'), 1, 8)) AS BIGINT)
+           % 100 AS hv
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN hv < 98 THEN 'train' WHEN hv < 99 THEN 'val' ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("split_train_val_test", oracle=_SPLIT_ORACLE)
+def split_train_val_test(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test assignment by seeded md5 of
+    doc_id — stable across runs, engines and re-shards (the property a
+    training split needs: adding data never moves an existing doc
+    between splits).  Pure per-batch map, no shuffle, no RNG state."""
+    import hashlib
+
+    import pyarrow as pa
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        splits = []
+        for i in t.column("doc_id").to_pylist():
+            hv = int(hashlib.md5(f"{i}-{_SPLIT_SEED}".encode()).hexdigest()[:8], 16) % 100
+            splits.append("train" if hv < 98 else ("val" if hv < 99 else "test"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 @register("bpe_train_merges")
 def bpe_train_merges_query(sf_dir: str):
     """BPE tokenizer training (Sennrich et al. 2016): the top-40 merge

@@ -275,3 +275,24 @@ def test_bpe_stops_when_nothing_repeats():
 
     merges = train_merges_from_counts([("abc", 1), ("def", 1)], k=10)
     assert merges == []
+
+
+def test_badword_filter_case_insensitive(sf_tiny):
+    from document_ai_ray.pipelines.curation_queries import badword_filter_docs
+
+    got = {r["doc_id"]: (r["n_bad"], r["keep"])
+           for r in badword_filter_docs(sf_tiny).take_all()}
+    assert len(got) == 500
+    assert all(k == (n == 0) for n, k in got.values())
+    assert any(n > 0 for n, _ in got.values())  # the blocklist discriminates
+
+
+def test_split_deterministic_and_proportioned(sf_tiny):
+    from document_ai_ray.pipelines.curation_queries import split_train_val_test
+
+    a = {r["doc_id"]: r["split"] for r in split_train_val_test(sf_tiny).take_all()}
+    b = {r["doc_id"]: r["split"] for r in split_train_val_test(sf_tiny).take_all()}
+    assert a == b  # stable across runs
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert train / n > 0.9  # ~98% within small-sample noise
