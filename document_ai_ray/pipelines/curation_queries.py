@@ -238,6 +238,40 @@ def split_train_val_test(sf_dir: str):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+_BLOCK_TOKENS = 64
+
+_BLOCKS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+         END AS ts
+  FROM documents),
+allt AS (SELECT flatten(list(ts ORDER BY doc_id)) AS a FROM toks),
+blocks AS (
+  SELECT CAST(t.i AS BIGINT) AS block_id,
+         a[CAST(t.i*{_BLOCK_TOKENS}+1 AS BIGINT):CAST(t.i*{_BLOCK_TOKENS}+{_BLOCK_TOKENS} AS BIGINT)] AS win
+  FROM allt, UNNEST(generate_series(0, CAST((len(a) - 1) // {_BLOCK_TOKENS} AS BIGINT))) AS t(i))
+SELECT block_id, array_to_string(win, ' ') AS block_text, len(win) AS n_tokens
+FROM blocks
+"""
+
+
+@register("concat_token_blocks", oracle=_BLOCKS_ORACLE)
+def concat_token_blocks_query(sf_dir: str):
+    """GPT-style block packing: the global whitespace-token stream
+    (docs in doc_id order) cut into fixed {0}-token training blocks —
+    blocks CROSS document boundaries, the layout a causal-LM loader
+    consumes.  Offsets from the distributed exclusive prefix sum,
+    piece emission per doc, one bucketed reassembly exchange; the
+    oracle flattens the same stream in SQL and slices it.""".format(_BLOCK_TOKENS)
+    from document_ai_ray.stages.curation import concat_token_blocks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return concat_token_blocks(docs, block_tokens=_BLOCK_TOKENS)
+
+
 @register("bpe_train_merges")
 def bpe_train_merges_query(sf_dir: str):
     """BPE tokenizer training (Sennrich et al. 2016): the top-40 merge

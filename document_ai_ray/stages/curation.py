@@ -198,6 +198,103 @@ def gopher_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def concat_token_blocks(
+    docs: rd.Dataset,
+    block_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """GPT-style training-block packing: the corpus's whitespace-token
+    stream (docs concatenated in doc_id order) cut into fixed
+    `block_tokens`-token blocks -> (block_id, block_text, n_tokens),
+    last partial block included.  This is the operator a causal-LM data
+    loader actually consumes — blocks cross document boundaries.
+
+    Distributed shape:
+      1. each doc learns its global token OFFSET via the exclusive
+         prefix-sum substrate (`ops.with_group_ranks(value_col=...)` —
+         distributed sort + driver-merged per-block sums, no task holds
+         the corpus);
+      2. a flat map emits each doc's block-aligned PIECES
+         (block_id, offset, piece_text, piece_tokens) — a doc touches
+         ceil(n/B)+1 blocks, so output is corpus-sized, never larger;
+      3. pieces reassemble per block through one hash-bucketed exchange
+         (sort by offset inside the bucket, vectorized pandas join).
+    """
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    P = n_buckets or auto_buckets(docs.count())
+    B = block_tokens
+
+    def add_counts(t: pa.Table) -> pa.Table:
+        n = [len((x or "").split()) for x in t.column(text_col).to_pylist()]
+        return (
+            t.append_column("__ntok", pa.array(n, pa.int64()))
+            .append_column("__g", pa.array(np.zeros(len(t), np.int8)))
+        )
+
+    ranked = with_group_ranks(
+        docs.map_batches(add_counts, batch_format="pyarrow"),
+        "__g",
+        [id_col],
+        value_col="__ntok",
+    )
+
+    def pieces(t: pa.Table) -> pa.Table:
+        bids, offs, texts, ns, buckets = [], [], [], [], []
+        for txt, off in zip(
+            t.column(text_col).to_pylist(),
+            t.column("__cum").to_pylist(),
+        ):
+            toks = (txt or "").split()
+            j = 0
+            while j < len(toks):
+                pos = off + j
+                take = min(B - pos % B, len(toks) - j)
+                bids.append(pos // B)
+                offs.append(pos)
+                texts.append(" ".join(toks[j : j + take]))
+                ns.append(take)
+                buckets.append((pos // B) % P)
+                j += take
+        return pa.table(
+            {
+                "block_id": pa.array(bids, pa.int64()),
+                "off": pa.array(offs, pa.int64()),
+                "piece": pa.array(texts, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def assemble(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "block_id": pd.Series(dtype="int64"),
+                    "block_text": pd.Series(dtype="object"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["block_id", "off"], kind="mergesort")
+        out = df.groupby("block_id", as_index=False).agg(
+            block_text=("piece", " ".join), n_tokens=("n", "sum")
+        )
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out[["block_id", "block_text", "n_tokens"]]
+
+    return bucket_map_groups(
+        ranked.map_batches(pieces, batch_format="pyarrow"),
+        "bucket",
+        assemble,
+        P,
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style corpus-level line dedup: a line occurrence survives iff it
 # is the (doc_id, line_no)-minimal occurrence of its text corpus-wide.

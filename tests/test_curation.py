@@ -296,3 +296,30 @@ def test_split_deterministic_and_proportioned(sf_tiny):
     n = len(a)
     train = sum(1 for s in a.values() if s == "train")
     assert train / n > 0.9  # ~98% within small-sample noise
+
+
+def test_concat_token_blocks_bruteforce():
+    from document_ai_ray.stages.curation import concat_token_blocks
+
+    texts = ["a b c", "", "d e f g h", "i", "j k l m n o p q r s t"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    B = 4
+    got = sorted(
+        (r["block_id"], r["block_text"], r["n_tokens"])
+        for r in concat_token_blocks(ds, block_tokens=B, n_buckets=3).take_all()
+    )
+    stream = [w for t in texts for w in t.split()]
+    want = [
+        (i, " ".join(stream[i * B : (i + 1) * B]), len(stream[i * B : (i + 1) * B]))
+        for i in range((len(stream) + B - 1) // B)
+    ]
+    assert got == want
+    # blocks cross doc boundaries: block 0 is "a b c d" (docs 0 + 2)
+    assert got[0][1] == "a b c d"
