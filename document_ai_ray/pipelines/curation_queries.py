@@ -238,6 +238,174 @@ def split_train_val_test(sf_dir: str):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_PROFILE_DISTINCT = ("lang", "source")  # low-cardinality: exact distinct
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n,
+        COUNT(*) - COUNT({c}) AS n_null,
+        CAST(MIN({c}) AS VARCHAR) AS min_val,
+        CAST(MAX({c}) AS VARCHAR) AS max_val,
+        {f"COUNT(DISTINCT {c})" if c in _PROFILE_DISTINCT else "CAST(NULL AS BIGINT)"} AS n_distinct
+        FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", oracle=_PROFILE_ORACLE)
+def profile_documents(sf_dir: str):
+    """Column profiling (the data-quality audit step a corpus ingest
+    runs): per column row count, null count, lexicographic/numeric
+    min + max (as VARCHAR for one uniform schema), and exact distinct
+    counts for the low-cardinality columns.  Everything is a mergeable
+    per-batch partial (count/min/max merge associatively; distinct sets
+    only for vocab-tiny columns) — one streaming pass, one tiny final
+    merge, NO shuffle.  High-cardinality distinct counts belong to the
+    KMV sketch (`approx_distinct_ngrams`), deliberately not here."""
+    import pyarrow as pa
+
+    docs = read_table(sf_dir, "documents", columns=list(_PROFILE_COLS))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in _PROFILE_COLS:
+            col = t.column(c)
+            vals = [v for v in col.to_pylist() if v is not None]
+            rows.append(
+                {
+                    "col": c,
+                    "n": len(t),
+                    "n_null": len(t) - len(vals),
+                    "min_val": str(min(vals)) if vals else None,
+                    "max_val": str(max(vals)) if vals else None,
+                    "distinct": sorted({str(v) for v in vals})
+                    if c in _PROFILE_DISTINCT
+                    else [],
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("col", pa.string()),
+                    ("n", pa.int64()),
+                    ("n_null", pa.int64()),
+                    ("min_val", pa.string()),
+                    ("max_val", pa.string()),
+                    ("distinct", pa.list_(pa.string())),
+                ]
+            ),
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in _PROFILE_COLS:
+            sub = t.filter(pa.compute.equal(t.column("col"), c))
+            mins = [v for v in sub.column("min_val").to_pylist() if v is not None]
+            maxs = [v for v in sub.column("max_val").to_pylist() if v is not None]
+            if c in ("doc_id", "n_chars"):  # numeric: "100" < "99" lexically!
+                mins = [str(min(map(int, mins)))] if mins else []
+                maxs = [str(max(map(int, maxs)))] if maxs else []
+            dist: set[str] = set()
+            for lst in sub.column("distinct").to_pylist():
+                dist.update(lst)
+            rows.append(
+                {
+                    "col": c,
+                    "n": sum(sub.column("n").to_pylist()),
+                    "n_null": sum(sub.column("n_null").to_pylist()),
+                    "min_val": min(mins) if mins else None,
+                    "max_val": max(maxs) if maxs else None,
+                    "n_distinct": len(dist) if c in _PROFILE_DISTINCT else None,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("col", pa.string()),
+                    ("n", pa.int64()),
+                    ("n_null", pa.int64()),
+                    ("min_val", pa.string()),
+                    ("max_val", pa.string()),
+                    ("n_distinct", pa.int64()),
+                ]
+            ),
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    # repartition(1): exactly one final merge task over tiny partials
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+_BK_SEED = "bottomk-r3"
+_BK_GLOBAL, _BK_PER_LANG = 100, 10
+
+_BOTTOMK_ORACLE = f"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-{_BK_SEED}') AS skey
+FROM documents
+ORDER BY skey LIMIT {_BK_GLOBAL}
+"""
+
+_BOTTOMK_LANG_ORACLE = f"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || '-{_BK_SEED}') AS skey
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey) <= {_BK_PER_LANG}
+"""
+
+
+def _with_skey(docs):
+    import hashlib
+
+    import pyarrow as pa
+
+    def add(t: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{i}-{_BK_SEED}".encode()).hexdigest()
+            for i in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("skey", pa.array(keys, pa.string()))
+
+    return docs.map_batches(add, batch_format="pyarrow")
+
+
+@register("sample_bottom_k", oracle=_BOTTOMK_ORACLE)
+def sample_bottom_k(sf_dir: str):
+    """Mergeable uniform sampling WITHOUT replacement: bottom-k by a
+    seeded per-doc hash — the distributed-reservoir equivalent (any
+    union of partial bottom-k sets re-cut to k IS the global bottom-k,
+    the KMV property), deterministic across engines and runs.  Shape:
+    per-batch local bottom-k, one k-row final cut — k rows per block
+    move, never the corpus."""
+    from document_ai_ray.pipelines.ops import topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return topk(_with_skey(docs), keys=[("skey", False)], k=_BK_GLOBAL)
+
+
+@register("sample_per_lang_bottomk", oracle=_BOTTOMK_LANG_ORACLE)
+def sample_per_lang_bottomk(sf_dir: str):
+    """Per-stratum bottom-k-by-hash sampling (k docs per lang) through
+    the bucketed grouped-topk substrate — equal-depth stratified
+    sampling that stays deterministic and mergeable at any scale."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import grouped_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = grouped_topk(
+        _with_skey(docs),
+        keys=["lang"],
+        sort_cols=[("skey", True)],
+        k=_BK_PER_LANG,
+        n_buckets=auto_buckets(docs.count()),
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "skey"]), batch_format="pyarrow"
+    )
+
+
 _BLOCK_TOKENS = 64
 
 _BLOCKS_ORACLE = rf"""

@@ -323,3 +323,43 @@ def test_concat_token_blocks_bruteforce():
     assert got == want
     # blocks cross doc boundaries: block 0 is "a b c d" (docs 0 + 2)
     assert got[0][1] == "a b c d"
+
+
+def test_bottomk_union_merge_property(sf_tiny):
+    # the KMV property the docstring claims: the global bottom-k equals
+    # the bottom-k of the union of any partition's bottom-k sets
+    from document_ai_ray.pipelines.curation_queries import _BK_GLOBAL, sample_bottom_k
+    import hashlib
+
+    got = sorted(r["skey"] for r in sample_bottom_k(sf_tiny).take_all())
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    allk = sorted(hashlib.md5(f"{i}-bottomk-r3".encode()).hexdigest() for i in ids)
+    assert got == allk[:_BK_GLOBAL]
+
+
+def test_profile_documents_null_handling():
+    from document_ai_ray.pipelines import curation_queries as cq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None], pa.int64()),
+            "text": pa.array(["b", None, "a"], pa.string()),
+            "lang": pa.array(["en", "en", "fr"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([100, 99, 9], pa.int64()),
+        }
+    )
+    q = cq.profile_documents
+    # drive the query over a crafted in-memory table via read_table patch
+    orig = cq.read_table
+    cq.read_table = lambda *a, **k: rd.from_arrow(t)
+    try:
+        rows = {r["col"]: r for r in q("unused").take_all()}
+    finally:
+        cq.read_table = orig
+    assert rows["doc_id"]["n_null"] == 1
+    assert rows["text"]["min_val"] == "a" and rows["text"]["max_val"] == "b"
+    assert rows["n_chars"]["min_val"] == "9" and rows["n_chars"]["max_val"] == "100"
+    assert rows["lang"]["n_distinct"] == 2 and rows["source"]["n_distinct"] == 1
