@@ -82,6 +82,65 @@ def outlink_host_degree(sf_dir: str):
     return outlink_host_counts(page_outlinks(_link_pages(docs)))
 
 
+_N_TWORDS = 8
+
+_TABLE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, unnest(generate_series(1, LEAST(len(ws), {_N_TWORDS}))) AS i, ws FROM w)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS row_idx, CAST(0 AS BIGINT) AS col_idx,
+       CAST(i - 1 AS VARCHAR) AS cell_text
+FROM k
+UNION ALL
+SELECT doc_id, CAST(i - 1 AS BIGINT), CAST(1 AS BIGINT), ws[i] FROM k
+"""
+
+
+@register("html_table_cells", oracle=_TABLE_ORACLE)
+def html_table_cells(sf_dir: str):
+    """Structured-data mining from HTML tables (the WebTables corpus
+    step): pages embedding a 2-column <table> (row index, word) are
+    parsed by the tolerant stdlib table collector
+    (stages/html_tables.py) into one Arrow row per CELL — the real
+    parse is value-checked cell-for-cell against the SQL
+    reconstruction of the same derived table."""
+    import html as html_mod
+
+    from document_ai_ray.stages.html_tables import page_tables
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            rows = [
+                f"<tr><td>{i}</td><td>{html_mod.escape(w)}</td></tr>"
+                for i, w in enumerate((txt or "").split(" ")[:_N_TWORDS])
+            ]
+            urls.append(f"doc://{did}")
+            htmls.append(
+                f'<html><body><header>chrome</header><table>{"".join(rows)}</table>'
+                f"</body></html>".encode()
+            )
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    cells = page_tables(docs.map_batches(build, batch_format="pyarrow"))
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = [int(u.removeprefix("doc://")) for u in t.column("url").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "row_idx": t.column("row_idx"),
+                "col_idx": t.column("col_idx"),
+                "cell_text": t.column("cell_text"),
+            }
+        )
+
+    return cells.map_batches(project, batch_format="pyarrow")
+
+
 _ANCHOR_ORACLE = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 k AS (SELECT doc_id, unnest(generate_series(1, LEAST(len(ws), 6))) AS i, ws FROM w),

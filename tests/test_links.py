@@ -123,3 +123,33 @@ def test_anchor_text_without_flag_keeps_old_schema():
     )
     out = page_outlinks(ds)
     assert out.schema().names == ["url", "href"]
+
+
+def test_table_collector_tolerant_markup():
+    from document_ai_ray.stages.html_tables import _TableCollector
+
+    p = _TableCollector()
+    p.feed(
+        "<table><tr><td>a<td>b</tr>"           # unclosed <td> flushes at next <td>
+        "<tr><th>H &amp; I</th>"               # <th> counts as a cell, charref unescaped
+        "<td>nested: <table><tr><td>x</td></tr></table></td></tr>"
+    )
+    p.close()
+    assert p.cells == [
+        (0, 0, 0, "a"),
+        (0, 0, 1, "b"),
+        (0, 1, 0, "H & I"),
+        (0, 1, 1, "nested: "),   # parent cell text stops at the nested table
+        (1, 0, 0, "x"),          # nested table gets its own table_idx
+    ]
+
+
+def test_page_tables_ignores_tableless_pages():
+    from document_ai_ray.stages.html_tables import page_tables
+
+    ds = rd.from_arrow(
+        pa.table({"url": ["u1", "u2"],
+                  "html": [b"<p>no tables here</p>", b"<table><tr><td>z</td></tr></table>"]})
+    )
+    rows = page_tables(ds).take_all()
+    assert [(r["url"], r["cell_text"]) for r in rows] == [("u2", "z")]
