@@ -260,3 +260,62 @@ def substring_dedup_docs(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_spans_keep_first(docs)
+
+
+_SNAPSHOT_ORACLE = """
+WITH p AS (SELECT doc_id,
+                  array_to_string((string_split(text, ' '))[1:10], ' ') AS pre
+           FROM documents)
+SELECT a.doc_id FROM p a
+WHERE a.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM p b
+                  WHERE b.doc_id % 2 = 0 AND b.pre = a.pre)
+"""
+
+
+@register("snapshot_incremental_new", oracle=_SNAPSHOT_ORACLE)
+def snapshot_incremental_new(sf_dir: str):
+    """Incremental crawl-update dedup: which NEW-snapshot documents
+    (doc_id odd) carry content not already in the PREVIOUS snapshot
+    (doc_id even)?  Content-hash anti join through the auto-planned
+    semi/anti machinery (broadcast key set small-side, distributed
+    OR-merged Bloom + exact verify at scale) — the cross-snapshot step
+    every recurring crawl pipeline runs before reprocessing.  The
+    content fingerprint is the md5-int64 of the doc's first-10-word
+    prefix (the cheap crawl-side key; exact-body hashing is the same
+    code with a different key function) computed per batch; the oracle
+    anti-joins on the raw prefix (hash collisions are the usual
+    2^-64-scale assumption)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import semi_anti_join_auto
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            txts = t.column("text").to_pylist()
+            out_ids, keys = [], []
+            for i, txt in zip(ids, txts):
+                if i % 2 != parity:
+                    continue
+                pre = " ".join((txt or "").split(" ")[:10])
+                h = hashlib.md5(pre.encode("utf-8", "surrogatepass")).digest()
+                out_ids.append(i)
+                keys.append(int.from_bytes(h[:8], "big") & ((1 << 63) - 1))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "k": pa.array(keys, pa.int64()),
+                }
+            )
+
+        return fn
+
+    new = docs.map_batches(keyed(1), batch_format="pyarrow")
+    prev = docs.map_batches(keyed(0), batch_format="pyarrow")
+    out = semi_anti_join_auto(new, prev, "k", "k", anti=True)
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
