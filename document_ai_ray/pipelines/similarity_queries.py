@@ -226,3 +226,61 @@ def kmeans_embeddings(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows)
+
+
+# -- BM25 lexical search ------------------------------------------------
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K = 20
+# BM25 formula with k1=1.2, b=0.75, Robertson idf ln((N-df+.5)/(df+.5)+1);
+# tokenization = string_split(' ') with empties dropped, matching
+# stages/bm25.py byte-for-byte.
+_BM25_TERMS_SQL = ",\n         ".join(
+    f"len(list_filter(ws, x -> x = '{t}')) AS tf{j}" for j, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_SQL = ", ".join(
+    f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}" for j in range(len(_BM25_TERMS))
+)
+_BM25_SCORE_SQL = "\n       + ".join(
+    f"ln((n - df{j} + 0.5)/(df{j} + 0.5) + 1) * tf{j} * 2.2"
+    f" / (tf{j} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    for j in range(len(_BM25_TERMS))
+)
+
+_BM25_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+s AS (SELECT doc_id, len(ws) AS dl,
+         {_BM25_TERMS_SQL}
+      FROM t),
+g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl,
+             {_BM25_DF_SQL}
+      FROM s),
+sc AS (SELECT doc_id,
+         {_BM25_SCORE_SQL}
+         AS raw
+       FROM s CROSS JOIN g)
+SELECT doc_id, ROUND(raw, 6) AS score
+FROM sc WHERE raw > 0
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
+def bm25_search(sf_dir: str):
+    """Sparse LEXICAL retrieval (the keyword half of similarity search,
+    next to the dense `knn_*` queries): BM25 top-{0} for the fixed
+    query {1} over `documents.text`.  Two streaming passes — combiner
+    partial corpus stats (n, avgdl, per-term df; one tiny row per
+    batch), then vectorized scoring + streaming top-k (k rows per
+    block, no global sort).  Nothing corpus-sized on the driver; the
+    broadcast state is |query|+2 numbers.""".format(_BM25_K, _BM25_TERMS)
+    from document_ai_ray.stages.bm25 import bm25_topk
+
+    return bm25_topk(
+        lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _BM25_TERMS,
+        _BM25_K,
+    )
