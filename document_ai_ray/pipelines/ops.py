@@ -219,6 +219,113 @@ def large_join(
     )
 
 
+def heavy_keys(
+    ds: rd.Dataset, col: str, threshold_rows: int, top_per_batch: int = 64
+) -> list:
+    """Approximate heavy-hitter keys of `ds[col]`: per-batch value_counts
+    truncated to the top `top_per_batch` (a combiner — one tiny table
+    per batch), summed on the driver.  A key above `threshold_rows`
+    overall appears in the per-batch top list of the batches that carry
+    its mass, so genuinely hot keys are found; a key missed by the
+    truncation was too thinly spread to be hot.  Driver state is
+    O(batches x top_per_batch), never corpus-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(col).combine_chunks())
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        out = pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts")], names=["__k", "__n"]
+        )
+        return out.sort_by([("__n", "descending")]).slice(0, top_per_batch)
+
+    totals: dict[Any, int] = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b.column("__k").to_pylist(), b.column("__n").to_pylist()):
+            totals[k] = totals.get(k, 0) + n
+    return [k for k, n in totals.items() if n >= threshold_rows]
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    hot_frac: float | None = None,
+    max_hot_right_rows: int = 1 << 20,
+) -> rd.Dataset:
+    """Skew-safe large join: hot keys bypass the shuffle.
+
+    The all-to-all hash join sends every row of a key to ONE partition —
+    a zipf-hot key (one domain with 10% of a 100 TB crawl) turns that
+    partition into a straggler or an OOM.  This splits the work by
+    measured key frequency:
+
+      1. detect hot keys on the LEFT (fact) side (`heavy_keys`,
+         combiner-style — threshold defaults to a shuffle partition's
+         fair share, total/num_partitions);
+      2. the right rows matching hot keys (small by construction:
+         few keys) are broadcast once and the hot left rows join
+         map-side — the hot key's rows stay spread across all blocks,
+         no partition ever concentrates them (the endgame of salting,
+         with zero shuffle instead of n_salt-way replication);
+      3. the remaining left rows take the ordinary hash-partitioned
+         join, now free of stragglers.
+
+    Both paths drop the right key column; the union is schema-aligned.
+    Raises if the hot right side exceeds `max_hot_right_rows` (a hot
+    key on BOTH sides means a genuinely quadratic join — no partition
+    trick fixes that; the caller must pre-aggregate)."""
+    right_on = right_on or on
+    total = left.count()
+    threshold = max(int(total * hot_frac) if hot_frac else total // num_partitions, 1)
+    hot = heavy_keys(left, on, threshold)
+    if not hot:
+        return large_join(left, right, on, right_on, num_partitions)
+
+    hot_arr = pa.array(hot)
+
+    def take_hot(t: pa.Table, key: str) -> pa.Table:
+        return t.filter(pc.is_in(t.column(key), value_set=hot_arr))
+
+    def take_cold(t: pa.Table, key: str) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column(key), value_set=hot_arr)))
+
+    hot_right_parts = [
+        b
+        for b in right.map_batches(
+            take_hot, fn_kwargs={"key": right_on}, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    hot_right = pa.concat_tables(hot_right_parts) if hot_right_parts else None
+    if hot_right is not None and hot_right.num_rows > max_hot_right_rows:
+        raise ValueError(
+            f"skew_join: {hot_right.num_rows} right rows match the "
+            f"{len(hot)} hot keys (> {max_hot_right_rows}); both sides "
+            "are hot — pre-aggregate one side instead"
+        )
+
+    cold = large_join(
+        left.map_batches(take_cold, fn_kwargs={"key": on}, batch_format="pyarrow"),
+        right,
+        on,
+        right_on,
+        num_partitions,
+    )
+    if hot_right is None or hot_right.num_rows == 0:
+        return cold  # hot left keys have no right match (inner join)
+    hot_joined = broadcast_join(
+        left.map_batches(take_hot, fn_kwargs={"key": on}, batch_format="pyarrow"),
+        hot_right,
+        key=on,
+        right_key=right_on,
+    )
+    cols = sorted(c for c in hot_joined.schema().names)
+    return hot_joined.select_columns(cols).union(cold.select_columns(cols))
+
+
 def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int, columns: list[str] | None = None) -> rd.Dataset:
     """Streaming top-k: per-batch local top-k, then one tiny final
     top-k — no global sort (`sort(desc).limit(k)` shuffles everything;

@@ -32,6 +32,7 @@ from document_ai_ray.pipelines.ops import (
     partial_group_agg,
     round_cols,
     semi_anti_join_auto,
+    skew_join,
     topk,
 )
 from document_ai_ray.pipelines.registry import register
@@ -350,6 +351,26 @@ def join_large_priority(sf_dir: str):
     joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
     agg = partial_group_agg(joined, ["o_orderpriority"], {"l_quantity": "sum_qty"}, count_alias="n_items")
     return agg.map_batches(lambda t: round_cols(t, {"sum_qty": 2}), batch_format="pyarrow")
+
+
+@register(
+    "join_events_skew",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_events_skew(sf_dir: str):
+    """Skew-safe fact⋈dimension join (ops.skew_join): events.user_id is
+    zipf-skewed, so the measured-hot keys join map-side against a
+    broadcast of their (few) right rows while the long tail takes the
+    hash-partitioned shuffle — no shuffle partition ever concentrates a
+    hot key's rows.  Salting's goal with zero replication."""
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return skew_join(
+        events, cust, on="user_id", right_on="c_custkey", num_partitions=8, hot_frac=0.005
+    )
 
 
 @register(

@@ -281,3 +281,84 @@ def test_with_group_ranks_prefix_sum_matches_pandas():
     np.testing.assert_array_equal(
         out["__gn"].to_numpy(), exp.groupby("g", sort=False)["v"].transform("size").to_numpy()
     )
+
+
+def test_heavy_keys_finds_hot_key(ray_session):
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import heavy_keys
+
+    keys = [7] * 5000 + list(range(100, 600))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(4)
+    hot = heavy_keys(ds, "k", threshold_rows=1000)
+    assert hot == [7]
+
+
+def test_skew_join_matches_pandas_merge(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import skew_join
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: key 0 carries half the fact rows; tail uniform over 1..49
+    k = np.where(rng.rand(4000) < 0.5, 0, rng.randint(1, 50, size=4000))
+    left = pa.table(
+        {"k": pa.array(k, pa.int64()), "v": pa.array(np.arange(4000), pa.int64())}
+    )
+    # right covers keys 0..39 -> keys 40..49 must drop (inner join)
+    right = pa.table(
+        {"rk": pa.array(range(40), pa.int64()), "seg": [f"s{i%4}" for i in range(40)]}
+    )
+    out = (
+        skew_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right),
+            on="k",
+            right_on="rk",
+            num_partitions=4,
+            hot_frac=0.1,  # threshold 400 -> key 0 is hot, tail is not
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="rk")
+        .drop(columns=["rk"])[out.columns]
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_skew_join_no_hot_falls_back(ray_session):
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import skew_join
+
+    left = pa.table({"k": pa.array(range(100), pa.int64()), "v": pa.array(range(100))})
+    right = pa.table({"k": pa.array(range(100), pa.int64()), "w": pa.array(range(100))})
+    out = skew_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", num_partitions=2
+    ).to_pandas()
+    assert len(out) == 100 and set(out.columns) == {"k", "v", "w"}
+
+
+def test_skew_join_hot_both_sides_raises(ray_session):
+    import pytest as _pytest
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import skew_join
+
+    left = pa.table({"k": pa.array([1] * 1000, pa.int64())})
+    right = pa.table({"k": pa.array([1] * 200, pa.int64())})
+    with _pytest.raises(ValueError, match="both sides are hot"):
+        skew_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            on="k",
+            hot_frac=0.1,
+            max_hot_right_rows=100,
+        ).to_pandas()
