@@ -456,6 +456,28 @@ def bpe_train_merges_query(sf_dir: str):
     return bpe_train_merges(docs, k=40)
 
 
+@register("bpe_encode_docs")
+def bpe_encode_docs_query(sf_dir: str):
+    """BPE tokenization APPLIED: train the merge table on the corpus
+    (one distributed counting pass + vocab-sized merge loop), broadcast
+    the ranks once, and encode every document in a second streaming
+    pass — (doc_id, n_words, n_tokens, n_chars).  Rows-only (the
+    lowest-rank-pair fixpoint has no SQL analogue); tests pin exact
+    equality with a character-level reference encoder and the
+    n_words <= n_tokens <= n_chars sandwich."""
+    from document_ai_ray.stages.bpe import (
+        bpe_encode_docs,
+        corpus_word_counts,
+        train_merges_from_counts,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_merges_from_counts(
+        corpus_word_counts(docs, text_col="text", vocab_cap=1 << 16), 40
+    )
+    return bpe_encode_docs(docs, merges)
+
+
 _WDS_ORACLE = """
 SELECT doc_id, text, lang, source FROM documents
 """
@@ -481,6 +503,41 @@ def webdataset_roundtrip(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     paths = [r["path"] for r in write_webdataset(docs, out_dir).take_all()]
     return read_webdataset(paths)
+
+
+@register("jsonl_roundtrip", oracle=_WDS_ORACLE)
+def jsonl_roundtrip(sf_dir: str):
+    """Value-identity through the JSONL exchange format (the other
+    interchange sink next to Parquet/WARC/WebDataset): documents ->
+    `write_json` (one JSONL file per block, distributed writers) ->
+    `read_json` -> value-checked against the source table.  Both ends
+    are Ray datasources, so a 100 TB corpus spools shard-parallel with
+    no driver materialization."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_jsonl_rt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    docs.write_json(out_dir)
+    back = rd.read_json(out_dir)
+    # read_json infers column order per file; normalize + re-assert types
+    return back.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "text": t.column("text").cast(pa.string()),
+                "lang": t.column("lang").cast(pa.string()),
+                "source": t.column("source").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _ccnet_oracle() -> str:

@@ -121,3 +121,67 @@ def bpe_train_merges(
             }
         )
     )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a trained merge table to one word: repeatedly fuse the
+    LOWEST-rank adjacent pair (the canonical BPE encode order — the
+    order the rules were learned in, not greedy left-to-right)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_docs(
+    docs: rd.Dataset,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Tokenize the corpus with a trained merge table: one streaming
+    pass, ranks broadcast once via ray.put (vocab-sized, never
+    re-shipped per batch), per-worker word->len memo (Zipf makes the
+    distinct-word working set tiny next to the token stream).  Emits
+    (id, n_words, n_tokens, n_chars) per document."""
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    ref = ray.put(ranks)
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        r: dict = get_broadcast((ref,), tag="bpe_ranks")
+        memo: dict[str, int] = {}
+        ids = t.column(id_col).to_pylist()
+        n_words, n_tokens, n_chars = [], [], []
+        for txt in t.column(text_col).to_pylist():
+            words = [w for w in (txt or "").split(" ") if w]
+            tot = 0
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, r))
+                    memo[w] = n
+                tot += n
+            n_words.append(len(words))
+            n_tokens.append(tot)
+            n_chars.append(sum(len(w) for w in words))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode_batch, batch_format="pyarrow")

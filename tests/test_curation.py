@@ -363,3 +363,65 @@ def test_profile_documents_null_handling():
     assert rows["text"]["min_val"] == "a" and rows["text"]["max_val"] == "b"
     assert rows["n_chars"]["min_val"] == "9" and rows["n_chars"]["max_val"] == "100"
     assert rows["lang"]["n_distinct"] == 2 and rows["source"]["n_distinct"] == 1
+
+
+def _replay_encode(word, merges):
+    """Independent reference encode: apply merges IN RANK ORDER, fusing
+    left-to-right occurrences — the original Sennrich replay procedure
+    (equivalent to the lowest-rank-pair loop with leftmost tie-break)."""
+    syms = list(word)
+    for _, l, r, _ in sorted(merges):
+        j, out = 0, []
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                out.append(l + r); j += 2
+            else:
+                out.append(syms[j]); j += 1
+        syms = out
+    return syms
+
+
+def test_encode_word_uses_rank_order_not_leftmost():
+    from document_ai_ray.stages.bpe import encode_word
+
+    # rank 0 fuses (b,c); a greedy left-to-right scan would fuse (a,b)
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert encode_word("abc", ranks) == ["a", "bc"]
+    assert encode_word("aabc", ranks) == ["a", "a", "bc"]
+
+
+def test_bpe_encode_docs_matches_replay_reference():
+    from document_ai_ray.stages.bpe import (
+        bpe_encode_docs,
+        corpus_word_counts,
+        train_merges_from_counts,
+    )
+
+    texts = [
+        "the theatre then thundered",
+        "thin things the the then",
+        "other leather weather the",
+        "aaa aaab aab the",
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    merges = train_merges_from_counts(
+        corpus_word_counts(ds, vocab_cap=1 << 20), 12
+    )
+    got = (
+        bpe_encode_docs(rd.from_arrow(t), merges)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, txt in enumerate(texts):
+        words = [w for w in txt.split(" ") if w]
+        want = sum(len(_replay_encode(w, merges)) for w in words)
+        assert got.loc[i, "n_tokens"] == want
+        assert got.loc[i, "n_words"] == len(words)
+        assert got.loc[i, "n_chars"] == sum(len(w) for w in words)
+        assert got.loc[i, "n_words"] <= got.loc[i, "n_tokens"] <= max(got.loc[i, "n_chars"], got.loc[i, "n_words"])
+    assert got.loc[4].tolist() == [0, 0, 0]
