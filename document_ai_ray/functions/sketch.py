@@ -144,3 +144,63 @@ def mg_merge(sketches: list[dict], m: int) -> dict:
         for k, v in s.items():
             total[k] = total.get(k, 0) + v
     return mg_from_counts(total, m)
+
+
+# -- HyperLogLog -------------------------------------------------------------
+#
+# The industry-standard mergeable distinct sketch (Flajolet et al. 2007,
+# with the Heule et al. 2013 small-range linear counting): FIXED-size
+# register arrays (2^p bytes) whatever the cardinality — unlike KMV it
+# never grows with the stream, and merge is an elementwise max, so it
+# composes with the combiner + two-level merge like every other partial
+# here.  Error ~ 1.04/sqrt(2^p).
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint64 hashes -> register array (uint8, len 2^p): register j =
+    max over its hashes of (leading zeros of the remaining 64-p bits)+1."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # top 64-p payload bits, left-aligned
+    # rho = leading zeros of w within 64-p bits, +1; w==0 -> 64-p+1
+    lz = _nlz64(w)
+    rho = np.minimum(lz, 64 - p).astype(np.uint8) + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _nlz64(w: np.ndarray) -> np.ndarray:
+    """Number of leading zero bits of each uint64 (vectorized)."""
+    w = w.astype(np.uint64, copy=True)
+    n = np.zeros(w.shape, np.int64)
+    for bits in (32, 16, 8, 4, 2, 1):
+        b = np.uint64(bits)
+        mask = w < (np.uint64(1) << np.uint64(64 - bits))
+        n = np.where(mask, n + bits, n)
+        w = np.where(mask, w << b, w)
+    return np.where(w == 0, 64, n)
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Elementwise max — associative, commutative, idempotent."""
+    out = parts[0].copy()
+    for r in parts[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate with linear-counting small-range correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(est)

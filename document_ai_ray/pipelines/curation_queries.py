@@ -603,3 +603,115 @@ def ccnet_perplexity_buckets(sf_dir: str):
         )
 
     return ranked.map_batches(tile_batch, batch_format="pyarrow")
+
+
+_TEMP_TAU = 0.7
+_MIXW_ORACLE = f"""
+WITH c AS (SELECT lang, source, COUNT(*) AS n_docs
+           FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs,
+       ROUND(POWER(n_docs, {_TEMP_TAU}) / SUM(POWER(n_docs, {_TEMP_TAU})) OVER (), 6)
+         AS weight
+FROM c
+"""
+
+
+@register("mixture_weights_temperature", oracle=_MIXW_ORACLE)
+def mixture_weights_temperature(sf_dir: str):
+    """Temperature-based sampling weights per (lang, source) cell —
+    the multilingual-mixture reweighting of mBERT/XLM-R/PaLM: cell
+    weight ∝ n_docs^τ (τ={0}), normalized; τ<1 upsamples the tail so
+    low-resource cells are not drowned.  Counting is the combiner
+    groupby (`partial_group_agg`); the normalization runs on the
+    cells-sized aggregate (one tiny final task by construction —
+    cells, not documents).""".format(_TEMP_TAU)
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cells = partial_group_agg(docs, ["lang", "source"], count_alias="n_docs")
+
+    def normalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = n**_TEMP_TAU
+        w = p / p.sum()
+        w = np.copysign(np.floor(np.abs(w) * 1e6 + 0.5), w) / 1e6
+        return t.append_column("weight", pa.array(w, pa.float64()))
+
+    return cells.repartition(1).map_batches(
+        normalize, batch_format="pyarrow", batch_size=1 << 30
+    )
+
+
+@register("compressibility_docs")
+def compressibility_docs(sf_dir: str):
+    """Compression-ratio quality gate (zlib level 6, deterministic):
+    compressed/raw bytes per document; cut near-zero (machine
+    repetition) and near-one (random bytes) tails.  Rows-only — SQL has
+    no DEFLATE; tests pin monotonicity (repetitive < prose < random),
+    determinism, and the keep-window edges."""
+    from document_ai_ray.stages.text_analysis import compressibility_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(compressibility_batch, batch_format="pyarrow")
+
+
+@register("cdc_chunk_stats")
+def cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking (Gear/FastCDC) byte-dedup estimate: cut
+    every document into rolling-hash-aligned chunks, then report corpus
+    totals vs distinct chunks — the dedupable-bytes measure a
+    chunk-store would realize.  Chunking is a stateless streaming map;
+    distinct-chunk reduction is hash-bucketed (`ops.distinct_rows`),
+    so no task ever holds the corpus chunk set.  Rows-only — the
+    rolling-hash cut has no SQL analogue; tests pin reassembly,
+    size bounds, edit locality, and a scalar-reference differential."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import distinct_rows, partial_group_agg
+    from document_ai_ray.stages.cdc import cdc_chunk_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = docs.map_batches(cdc_chunk_batch, batch_format="pyarrow")
+    tot = (
+        partial_group_agg(
+            chunks.map_batches(
+                lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["one"],
+            {"chunk_len": "total_bytes"},
+            count_alias="n_chunks",
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    dist = (
+        partial_group_agg(
+            distinct_rows(chunks.select_columns(["chunk_hash", "chunk_len"]), ["chunk_hash", "chunk_len"])
+            .map_batches(
+                lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["one"],
+            {"chunk_len": "distinct_bytes"},
+            count_alias="n_distinct",
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    total_b, dup_b = int(tot["total_bytes"]), int(tot["total_bytes"] - dist["distinct_bytes"])
+    return pd.DataFrame(
+        [
+            {
+                "n_chunks": int(tot["n_chunks"]),
+                "n_distinct_chunks": int(dist["n_distinct"]),
+                "total_bytes": total_b,
+                "dup_bytes": dup_b,
+                "dedup_frac": round(dup_b / total_b, 6) if total_b else 0.0,
+            }
+        ]
+    )

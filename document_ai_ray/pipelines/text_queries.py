@@ -1000,3 +1000,39 @@ def dsir_logweights_query(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return dsir_logweights(docs)
+
+
+@register("approx_distinct_words_hll")
+def approx_distinct_words_hll(sf_dir: str):
+    """Corpus distinct-word cardinality by HyperLogLog (p=12, 4 KiB
+    fixed-size registers, elementwise-max merge) next to the EXACT
+    distributed distinct — the output row carries both plus the
+    relative error, so the rows-only check is self-evidencing (the
+    knn_ivf recall-column pattern).  Tests pin the ~1.6% error bound
+    and merge associativity."""
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.stages.text_analysis import (
+        hll_distinct_words,
+        word_value_counts,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    est = hll_distinct_words(docs)
+    words = docs.map_batches(
+        lambda t: word_value_counts(t.column("text")).select(["word"]),
+        batch_format="pyarrow",
+    )
+    exact = distinct_rows(words, ["word"]).count()
+    rel = abs(est - exact) / exact if exact else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n_distinct_hll": round(float(est), 1),
+                "n_distinct_exact": int(exact),
+                "rel_error": round(float(rel), 4),
+                "within_bound": bool(rel <= 0.05),
+            }
+        ]
+    )

@@ -401,3 +401,84 @@ def word_value_counts(texts: "pa.ChunkedArray | pa.Array") -> "pa.Table":
     if isinstance(vc, pa.ChunkedArray):
         vc = vc.combine_chunks()
     return pa.Table.from_arrays([vc.field("values"), vc.field("counts")], names=["word", "n"])
+
+
+# -- compressibility quality signal -----------------------------------------
+
+COMPRESS_MIN_RATIO = 0.30  # below: near-pure repetition (spam/boilerplate)
+COMPRESS_MAX_RATIO = 0.80  # above: near-random (gibberish, base64/hash soup)
+COMPRESS_MIN_BYTES = 64  # too short to measure — fail the gate
+
+
+def compressibility_batch(
+    t: "pa.Table", id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> "pa.Table":
+    """zlib compression ratio as a document-quality signal (the
+    MassiveText/RefinedWeb-family 'compressibility' heuristic):
+    compressed_size / raw_size.  Natural prose lands mid-range;
+    near-zero means machine repetition, near-one means random bytes —
+    both are cut.  Stateless per-batch pass (zlib is stdlib and
+    deterministic across platforms for a fixed level), no shuffle at
+    any corpus size."""
+    import zlib
+
+    texts = t.column(text_col).to_pylist()
+    n_bytes = np.zeros(len(texts), np.int64)
+    n_comp = np.zeros(len(texts), np.int64)
+    for i, txt in enumerate(texts):
+        raw = (txt or "").encode("utf-8")
+        n_bytes[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, level))
+    ratio = np.where(n_bytes > 0, n_comp / np.maximum(n_bytes, 1), 1.0)
+    keep = (
+        (n_bytes >= COMPRESS_MIN_BYTES)
+        & (ratio >= COMPRESS_MIN_RATIO)
+        & (ratio <= COMPRESS_MAX_RATIO)
+    )
+    return pa.table(
+        {
+            id_col: t.column(id_col),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_compressed": pa.array(n_comp, pa.int64()),
+            "compress_ratio": pa.array(
+                np.copysign(np.floor(np.abs(ratio) * 1e6 + 0.5), ratio) / 1e6,
+                pa.float64(),
+            ),
+            "keep": pa.array(keep.astype(bool)),
+        }
+    )
+
+
+def hll_distinct_words(ds) -> float:
+    """Approximate distinct-word count of the corpus via HyperLogLog:
+    per-batch 4 KiB register partials (fixed size whatever the stream —
+    the property KMV lacks), two-level elementwise-max merge, one
+    driver-side estimate.  At 100 TB the driver holds one 4 KiB array
+    per in-flight batch row, never a value set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.sketch import (
+        HLL_P,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = word_value_counts(t.column("text"))
+        hs = np.fromiter(
+            (stable64(w) for w in vc.column("word").to_pylist()), dtype=np.uint64
+        )
+        return pa.table({"regs": pa.array([hll_registers(hs, HLL_P).tobytes()], pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        regs = [np.frombuffer(b, dtype=np.uint8) for b in t.column("regs").to_pylist()]
+        return pa.table({"regs": pa.array([hll_merge(regs).tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.map_batches(merge, batch_format="pyarrow", batch_size=1 << 20)
+    merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    final = [np.frombuffer(b["regs"], dtype=np.uint8) for b in merged.take_all()]
+    return hll_estimate(hll_merge(final))

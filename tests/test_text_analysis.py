@@ -301,3 +301,75 @@ def test_select_top_quality_cut(sf_tiny):
     worst_kept = min((r.quality_score, -r.doc_id) for r in kept.itertuples())
     best_drop = max((r.quality_score, -r.doc_id) for r in dropped.itertuples())
     assert worst_kept > best_drop
+
+
+# ------------------------------------------------------------ HLL sketch
+
+
+def test_hll_error_within_bound_across_cardinalities():
+    from document_ai_ray.functions.sketch import hll_estimate, hll_registers
+
+    for n in (50, 1000, 20000, 300000):
+        hs = np.fromiter((stable64(f"item-{i}") for i in range(n)), dtype=np.uint64)
+        est = hll_estimate(hll_registers(hs))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_merge_equals_single_pass_and_is_idempotent():
+    from document_ai_ray.functions.sketch import hll_merge, hll_registers
+
+    hs = np.fromiter((stable64(f"x{i}") for i in range(50000)), dtype=np.uint64)
+    whole = hll_registers(hs)
+    parts = [hll_registers(hs[i::7]) for i in range(7)]  # overlapping splits ok
+    merged = hll_merge(parts)
+    assert (merged == whole).all()
+    assert (hll_merge([merged, whole]) == whole).all()  # idempotent
+
+
+def test_hll_distinct_words_dataset(ray_session):
+    from document_ai_ray.stages.text_analysis import hll_distinct_words
+
+    texts = [f"w{i} w{i+1} shared common" for i in range(0, 2000, 2)]
+    # distinct words: w0..w1999 (odd i appear as w{i+1}) + shared + common
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(5)
+    est = hll_distinct_words(ds)
+    true = len({w for t in texts for w in t.split()})
+    assert abs(est - true) / true < 0.05
+
+
+# --------------------------------------------------- compressibility gate
+
+
+def test_compressibility_monotone_and_edges():
+    import random
+
+    from document_ai_ray.stages.text_analysis import (
+        COMPRESS_MIN_BYTES,
+        compressibility_batch,
+    )
+
+    rng = random.Random(7)
+    repetitive = "spam " * 200
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(3, 8)))
+        for _ in range(150)
+    ]
+    prose = " ".join(rng.choice(vocab) for _ in range(200))
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(1000))
+    short = "tiny"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([repetitive, prose, noise, short]),
+        }
+    )
+    out = compressibility_batch(t).to_pandas().set_index("doc_id")
+    r = out["compress_ratio"]
+    assert r[0] < r[1] < r[2]  # repetition < prose < random
+    assert not out.loc[0, "keep"]  # too compressible
+    assert out.loc[1, "keep"]
+    assert not out.loc[2, "keep"]  # incompressible noise
+    assert not out.loc[3, "keep"] and out.loc[3, "n_bytes"] < COMPRESS_MIN_BYTES
+    # determinism
+    again = compressibility_batch(t).to_pandas().set_index("doc_id")
+    assert (again["n_compressed"] == out["n_compressed"]).all()
