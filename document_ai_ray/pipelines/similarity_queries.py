@@ -284,3 +284,71 @@ def bm25_search(sf_dir: str):
         _BM25_TERMS,
         _BM25_K,
     )
+
+
+@register("pca_embeddings")
+def pca_embeddings(sf_dir: str):
+    """Distributed exact PCA over the embeddings (one streaming
+    moments pass -> d x d covariance -> driver eigh): the embedding
+    compression step before ANN indexing.  One row per component with
+    its explained-variance ratio, the cumulative ratio, and a
+    self-evidencing orthonormality error (max |CCᵀ - I|) — rows-only
+    (eigendecomposition has no SQL analogue); tests pin equality with
+    a materialized numpy reference."""
+    import pandas as pd
+
+    from document_ai_ray.stages.linalg import pca_fit
+
+    vecs = read_table(sf_dir, "embeddings", columns=["embedding"])
+    comps, ratio, _ = pca_fit(vecs, k=8)
+    ortho_err = float(np.abs(comps @ comps.T - np.eye(len(comps))).max())
+    cum = np.cumsum(ratio)
+    return pd.DataFrame(
+        {
+            "component": np.arange(len(ratio), dtype=np.int64),
+            "explained_variance_ratio": np.round(ratio, 6),
+            "cumulative_ratio": np.round(cum, 6),
+            "orthonormality_err": np.round(ortho_err, 12),
+        }
+    )
+
+
+@register("softmax_classifier_embeddings")
+def softmax_classifier_embeddings(sf_dir: str):
+    """FineWeb-Edu-shape quality classifier: multinomial logistic
+    regression on the embedding column against the stored labels,
+    trained by FULL-BATCH distributed gradient descent (per-batch
+    partial gradients Xᵀ(P−Y) merged on the driver, model broadcast
+    once per iteration — the mergeable-partials discipline, d*k floats
+    per batch).  Emits per-class precision/recall/F1 plus overall
+    accuracy, final loss and a loss-monotone flag, so the rows-only
+    check is self-evidencing; tests pin exact parity with a
+    single-process reference and the accuracy floor."""
+    import pandas as pd
+
+    from document_ai_ray.stages.linalg import softmax_eval, softmax_train
+
+    vecs = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    W, b, hist = softmax_train(vecs, n_classes=10, n_iter=25, lr=12.0)
+    conf = softmax_eval(read_table(sf_dir, "embeddings", columns=["embedding", "label"]), W, b)
+    k = conf.shape[0]
+    tp = np.diag(conf).astype(np.float64)
+    support = conf.sum(axis=1).astype(np.float64)
+    predicted = conf.sum(axis=0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(predicted > 0, tp / predicted, 0.0)
+        rec = np.where(support > 0, tp / support, 0.0)
+        f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    acc = float(tp.sum() / conf.sum())
+    return pd.DataFrame(
+        {
+            "label": np.arange(k, dtype=np.int64),
+            "n": support.astype(np.int64),
+            "precision": np.round(prec, 6),
+            "recall": np.round(rec, 6),
+            "f1": np.round(f1, 6),
+            "accuracy": np.round(acc, 6),
+            "final_loss": np.round(hist[-1], 6),
+            "loss_monotone": bool(all(b <= a + 1e-12 for a, b in zip(hist, hist[1:]))),
+        }
+    )
