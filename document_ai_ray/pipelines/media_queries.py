@@ -181,6 +181,86 @@ def media_audio_spectrogram(sf_dir: str):
     return wavs.map_batches(spect, batch_format="pyarrow")
 
 
+def _avi_frame(w: int, h: int, media_id: int, k: int):
+    """Analytic frame k of clip `media_id`: a smooth diagonal gradient
+    that brightens with k (no mod-256 wrap, so JPEG error stays small
+    and the query's self-check bound is tight)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 120 // max(w - 1, 1) + yy * 100 // max(h - 1, 1)).astype(np.int32)
+    lift = (media_id * 7 + k * 9) % 36
+    return np.stack([base + lift, base // 2 + lift, 220 - base // 2], -1).astype(np.uint8)
+
+
+def _avi_dataset():
+    """Deterministic AVI/MJPEG clip corpus, synthesized in-task."""
+    import ray.data as rd
+
+    from document_ai_ray.functions.avi import encode_avi_mjpeg
+    from document_ai_ray.stages.multimodal import MEDIA_SCHEMA
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            w, h = 24 + (i % 4) * 8, 20 + (i % 3) * 4
+            n_frames = 3 + (i % 4)
+            frames = [_avi_frame(w, h, i, k) for k in range(n_frames)]
+            rows.append(
+                {
+                    "media_id": i,
+                    "media_type": "video/x-msvideo",
+                    "payload": encode_avi_mjpeg(frames, fps=10 + i % 5, quality=90),
+                    "meta": {"width": w, "height": h, "sample_rate": 0},
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(48, override_num_blocks=4).map_batches(gen, batch_format="pyarrow")
+
+
+@register("media_avi_frames")
+def media_avi_frames(sf_dir: str):
+    """REAL video path end-to-end: AVI/MJPEG clips (RIFF mux over the
+    from-scratch JPEG codec, functions/avi.py) are demuxed by
+    sample_frames, every 2nd frame decoded and re-emitted as PNG, then
+    each PNG is decoded AGAIN and compared to the analytically-known
+    source frame — max_abs_err per frame is a self-evidencing column
+    (smooth gradients at q=90 stay well under 24/255).  Rows-only
+    (binary payloads have no SQL analogue); codec correctness is also
+    pinned by tests/test_multimodal.py."""
+    import numpy as np
+
+    from document_ai_ray.stages.multimodal import decode_png, sample_frames
+
+    frames = sample_frames(_avi_dataset(), every=2)
+
+    def check(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid, k, png in zip(
+            t.column("media_id").to_pylist(),
+            t.column("frame_idx").to_pylist(),
+            t.column("frame").to_pylist(),
+        ):
+            px = decode_png(png)
+            h, w = px.shape[:2]
+            expected = _avi_frame(w, h, mid, k)
+            err = int(np.abs(px.astype(np.int32) - expected.astype(np.int32)).max())
+            rows.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": k,
+                    "width": w,
+                    "height": h,
+                    "max_abs_err": err,
+                    "within_bound": err <= 24,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return frames.map_batches(check, batch_format="pyarrow")
+
+
 @register("media_gif_frames")
 def media_gif_frames(sf_dir: str):
     """REAL video-analogue path end-to-end: animated GIFs are demuxed

@@ -13,17 +13,19 @@ Decode support is format-tiered:
   inflate + all five row un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
   variable-width LZW, multi-frame with sub-rect compositing; the
   encoder web-safe-quantizes, so animated-GIF frame sampling is a
-  REAL video demux path), and baseline JPEG (numpy einsum DCT/IDCT,
-  Annex K Huffman + quantization tables, 4:2:0/4:4:4, restart
-  markers — `functions/jpeg.py`).  These decode to pixel/sample
-  arrays and feed real feature extraction (4x4 gray-block means for
-  images, 16 RMS window energies for audio) and real nearest-neighbor
-  image resize with re-encode.
-- REMAINING compressed codecs (MP3/MP4/WebP...) need libraries absent
-  from this container and stay STUBBED: strict mode raises
-  NotImplementedError; non-strict emits the per-row error column.
-  Within JPEG, progressive (SOF2) and arithmetic coding are in this
-  stub tier.
+  REAL video demux path), JPEG — baseline SOF0 AND progressive SOF2,
+  decode + encode (numpy einsum DCT/IDCT, Annex K / per-scan optimized
+  Huffman, 4:2:0/4:4:4, restart markers — `functions/jpeg.py`) — and
+  AVI/MJPEG video (RIFF container mux/demux over that JPEG codec —
+  `functions/avi.py`): true multi-frame video decode, frame sampling
+  and resize-recontainerize.  These decode to pixel/sample arrays and
+  feed real feature extraction (4x4 gray-block means for images, 16
+  RMS window energies for audio) and real nearest-neighbor image
+  resize with re-encode.
+- REMAINING compressed codecs (MP3/MP4/WebP, JPEG arithmetic
+  coding...) need libraries absent from this container and stay
+  STUBBED: strict mode raises NotImplementedError; non-strict emits
+  the per-row error column.
 - The `SYNM` synthetic payload keeps the deterministic fake decoder
   for plumbing tests.
 """
@@ -647,6 +649,13 @@ class DecodeMedia:
             return _image_features(decode_ppm(payload), self.FEATURE_DIM)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(decode_wav(payload)[0], self.FEATURE_DIM)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from document_ai_ray.functions.avi import decode_avi
+
+            # video descriptor: feature the temporal mid frame (cheap,
+            # deterministic; per-frame features go through sample_frames)
+            frames = decode_avi(payload)
+            return _image_features(frames[len(frames) // 2], self.FEATURE_DIM)
         if payload[:4] != _MAGIC:
             if self.strict:
                 raise NotImplementedError(
@@ -731,6 +740,11 @@ class ResizeMedia:
             return encode_bmp(self._nn(decode_bmp(payload)))
         if payload[:2] in (b"P6", b"P5"):
             return encode_ppm(self._nn(decode_ppm(payload)))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":  # real video resize
+            from document_ai_ray.functions.avi import avi_info, decode_avi, encode_avi_mjpeg
+
+            fps = int(avi_info(payload)["fps"]) or 10
+            return encode_avi_mjpeg([self._nn(f) for f in decode_avi(payload)], fps=fps)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return payload                        # resize is an image op; audio passes through
         if payload[:4] != _MAGIC:
@@ -778,11 +792,12 @@ def resize_media(media_ds, width: int, height: int, concurrency: int = 4, batch_
 
 def sample_frames(media_ds, every: int = 4, concurrency: int = 4, batch_size: int = 8):
     """Video-analogue frame sampling: one media row -> many frame rows
-    (flat_map shape).  Animated GIFs demux for REAL — every k-th frame
-    is decoded and re-emitted as a standalone PNG image payload (ready
-    for DecodeMedia/media_features downstream).  The `SYNM` synthetic
-    payload keeps the fixed-size-chunk fake for plumbing tests; other
-    real video containers (mp4...) stay stubbed like decoding."""
+    (flat_map shape).  Animated GIFs and AVI/MJPEG clips demux for
+    REAL — every k-th frame is decoded and re-emitted as a standalone
+    PNG image payload (ready for DecodeMedia/media_features
+    downstream).  The `SYNM` synthetic payload keeps the
+    fixed-size-chunk fake for plumbing tests; other real video
+    containers (mp4...) stay stubbed like decoding."""
     FRAME = 256
 
     def explode(t: pa.Table) -> pa.Table:
@@ -797,6 +812,22 @@ def sample_frames(media_ds, every: int = 4, concurrency: int = 4, batch_size: in
                     ids.append(i)
                     idxs.append(k)
                     frames.append(encode_png(decoded[k]))
+                continue
+            if p and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                from document_ai_ray.functions.avi import demux_avi
+                from document_ai_ray.functions.jpeg import decode_jpeg
+
+                try:
+                    jpegs = demux_avi(p)
+                except Exception:
+                    continue
+                for k in range(0, len(jpegs), every):
+                    try:
+                        ids.append(i)
+                        idxs.append(k)
+                        frames.append(encode_png(decode_jpeg(jpegs[k])))
+                    except Exception:
+                        ids.pop(), idxs.pop()  # skip undecodable frame
                 continue
             if not p or p[:4] != _MAGIC:
                 continue

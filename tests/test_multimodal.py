@@ -376,3 +376,99 @@ def test_media_audio_spectrogram_query():
         assert r["err_hz"] < 5.0, (r["media_id"], r["dominant_hz"], r["expected_hz"])
         assert r["n_frames"] >= 5
         assert len(r["band_power"]) == 8
+
+
+# --- AVI/MJPEG container -----------------------------------------------------
+
+
+def _avi_frames(n=5, w=32, h=24):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 120 // (w - 1) + yy * 100 // (h - 1)).astype(np.int32)
+    return [
+        np.stack([base + k * 5, base // 2, 200 - base // 2], -1).astype(np.uint8)
+        for k in range(n)
+    ]
+
+
+def test_avi_mux_demux_byte_exact():
+    from document_ai_ray.functions.avi import avi_info, demux_avi, encode_avi_mjpeg
+    from document_ai_ray.functions.jpeg import encode_jpeg
+
+    frames = _avi_frames()
+    avi = encode_avi_mjpeg(frames, fps=12, quality=90)
+    info = avi_info(avi)
+    assert info == {"width": 32, "height": 24, "fps": 12.0, "n_frames": 5}
+    jpegs = demux_avi(avi)
+    # the demuxed chunk payloads ARE the encoded JPEGs, byte-identical
+    assert jpegs == [encode_jpeg(f, quality=90) for f in frames]
+
+
+def test_avi_decode_accuracy_and_odd_sizes():
+    from document_ai_ray.functions.avi import decode_avi, encode_avi_mjpeg
+
+    # odd geometry exercises the even-byte RIFF padding path
+    frames = _avi_frames(n=4, w=33, h=21)
+    dec = decode_avi(encode_avi_mjpeg(frames, quality=92))
+    assert len(dec) == 4
+    for got, want in zip(dec, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 24
+
+
+def test_avi_truncation_and_garbage():
+    import pytest
+
+    from document_ai_ray.functions.avi import demux_avi, encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(_avi_frames())
+    with pytest.raises(ValueError):
+        demux_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        demux_avi(b"not a riff at all")
+    # mid-movi truncation salvages the complete leading frames
+    salvaged = demux_avi(avi[: len(avi) * 2 // 3])
+    assert 0 < len(salvaged) < 5
+
+
+def test_avi_through_sample_frames_and_resize():
+    from document_ai_ray.functions.avi import avi_info, decode_avi, encode_avi_mjpeg
+    from document_ai_ray.stages.multimodal import decode_png
+
+    frames = _avi_frames(n=6)
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    rows = [
+        {
+            "media_id": 7,
+            "media_type": "video/x-msvideo",
+            "payload": avi,
+            "meta": {"width": 32, "height": 24, "sample_rate": 0},
+        }
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = sample_frames(ds, every=2).take_all()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        px = decode_png(r["frame"])
+        want = frames[r["frame_idx"]]
+        assert np.abs(px.astype(int) - want.astype(int)).max() <= 24
+
+    # real video resize: decode -> nn-resample every frame -> re-mux
+    resized = resize_media(ds, width=16, height=12).take_all()[0]["payload"]
+    assert avi_info(resized)["width"] == 16
+    assert len(decode_avi(resized)) == 6
+
+
+def test_avi_decode_media_features():
+    from document_ai_ray.functions.avi import encode_avi_mjpeg
+
+    feats = DecodeMedia()._decode(encode_avi_mjpeg(_avi_frames()))
+    assert feats.shape == (16,)
+    assert feats.min() >= 0.0 and feats.max() <= 1.0
+
+
+def test_media_avi_frames_query():
+    from document_ai_ray.pipelines.media_queries import media_avi_frames
+
+    rows = media_avi_frames("").take_all()
+    assert len(rows) >= 48 * 2  # every clip has >=3 frames, stride 2 -> >=2 rows
+    assert all(r["within_bound"] for r in rows), max(r["max_abs_err"] for r in rows)
