@@ -221,3 +221,89 @@ def extract_pdf_filters_roundtrip(sf_dir: str):
         to_pdf_pages, batch_format="pyarrow"
     )
     return extract_pipeline(pages).select_columns(["url", "extracted_text"])
+
+
+def _meta_page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    """Deterministic head-metadata page for one documents row.
+
+    doc_id-keyed variation exercises the tolerant parser: attribute
+    order, single/double/unquoted values, tag-name case, whitespace,
+    plus decoys (a commented-out description, a body og:locale) that a
+    substring grep WOULD pick up and the real tokenizer must not."""
+    import html as html_mod
+
+    title = f"{source} item {doc_id}"
+    desc = html_mod.escape(text[:64], quote=True)
+    canonical = f"https://{source}.example/items/{doc_id}"
+    robots = "noindex,nofollow" if doc_id % 7 == 0 else "index,follow"
+    v = doc_id % 4
+    if v == 0:
+        desc_tag = f'<meta name="description" content="{desc}">'
+        canon_tag = f'<link rel="canonical" href="{canonical}">'
+        robots_tag = f'<META NAME="robots" CONTENT="{robots}">'
+    elif v == 1:
+        desc_tag = f"<meta content='{desc}' name='description'/>"
+        canon_tag = f"<link href='{canonical}' rel='canonical' />"
+        robots_tag = f"<meta name=robots content={robots}>"
+    elif v == 2:
+        desc_tag = f'<meta\n  name="description"\n  content="{desc}" >'
+        canon_tag = f'<LINK REL="canonical" HREF="{canonical}">'
+        robots_tag = f"<meta name='robots' content='{robots}'>"
+    else:
+        desc_tag = f'<meta property="x" content="nope"><meta name="description" content="{desc}">'
+        canon_tag = f'<link rel="stylesheet" href="/s.css"><link rel="canonical" href="{canonical}">'
+        robots_tag = f'<meta name="robots" content="{robots}">'
+    return (
+        "<!DOCTYPE html><html>\n<head>\n"
+        '<!-- <meta name="description" content="DECOY comment"> -->\n'
+        f"<title>{html_mod.escape(title)}</title>\n"
+        f"{desc_tag}\n{robots_tag}\n"
+        f'<meta property="og:locale" content="{lang}">\n'
+        f"{canon_tag}\n"
+        '<script>var s = "</head> <meta name=robots content=DECOY>";</script>\n'
+        "</head>\n<body>\n"
+        '<meta property="og:locale" content="BODY-DECOY">\n'
+        f"<p>{html_mod.escape(text[:120])}</p>\n</body></html>\n"
+    ).encode("utf-8")
+
+
+@register(
+    "html_meta_extract",
+    oracle=(
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "source || ' item ' || CAST(doc_id AS VARCHAR) AS title, "
+        "substr(text, 1, 64) AS description, "
+        "'https://' || source || '.example/items/' || CAST(doc_id AS VARCHAR) AS canonical, "
+        "lang AS og_locale, "
+        "CASE WHEN doc_id % 7 = 0 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots "
+        "FROM documents"
+    ),
+)
+def html_meta_extract(sf_dir: str):
+    """Head-metadata extraction (title / description / canonical /
+    og:locale / robots) through the real tolerant tag tokenizer
+    (stages/html_meta.py), over pages whose quoting, attribute order
+    and tag case vary per doc and which carry comment/script/body
+    decoys.  The oracle rebuilds every field from the source columns."""
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_head_meta
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        rows = [
+            {
+                "url": f"doc://{d}",
+                "html": _meta_page_html(d, txt, lang, src),
+            }
+            for d, txt, lang, src in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("source").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pylist(rows)
+
+    pages = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+    return extract_head_meta(pages)

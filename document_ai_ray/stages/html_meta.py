@@ -1,0 +1,113 @@
+"""HTML head-metadata extraction: title / meta / canonical / og tags.
+
+The crawl-index side of a webtext pipeline: every Common-Crawl-style
+page carries machine-readable metadata in `<head>` (title, description,
+robots directives, canonical URL, OpenGraph properties) that downstream
+curation keys on (URL canonicalization, locale routing, noindex
+filtering).  Reference analogue: the per-document field-extraction
+projection (/root/reference/ai_documents/analysis/document_analysis.py
+clean_predicted_data) — pull named fields out of one document into flat
+columns.
+
+Parsing is a real tolerant tag tokenizer (comments skipped, CDATA-free
+head assumption, single/double/unquoted attributes, any attribute
+order, case-insensitive names, entity unescaping) — NOT a naive
+substring grep: a decoy `og:title` inside an HTML comment must not
+leak, and the differential tests pin that.  Work is per-document by
+nature (parsing does not vectorize), but the regexes are compiled once
+at module import and each map_batches task reuses them — same shape as
+the main extractor's scanner.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+import pyarrow as pa
+
+# one tag or comment per match; attributes blob keeps quoted '>' safe
+_TAG_RE = re.compile(
+    r"<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?",
+    re.S,
+)
+
+# fields surfaced as flat columns, in output order
+META_FIELDS = ("title", "description", "canonical", "og_locale", "robots")
+
+
+def _attrs(blob: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        val = next((g for g in m.groups()[1:] if g is not None), "")
+        if name not in out:  # first occurrence wins, like browsers
+            out[name] = html_mod.unescape(val)
+    return out
+
+
+def parse_head_meta(payload: bytes | str) -> dict[str, str | None]:
+    """Parse one page's head metadata -> {field: value-or-None}.
+
+    Only the region before `</head>` (or the whole doc if the tag is
+    missing — crawls are full of unclosed heads) is scanned; `<body>`
+    also terminates the scan so body content can never pollute head
+    fields."""
+    text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    out: dict[str, str | None] = {f: None for f in META_FIELDS}
+    in_title = False
+    title_parts: list[str] = []
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        if m.group(2) is None:  # comment — decoys in comments must not leak
+            continue
+        closing, name, blob = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        if in_title:
+            title_parts.append(text[pos : m.start()])
+        pos = m.end()
+        if name == "title":
+            if not closing and out["title"] is None:
+                in_title = True
+                title_parts = []
+            elif closing and in_title:
+                in_title = False
+                out["title"] = html_mod.unescape("".join(title_parts)).strip()
+        elif name == "meta" and not closing:
+            a = _attrs(blob)
+            key = (a.get("name") or a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                continue
+            if key == "description" and out["description"] is None:
+                out["description"] = content
+            elif key == "robots" and out["robots"] is None:
+                out["robots"] = content
+            elif key == "og:locale" and out["og_locale"] is None:
+                out["og_locale"] = content
+        elif name == "link" and not closing:
+            a = _attrs(blob)
+            if (a.get("rel") or "").lower() == "canonical" and out["canonical"] is None:
+                out["canonical"] = a.get("href")
+        elif name == "body" or (closing and name == "head"):
+            break
+    return out
+
+
+def extract_head_meta(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """pages dataset -> (url, title, description, canonical, og_locale,
+    robots) — one flat metadata row per page (task stage; the compiled
+    regexes are module-level warm state)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        metas = [parse_head_meta(p or b"") for p in t.column(html_col).to_pylist()]
+        cols = [pa.array(urls, pa.string())] + [
+            pa.array([m[f] for m in metas], pa.string()) for f in META_FIELDS
+        ]
+        return pa.Table.from_arrays(cols, names=[url_col, *META_FIELDS])
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow", batch_size=512)

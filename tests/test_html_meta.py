@@ -1,0 +1,128 @@
+"""Head-metadata tokenizer: decoys, quoting variants, differential vs
+stdlib HTMLParser over the generated corpus."""
+
+import html as html_mod
+from html.parser import HTMLParser
+
+from document_ai_ray.stages.html_meta import META_FIELDS, parse_head_meta
+
+
+def test_basic_fields_and_decoys():
+    page = (
+        "<!doctype html><html><head>"
+        "<!-- <meta name='description' content='DECOY'> -->"
+        "<title> A &amp; B </title>"
+        "<meta name=\"description\" content=\"desc &quot;q&quot; here\">"
+        "<meta name=robots content=noindex,nofollow>"
+        "<meta property='og:locale' content='fr'>"
+        "<link href='/x' rel='alternate'><link rel=canonical href='https://e/x'>"
+        "</head><body><meta property='og:locale' content='BODY'></body></html>"
+    )
+    m = parse_head_meta(page)
+    assert m["title"] == "A & B"
+    assert m["description"] == 'desc "q" here'
+    assert m["robots"] == "noindex,nofollow"
+    assert m["og_locale"] == "fr"
+    assert m["canonical"] == "https://e/x"
+
+
+def test_unclosed_head_and_missing_fields():
+    # crawl reality: no </head>, <body> terminates the scan
+    m = parse_head_meta("<html><head><title>t</title><body><meta name=description content=late>")
+    assert m["title"] == "t"
+    assert m["description"] is None
+    # no head at all
+    m2 = parse_head_meta(b"plain text, no tags")
+    assert all(m2[f] is None for f in META_FIELDS)
+
+
+def test_first_occurrence_wins_and_case():
+    m = parse_head_meta(
+        "<head><TITLE>first</TITLE><title>second</title>"
+        '<META NAME="Description" CONTENT="d1"><meta name="description" content="d2"></head>'
+    )
+    assert m["title"] == "first"
+    assert m["description"] == "d1"
+
+
+def test_bytes_input_bad_utf8():
+    m = parse_head_meta(b"<head><title>caf\xe9</title></head>")  # latin-1 bytes
+    assert m["title"].startswith("caf")  # replacement char, no crash
+
+
+class _StdlibHead(HTMLParser):
+    """Same field rules via the stdlib parser — differential oracle."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.out = {f: None for f in META_FIELDS}
+        self.in_title = False
+        self.done = False
+        self.title_parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if self.done:
+            return
+        a = {}
+        for k, v in attrs:
+            a.setdefault(k.lower(), v if v is not None else "")
+        if tag == "title" and self.out["title"] is None:
+            self.in_title = True
+            self.title_parts = []
+        elif tag == "meta":
+            key = (a.get("name") or a.get("property") or "").lower()
+            c = a.get("content")
+            if c is None:
+                return
+            if key == "description" and self.out["description"] is None:
+                self.out["description"] = c
+            elif key == "robots" and self.out["robots"] is None:
+                self.out["robots"] = c
+            elif key == "og:locale" and self.out["og_locale"] is None:
+                self.out["og_locale"] = c
+        elif tag == "link":
+            if (a.get("rel") or "").lower() == "canonical" and self.out["canonical"] is None:
+                self.out["canonical"] = a.get("href")
+        elif tag == "body":
+            self.done = True
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self.in_title:
+            self.in_title = False
+            self.out["title"] = "".join(self.title_parts).strip()
+        elif tag == "head":
+            self.done = True
+
+    def handle_data(self, data):
+        if self.in_title and not self.done:
+            self.title_parts.append(data)
+
+
+def test_differential_vs_stdlib_on_generated_corpus():
+    from document_ai_ray.pipelines.extract_queries import _meta_page_html
+
+    for i in range(200):
+        page = _meta_page_html(i, f"text body {i} & <tag> é", "de", f"src{i % 20}")
+        mine = parse_head_meta(page)
+        ref = _StdlibHead()
+        ref.feed(page.decode("utf-8"))
+        # NB: stdlib tokenizes the decoy inside <script> as a tag (it is
+        # not a script-aware parser either), so compare on fields the
+        # decoy can't touch when stdlib got them first — all fields
+        # here: robots is set before the script decoy in every variant.
+        assert mine == ref.out, (i, mine, ref.out)
+
+
+def test_extract_head_meta_stage():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.html_meta import extract_head_meta
+
+    rows = [
+        {"url": f"u{i}", "html": f"<head><title>t{i}</title></head>".encode()}
+        for i in range(10)
+    ]
+    out = extract_head_meta(rd.from_arrow(pa.Table.from_pylist(rows))).take_all()
+    assert sorted(r["title"] for r in out) == sorted(f"t{i}" for i in range(10))
+    assert all(r["canonical"] is None for r in out)
