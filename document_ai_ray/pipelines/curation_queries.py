@@ -25,8 +25,14 @@ from document_ai_ray.stages.curation import (
     GOPHER_MIN_STOP_HITS,
     GOPHER_MIN_WORDS,
     LINE_WORDS,
+    REP_MAX_DUP5_CHAR_FRAC,
+    REP_MAX_DUP_LINE_CHAR_FRAC,
+    REP_MAX_DUP_LINE_FRAC,
+    REP_MAX_TOP2_CHAR_FRAC,
+    REP_MAX_TOP3_CHAR_FRAC,
     c4_filter_batch,
     gopher_batch,
+    gopher_repetition_batch,
     line_dedup_docs,
 )
 
@@ -126,6 +132,65 @@ def gopher_filter_docs(sf_dir: str):
     both sides, emitted ratios are ROUND(...,6)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(gopher_batch, batch_format="pyarrow")
+
+
+def _gram_cte(n: int) -> str:
+    """n-gram counts per doc: gram = chr(31)-joined word slice (words
+    are space-split so the separator is injective), gram word-chars =
+    len(gram) - (n-1) separators."""
+    return f"""
+g{n} AS (SELECT doc_id,
+              array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i + {n - 1} AS BIGINT)], chr(31)) AS gram
+       FROM w, UNNEST(generate_series(1, len(ws) - {n - 1})) AS t(i)),
+c{n} AS (SELECT doc_id, gram, COUNT(*) AS cnt, len(gram) - {n - 1} AS gc
+       FROM g{n} GROUP BY doc_id, gram)"""
+
+
+_REP_ORACLE = f"""
+WITH {_LINES_CTE},
+lc AS (SELECT doc_id, line, COUNT(*) AS cnt FROM l GROUP BY doc_id, line),
+ls AS (SELECT doc_id, SUM(cnt) AS n_lines, SUM(cnt - 1) AS dup_lines,
+              SUM((cnt - 1) * len(line)) AS dup_chars,
+              SUM(cnt * len(line)) AS tot_chars
+       FROM lc GROUP BY doc_id),
+tw AS (SELECT doc_id, list_sum(list_transform(ws, x -> len(x))) AS twc FROM w),
+{_gram_cte(2)},
+{_gram_cte(3)},
+{_gram_cte(5)},
+t2 AS (SELECT doc_id, MAX(cnt * gc) AS num2 FROM c2 GROUP BY doc_id),
+t3 AS (SELECT doc_id, MAX(cnt * gc) AS num3 FROM c3 GROUP BY doc_id),
+d5 AS (SELECT doc_id, SUM((cnt - 1) * gc) AS num5 FROM c5 GROUP BY doc_id),
+f AS (SELECT ls.doc_id,
+             CASE WHEN ls.n_lines > 0 THEN ls.dup_lines / ls.n_lines ELSE 0 END AS dlf,
+             CASE WHEN ls.tot_chars > 0 THEN ls.dup_chars / ls.tot_chars ELSE 0 END AS dlcf,
+             CASE WHEN tw.twc > 0 THEN COALESCE(t2.num2, 0) / tw.twc ELSE 0 END AS top2,
+             CASE WHEN tw.twc > 0 THEN COALESCE(t3.num3, 0) / tw.twc ELSE 0 END AS top3,
+             CASE WHEN tw.twc > 0 THEN COALESCE(d5.num5, 0) / tw.twc ELSE 0 END AS dup5
+      FROM ls JOIN tw USING (doc_id)
+      LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id))
+SELECT doc_id,
+       ROUND(dlf, 6) AS dup_line_frac,
+       ROUND(dlcf, 6) AS dup_line_char_frac,
+       ROUND(top2, 6) AS top2gram_char_frac,
+       ROUND(top3, 6) AS top3gram_char_frac,
+       ROUND(dup5, 6) AS dup_5gram_char_frac,
+       (dlf <= {REP_MAX_DUP_LINE_FRAC} AND dlcf <= {REP_MAX_DUP_LINE_CHAR_FRAC}
+        AND top2 <= {REP_MAX_TOP2_CHAR_FRAC} AND top3 <= {REP_MAX_TOP3_CHAR_FRAC}
+        AND dup5 <= {REP_MAX_DUP5_CHAR_FRAC}) AS keep
+FROM f
+"""
+
+
+@register("gopher_repetition_docs", oracle=_REP_ORACLE)
+def gopher_repetition_docs(sf_dir: str):
+    """Gopher repetition-removal battery (Rae et al. 2021 table A1):
+    duplicate-line fractions over the derived 10-word page plus
+    top-2/3-gram and duplicate-5-gram character fractions — the
+    repetition half of MassiveText filtering (gopher_filter_docs is the
+    quality half).  Stateless per-doc map_batches; the oracle rebuilds
+    lines AND n-grams with list lambdas + UNNEST(generate_series)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(gopher_repetition_batch, batch_format="pyarrow")
 
 
 _LINEDEDUP_ORACLE = f"""

@@ -198,6 +198,90 @@ def gopher_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+# --- Gopher repetition rules (Rae et al. 2021, table A1 repetition set) ----
+# Exact semantics (mirrored verbatim by the SQL oracle):
+#   lines        = the derived 10-word page (derive_lines)
+#   dup_line_frac       = sum over distinct lines of (cnt-1) / n_lines
+#   dup_line_char_frac  = sum over distinct lines of (cnt-1)*len(line)
+#                         / total chars over ALL line occurrences
+#   top{2,3}gram_char_frac = MAX over distinct word n-grams of
+#                         cnt * (sum of word lengths in the gram)
+#                         / total word chars — "the most repetition-heavy
+#                         n-gram", a deterministic variant of the paper's
+#                         most-common-n-gram rule (Counter tie-break is
+#                         insertion-ordered, not reproducible in SQL)
+#   dup_5gram_char_frac = sum over distinct 5-grams of (cnt-1)*gramchars
+#                         / total word chars
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_TOP2_CHAR_FRAC = 0.20
+REP_MAX_TOP3_CHAR_FRAC = 0.18
+REP_MAX_DUP5_CHAR_FRAC = 0.15
+
+
+def gopher_repetition_batch(
+    t: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher repetition-removal battery over the derived page: dup-line
+    fractions + top-2/3-gram and dup-5-gram character fractions; keep =
+    AND of all five thresholds on UNROUNDED values (oracle identical),
+    emitted ratios ROUND(...,6).  Stateless per-doc pass — no shuffle."""
+    from collections import Counter
+
+    ids = t.column(id_col).to_pylist()
+    out: dict[str, list] = {k: [] for k in (
+        "dup_line_frac", "dup_line_char_frac", "top2gram_char_frac",
+        "top3gram_char_frac", "dup_5gram_char_frac", "keep",
+    )}
+    for txt in t.column(text_col).to_pylist():
+        lines = derive_lines(txt or "")
+        lc = Counter(lines)
+        n_lines = len(lines)
+        tot_lc = sum(len(ln) for ln in lines)
+        dup_lines = sum(c - 1 for c in lc.values())
+        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+        dlf = dup_lines / n_lines if n_lines else 0.0
+        dlcf = dup_chars / tot_lc if tot_lc else 0.0
+
+        ws = (txt or "").split(" ")
+        wl = [len(w) for w in ws]
+        twc = sum(wl)
+        fracs = {}
+        for n, mode in ((2, "top"), (3, "top"), (5, "dup")):
+            if len(ws) < n or twc == 0:
+                fracs[(n, mode)] = 0.0
+                continue
+            grams = Counter(
+                (tuple(ws[i : i + n]), sum(wl[i : i + n]))
+                for i in range(len(ws) - n + 1)
+            )
+            if mode == "top":
+                fracs[(n, mode)] = max(c * gc for (_, gc), c in grams.items()) / twc
+            else:
+                fracs[(n, mode)] = (
+                    sum((c - 1) * gc for (_, gc), c in grams.items()) / twc
+                )
+        t2, t3, d5 = fracs[(2, "top")], fracs[(3, "top")], fracs[(5, "dup")]
+        out["dup_line_frac"].append(_round6(dlf))
+        out["dup_line_char_frac"].append(_round6(dlcf))
+        out["top2gram_char_frac"].append(_round6(t2))
+        out["top3gram_char_frac"].append(_round6(t3))
+        out["dup_5gram_char_frac"].append(_round6(d5))
+        out["keep"].append(
+            dlf <= REP_MAX_DUP_LINE_FRAC
+            and dlcf <= REP_MAX_DUP_LINE_CHAR_FRAC
+            and t2 <= REP_MAX_TOP2_CHAR_FRAC
+            and t3 <= REP_MAX_TOP3_CHAR_FRAC
+            and d5 <= REP_MAX_DUP5_CHAR_FRAC
+        )
+    arrays = [pa.array(ids, pa.int64())]
+    names = [id_col]
+    for k, v in out.items():
+        arrays.append(pa.array(v, pa.bool_() if k == "keep" else pa.float64()))
+        names.append(k)
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def concat_token_blocks(
     docs: rd.Dataset,
     block_tokens: int = 64,

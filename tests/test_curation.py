@@ -425,3 +425,46 @@ def test_bpe_encode_docs_matches_replay_reference():
         assert got.loc[i, "n_chars"] == sum(len(w) for w in words)
         assert got.loc[i, "n_words"] <= got.loc[i, "n_tokens"] <= max(got.loc[i, "n_chars"], got.loc[i, "n_words"])
     assert got.loc[4].tolist() == [0, 0, 0]
+
+
+def test_gopher_repetition_rules_fire():
+    import pyarrow as pa
+
+    from document_ai_ray.stages.curation import gopher_repetition_batch
+
+    normal = " ".join(f"w{i}x" for i in range(60))           # all-distinct words
+    dup_lines = " ".join(["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 6)
+    top2 = "spam ham " * 40 + " ".join(f"u{i}" for i in range(10))
+    dup5 = ("one two three four five " * 8) + " ".join(f"q{i}" for i in range(30))
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": 0, "text": normal},
+            {"doc_id": 1, "text": dup_lines},
+            {"doc_id": 2, "text": top2},
+            {"doc_id": 3, "text": dup5},
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_batch(t).to_pylist()}
+    assert rows[0]["keep"] is True and rows[0]["dup_line_frac"] == 0.0
+    # 6 identical 10-word lines -> 5/6 duplicates
+    assert abs(rows[1]["dup_line_frac"] - 5 / 6) < 1e-6  # emitted ROUND(...,6)
+    assert rows[1]["keep"] is False
+    # 'spam ham' dominates the 2-gram mass
+    assert rows[2]["top2gram_char_frac"] > 0.2 and rows[2]["keep"] is False
+    assert rows[3]["dup_5gram_char_frac"] > 0.15 and rows[3]["keep"] is False
+    # empty doc: one empty line, zero chars -> all fractions 0, kept
+    assert rows[4]["keep"] is True and rows[4]["dup_5gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_top_vs_dup_semantics():
+    import pyarrow as pa
+
+    from document_ai_ray.stages.curation import gopher_repetition_batch
+
+    # 'aa bb aa bb aa': 2-grams (aa,bb)x2 (bb,aa)x2 -> top2 = 2*4/10 = 0.8
+    # 5-grams: single occurrence -> dup5 = 0
+    t = pa.Table.from_pylist([{"doc_id": 0, "text": "aa bb aa bb aa"}])
+    r = gopher_repetition_batch(t).to_pylist()[0]
+    assert abs(r["top2gram_char_frac"] - 0.8) < 1e-9
+    assert r["dup_5gram_char_frac"] == 0.0
