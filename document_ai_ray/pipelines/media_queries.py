@@ -300,3 +300,200 @@ def media_gif_frames(sf_dir: str):
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
     return media_features(frames.map_batches(as_media, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (pHash + SimHash-style banding)
+# ---------------------------------------------------------------------------
+
+N_PHASH_BASES = 60
+PHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-guaranteed recall <= 7 bits
+PHASH_MAX_DIST = 7  # verify threshold; same-base variants measure <= 4 bits
+
+
+def _smooth_image(seed: int, w: int, h: int):
+    """Low-frequency sinusoid mixture — photographic-band content
+    (pHash thresholds DCT coefficients, so pure white noise would be a
+    degenerate, unrealistically hard input; real photos are
+    low-frequency dominated)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        img[:, :, c] = 128
+        for _ in range(4):
+            fy, fx = rng.uniform(0.5, 3, 2)
+            ph = rng.uniform(0, 6.28, 2)
+            amp = rng.uniform(20, 50)
+            img[:, :, c] += (
+                amp
+                * np.sin(2 * np.pi * fy * yy / h + ph[0])
+                * np.cos(2 * np.pi * fx * xx / w + ph[1])
+            )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _phash_corpus():
+    """60 base images x 4 perceptually-equal variants: lossless PNG,
+    JPEG q90, JPEG q75, and an area-averaged half-size JPEG q90 (the
+    thumbnail case).  `base_id` is the ground-truth duplicate group —
+    the query's output carries `same_base` so the rows are
+    self-evidencing (all emitted pairs must share a base)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.functions.jpeg import encode_jpeg
+    from document_ai_ray.stages.multimodal import MEDIA_SCHEMA, encode_png
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            base, variant = divmod(i, 4)
+            w, h = 48 + (base % 5) * 8, 36 + (base % 3) * 8
+            img = _smooth_image(base, w, h)
+            if variant == 0:
+                payload, mt = encode_png(img), "image/png"
+            elif variant == 1:
+                payload, mt = encode_jpeg(img, quality=90), "image/jpeg"
+            elif variant == 2:
+                payload, mt = encode_jpeg(img, quality=75), "image/jpeg"
+            else:
+                f = img.astype(np.float64)
+                he, we = (h // 2) * 2, (w // 2) * 2
+                f = f[:he, :we]
+                half = (
+                    (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4
+                ).astype(np.uint8)
+                payload, mt = encode_jpeg(half, quality=90), "image/jpeg"
+            rows.append(
+                {
+                    "media_id": i,
+                    "media_type": mt,
+                    "payload": payload,
+                    "meta": {"width": w, "height": h, "sample_rate": base},
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(N_PHASH_BASES * 4, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+@register("media_phash_dup_pairs")
+def media_phash_dup_pairs(sf_dir: str):
+    """Perceptual image near-dup at scale: DCT pHash per image (REAL
+    decode through the from-scratch PNG/JPEG codecs), SimHash-style
+    8x8-bit banding for candidates (pigeonhole: any pair within 7 bits
+    shares an exact band — full recall at the verify threshold), a
+    bucketed self-merge per band key, and an exact Hamming verify.
+    Mirrors `simhash_near_dup_pairs` (stages/dedup.py) with the hash
+    swapped for the image-perceptual one — the banding math and the
+    distributed shape are identical, so the 100 TB story carries over:
+    candidates are generated per (band, value) group, never all-pairs.
+
+    Rows-only (binary payloads have no SQL analogue); the output is
+    self-evidencing: `same_base` (ground-truth duplicate group match)
+    must be true on every row, and each of the 60 bases yields exactly
+    C(4,2)=6 pairs — asserted in tests/test_phash.py."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from document_ai_ray.functions.jpeg import decode_jpeg
+    from document_ai_ray.functions.phash import hamming64, phash64, phash_bands
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.dedup import _pairs_by_selfmerge
+    from document_ai_ray.stages.multimodal import decode_png
+
+    ds = _phash_corpus()
+    P = auto_buckets(N_PHASH_BASES * 4 * PHASH_BANDS)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids, bases, hashes = [], [], []
+        for mid, mt, payload, meta in zip(
+            t.column("media_id").to_pylist(),
+            t.column("media_type").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("meta").to_pylist(),
+        ):
+            px = decode_png(payload) if mt == "image/png" else decode_jpeg(payload)
+            ids.append(mid)
+            bases.append(meta["sample_rate"])  # ground-truth base id
+            hashes.append(phash64(px))
+        # two's-complement int64 view: Arrow/pandas carry it losslessly
+        ph = np.array(hashes, np.uint64).view(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "base_id": pa.array(bases, pa.int64()),
+                "ph": pa.array(ph, pa.int64()),
+            }
+        )
+
+    def band_expand(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        bases = t.column("base_id").to_numpy(zero_copy_only=False)
+        phs = t.column("ph").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out_id = np.repeat(ids, PHASH_BANDS)
+        out_base = np.repeat(bases, PHASH_BANDS)
+        out_ph = np.repeat(phs, PHASH_BANDS)
+        band = np.tile(np.arange(PHASH_BANDS, dtype=np.int64), n)
+        key = np.empty(n * PHASH_BANDS, np.int64)
+        for i, h in enumerate(phs):
+            key[i * PHASH_BANDS : (i + 1) * PHASH_BANDS] = phash_bands(
+                int(np.uint64(h)), PHASH_BANDS
+            )
+        bucket = ((band * 1000003 + key) % P).astype(np.int32)
+        return pa.table(
+            {
+                "id": out_id,
+                "band": band,
+                "key": key,
+                "ph": out_ph,
+                "base_id": out_base,
+                "bucket": bucket,
+            }
+        )
+
+    pair_fn = _pairs_by_selfmerge(["band", "key"], ["ph", "base_id"])
+    cand = bucket_map_groups(
+        ds.map_batches(hash_batch, batch_format="pyarrow").map_batches(
+            band_expand, batch_format="pyarrow"
+        ),
+        "bucket",
+        pair_fn,
+        P,
+        batch_format="pandas",
+    )
+
+    # a pair can surface from several bands AND several buckets: dedupe
+    # globally by (id_a, id_b) with a second tiny bucketed group
+    P2 = auto_buckets(N_PHASH_BASES * 8)
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = ((df["id_a"] * 131071 + df["id_b"]) % P2).astype("int32")
+        return df
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"])
+        dist = hamming64(
+            df["ph_a"].to_numpy().view(np.uint64), df["ph_b"].to_numpy().view(np.uint64)
+        )
+        keep = df[dist <= PHASH_MAX_DIST].copy()
+        keep["dist"] = dist[dist <= PHASH_MAX_DIST]
+        keep["same_base"] = keep["base_id_a"].to_numpy() == keep["base_id_b"].to_numpy()
+        return keep[["id_a", "id_b", "dist", "same_base"]]
+
+    return bucket_map_groups(
+        cand.map_batches(add_pair_bucket, batch_format="pandas"),
+        "bucket",
+        verify,
+        P2,
+        batch_format="pandas",
+    )

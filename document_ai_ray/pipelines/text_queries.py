@@ -881,6 +881,264 @@ def unigram_logprob_docs(sf_dir: str):
     return unigram_scored(sf_dir)
 
 
+_BLM_LAMBDA = 0.9  # interpolation weight on the bigram MLE term
+
+# NOTE: probability expression is written with IDENTICAL associativity
+# on both sides — (0.9*nb)/n1 + (0.1*n2)/t — so the doubles agree to
+# the ulp before the ROUND-6.
+_BLM_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+uc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM uc),
+b AS (SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM w WHERE len(ws) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM b GROUP BY 1, 2),
+sc AS (SELECT b.doc_id,
+              ln({_BLM_LAMBDA} * bc.nb / u1.n + {1.0 - _BLM_LAMBDA} * u2.n / tot.t) AS lp
+       FROM b JOIN bc USING (w1, w2)
+              JOIN uc u1 ON u1.word = b.w1
+              JOIN uc u2 ON u2.word = b.w2
+              CROSS JOIN tot),
+d AS (SELECT doc_id, AVG(lp) AS avg_logprob_bi, COUNT(*) AS n_bigram
+      FROM sc GROUP BY 1)
+SELECT doc_id, ROUND(avg_logprob_bi, 6) AS avg_logprob_bi, n_bigram FROM d
+"""
+
+
+@register("bigram_logprob_docs", oracle=_BLM_ORACLE)
+def bigram_logprob_docs(sf_dir: str):
+    """KenLM-style (one order up from `unigram_logprob_docs`) document
+    LM score: train an interpolated bigram model on the corpus itself —
+    p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/T — and score every
+    document's mean bigram log-probability in one streaming pass.
+    Low scores flag rare-transition soup (word-salad spam that a
+    unigram model, seeing only common words, scores well).
+
+    Distributed shape: bigram counts via per-batch vectorized COMBINER
+    partials (`bigram_value_counts` — pair-vocabulary-sized, never
+    token instances) merged through the manual hash exchange; unigram
+    counts the same substrate; the fused logprob table is broadcast
+    once via ray.put and probed per batch with a vectorized pandas map.
+
+    Scale note: the broadcast model is BIGRAM-VOCAB-sized, not
+    corpus-sized; at 100 TB prune to the top-K bigrams by count (the
+    interpolation form degrades gracefully — a pruned pair backs off
+    to its (1−λ)·unigram term, still a proper probability).  The
+    synthetic corpus is far below any cap, so the exact model runs
+    here and the oracle is exact too."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, get_broadcast
+    from document_ai_ray.stages.text_analysis import (
+        PAIR_SEP,
+        bigram_value_counts,
+        doc_word_pairs,
+        word_value_counts,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def _collect(counts_fn, key_name: str) -> dict[str, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            g = counts_fn(t.column("text"))
+            bucket = pa.array(
+                [crc_bucket(k, P) for k in g.column(key_name).to_pylist()], pa.int32()
+            )
+            return g.append_column("bucket", bucket)
+
+        def bucket_sum(df):
+            return df.groupby(key_name, as_index=False)["n"].sum()
+
+        merged = bucket_map_groups(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            "bucket",
+            bucket_sum,
+            P,
+            batch_format="pandas",
+        )
+        out: dict[str, int] = {}
+        for b in merged.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b.column(key_name).to_pylist(), b.column("n").to_pylist()))
+        return out
+
+    uni = _collect(word_value_counts, "word")
+    big = _collect(bigram_value_counts, "pair")
+    total = float(sum(uni.values()))
+    lam, ilam = _BLM_LAMBDA, 1.0 - _BLM_LAMBDA
+    model = {}
+    for pair, nb in big.items():
+        w1, w2 = pair.split(PAIR_SEP)
+        model[pair] = math.log(lam * nb / uni[w1] + ilam * uni[w2] / total)
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp: dict = get_broadcast((ref,), tag="bigram_lm")
+        rows, w1, w2 = doc_word_pairs(t.column("text"))
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "avg_logprob_bi": pa.array([], pa.float64()),
+                    "n_bigram": pa.array([], pa.int64()),
+                }
+            )
+        keys = pc.binary_join_element_wise(w1, w2, PAIR_SEP).to_pandas()
+        df = pd.DataFrame({"i": rows, "v": keys.map(lp).to_numpy(dtype=np.float64)})
+        agg = df.groupby("i")["v"].agg(["mean", "size"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[agg.index.to_numpy()]
+        a = agg["mean"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "avg_logprob_bi": pa.array(
+                    np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6, pa.float64()
+                ),
+                "n_bigram": pa.array(agg["size"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+_PMI_WINDOW = 3
+_PMI_MIN_PAIR = 5
+_PMI_K = 50
+
+# Both sides ORDER BY the ROUNDED pmi (then w1, w2) so the top-K cut
+# line is robust to sub-1e-6 double divergence between engines; the
+# pmi expression keeps identical associativity: (np*t)/(nl*nr).
+_PMI_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w),
+pr AS (SELECT ws[i] AS w1,
+              unnest(ws[i + 1 : least(i + {_PMI_WINDOW}, len(ws))]) AS w2
+       FROM pos WHERE i < len(ws)),
+pcnt AS (SELECT w1, w2, COUNT(*) AS np FROM pr GROUP BY 1, 2),
+lm AS (SELECT w1, SUM(np) AS nl FROM pcnt GROUP BY 1),
+rm AS (SELECT w2, SUM(np) AS nr FROM pcnt GROUP BY 1),
+tt AS (SELECT CAST(SUM(np) AS DOUBLE) AS t FROM pcnt),
+s AS (SELECT pcnt.w1, pcnt.w2, pcnt.np,
+             ROUND(ln(pcnt.np * tt.t / (lm.nl * rm.nr)), 6) AS pmi
+      FROM pcnt JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
+      WHERE pcnt.np >= {_PMI_MIN_PAIR})
+SELECT w1, w2, np AS n_pair, pmi
+FROM s ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_K}
+"""
+
+
+@register("word_cooccur_pmi", oracle=_PMI_ORACLE)
+def word_cooccur_pmi(sf_dir: str):
+    """Top-K collocations by pointwise mutual information over an
+    ordered ±0/+3 skip-gram window (the word2vec/SGNS co-occurrence
+    statistic; high-PMI pairs are multiword expressions and fixed
+    phrases — a building block for phrase-aware tokenization).
+
+    Distributed shape: per-batch vectorized pair-count COMBINER
+    (`window_pair_counts` — pair-vocabulary-sized partials), manual
+    hash exchange merge; the merged pair table is materialized ONCE
+    (it is output-vocab-sized, not corpus-sized) and re-read for (a)
+    the two marginal reductions — vocab-sized, collected to the driver
+    and broadcast — and (b) per-bucket PMI scoring with a local top-K
+    (a global top-K row is top-K in its bucket), one tiny final sort.
+
+    Scale note: the driver only ever holds vocab-sized marginals and
+    P×K candidates; pair counts stay distributed end-to-end."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, get_broadcast
+    from document_ai_ray.stages.text_analysis import PAIR_SEP, window_pair_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    P = auto_buckets(docs.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = window_pair_counts(t.column("text"), _PMI_WINDOW)
+        bucket = pa.array(
+            [crc_bucket(k, P) for k in g.column("pair").to_pylist()], pa.int32()
+        )
+        return g.append_column("bucket", bucket)
+
+    def bucket_sum(df):
+        return df.groupby("pair", as_index=False)["n"].sum()
+
+    pairs = bucket_map_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        bucket_sum,
+        P,
+        batch_format="pandas",
+    ).materialize()  # pair-vocab-sized; consumed by marginals AND scoring
+
+    left: dict[str, int] = {}
+    right: dict[str, int] = {}
+    total = 0
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ns = b.column("n").to_numpy(zero_copy_only=False)
+        total += int(ns.sum())
+        for key, n in zip(b.column("pair").to_pylist(), ns):
+            w1, w2 = key.split(PAIR_SEP)
+            left[w1] = left.get(w1, 0) + int(n)
+            right[w2] = right.get(w2, 0) + int(n)
+    t_pairs = float(total)
+    lref = ray.put((left, right))
+
+    def score(t: pa.Table) -> pa.Table:
+        lm, rm = get_broadcast((lref,), tag="pmi_marginals")
+        t = t.filter(pc.greater_equal(t.column("n"), _PMI_MIN_PAIR))
+        keys = t.column("pair").to_pylist()
+        np_ = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        w1s, w2s, nl, nr = [], [], [], []
+        for key in keys:
+            w1, w2 = key.split(PAIR_SEP)
+            w1s.append(w1)
+            w2s.append(w2)
+            nl.append(lm[w1])
+            nr.append(rm[w2])
+        pmi = np.log(np_ * t_pairs / (np.asarray(nl, np.float64) * np.asarray(nr, np.float64)))
+        pmi = np.copysign(np.floor(np.abs(pmi) * 1e6 + 0.5), pmi) / 1e6
+        out = pa.table(
+            {
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "n_pair": t.column("n"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+        # local top-K: global top-K rows are top-K within their bucket
+        idx = sorted(
+            range(len(out)),
+            key=lambda i: (-pmi[i], w1s[i], w2s[i]),
+        )[:_PMI_K]
+        return out.take(pa.array(idx, pa.int64()))
+
+    def final(df):
+        return df.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        ).head(_PMI_K)
+
+    candidates = pairs.map_batches(score, batch_format="pyarrow")
+    return candidates.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
 @register(
     "select_top_quality",
     # nested WITH: the whole quality battery as a subquery, then one
@@ -1036,3 +1294,97 @@ def approx_distinct_words_hll(sf_dir: str):
             }
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style supervised language ID (hashed-trigram linear softmax)
+# ---------------------------------------------------------------------------
+
+_FT_N_DOCS = 600
+_FT_HOLDOUT = 5  # every 5th doc is eval-only
+
+
+def _langid_ft_corpus():
+    """Label-by-construction language corpus (same discipline as the F5
+    classifier corpus in synth.py): text drawn from synth.WORDS[lang],
+    so character trigrams genuinely carry the label.  Deterministic
+    per id; generated in-task."""
+    import random
+
+    import ray.data as rd
+
+    from document_ai_ray.synth import WORDS, _sentence
+
+    langs = sorted(WORDS)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, texts, ys = [], [], []
+        for i in batch.column("id").to_pylist():
+            lang = langs[i % len(langs)]
+            rng = random.Random((77 << 32) ^ i)
+            text = " ".join(_sentence(rng, WORDS[lang]) for _ in range(rng.randint(2, 5)))
+            ids.append(i)
+            texts.append(text)
+            ys.append(i % len(langs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "y": pa.array(ys, pa.int32()),
+            }
+        )
+
+    return rd.range(_FT_N_DOCS, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow"
+    ), langs
+
+
+@register("langid_fasttext_docs")
+def langid_fasttext_docs(sf_dir: str):
+    """LEARNED language ID, the fastText lid.176 shape (hashed char
+    trigrams -> linear softmax), next to the heuristic stopword-argmax
+    `langid_docs`: train by distributed full-batch GD on the
+    label-by-construction corpus (every doc NOT in the held-out fifth),
+    then score the HELD-OUT fifth.  Rows carry (lang, pred_lang,
+    correct) — self-evidencing; tests assert held-out accuracy and a
+    monotone training loss.  Rows-only: an iterative learned model has
+    no SQL analogue.  sf_dir unused (the corpus is synthesized —
+    the sf documents table's lang column is uncorrelated with its text
+    by construction, so nothing learnable lives there)."""
+    import numpy as np
+
+    from document_ai_ray.stages.textclf import textclf_predict, textclf_train
+
+    ds, langs = _langid_ft_corpus()
+
+    # hold out every 5th BLOCK of 5 (i//5 % 5): the label itself is
+    # i % 5, so holding out i % 5 == 0 would hide class 0 from training
+    # entirely and make the eval slice single-class
+    def is_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids // _FT_HOLDOUT) % _FT_HOLDOUT != 0))
+
+    def is_eval(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids // _FT_HOLDOUT) % _FT_HOLDOUT == 0))
+
+    train = ds.map_batches(is_train, batch_format="pyarrow")
+    W, b, hist = textclf_train(train, n_classes=len(langs), n_iter=15, lr=1.0)
+    scored = textclf_predict(
+        ds.map_batches(is_eval, batch_format="pyarrow"), W, b
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        pred = t.column("pred").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": pa.array([langs[v] for v in y], pa.string()),
+                "pred_lang": pa.array([langs[v] for v in pred], pa.string()),
+                "pred_prob": t.column("pred_prob"),
+                "correct": pa.array(y == pred),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")

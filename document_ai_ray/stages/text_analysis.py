@@ -403,6 +403,89 @@ def word_value_counts(texts: "pa.ChunkedArray | pa.Array") -> "pa.Table":
     return pa.Table.from_arrays([vc.field("values"), vc.field("counts")], names=["word", "n"])
 
 
+PAIR_SEP = "\x1f"  # unit separator — cannot appear in space-split words
+
+
+def doc_word_pairs(texts: "pa.ChunkedArray | pa.Array"):
+    """Vectorized (row, w1, w2) consecutive-token pairs over a string
+    column: split on single spaces, drop empties, pair each surviving
+    token with its successor WITHIN the same row.  Returns
+    (row_idx:int64 np.ndarray, w1:pa.Array, w2:pa.Array) — all pyarrow
+    / numpy kernels, no per-row Python loop."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(texts, " ")
+    n_per = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    words = flat.filter(keep)
+    rows = rows[keep_np]
+    if len(rows) < 2:
+        empty = pa.array([], pa.string())
+        return np.empty(0, np.int64), empty, empty
+    same_row = rows[1:] == rows[:-1]
+    mask = pa.array(same_row)
+    w1 = words.slice(0, len(words) - 1).filter(mask)
+    w2 = words.slice(1).filter(mask)
+    return rows[:-1][same_row], w1, w2
+
+
+def window_pair_counts(texts: "pa.ChunkedArray | pa.Array", window: int) -> "pa.Table":
+    """Vectorized ORDERED co-occurrence pair -> count combiner: for
+    every token w_i, pair it with each w_j, i < j <= i+window, within
+    the same row (the skip-gram / SGNS context window, one direction).
+    Returns (pair:string `w1\\x1fw2`, n:int64).  One filtered slice
+    per offset — window is a small constant, tokens never loop in
+    Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(texts, " ")
+    n_per = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.not_equal(flat, "")
+    words = flat.filter(keep)
+    rows = rows[keep.to_numpy(zero_copy_only=False)]
+    parts = []
+    for d in range(1, window + 1):
+        if len(rows) <= d:
+            break
+        same_row = rows[d:] == rows[:-d]
+        mask = pa.array(same_row)
+        w1 = words.slice(0, len(words) - d).filter(mask)
+        w2 = words.slice(d).filter(mask)
+        parts.append(pc.binary_join_element_wise(w1, w2, PAIR_SEP))
+    if not parts:
+        return pa.table({"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    keys = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+    vc = pc.value_counts(keys)
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.Table.from_arrays([vc.field("values"), vc.field("counts")], names=["pair", "n"])
+
+
+def bigram_value_counts(texts: "pa.ChunkedArray | pa.Array") -> "pa.Table":
+    """Vectorized consecutive-bigram -> count combiner over a string
+    column (tokenization = `word_value_counts`, pairs within a row
+    only).  Returns (pair:string `w1\\x1fw2`, n:int64)."""
+    import pyarrow.compute as pc
+
+    _, w1, w2 = doc_word_pairs(texts)
+    keys = pc.binary_join_element_wise(w1, w2, PAIR_SEP)
+    vc = pc.value_counts(keys)
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.Table.from_arrays([vc.field("values"), vc.field("counts")], names=["pair", "n"])
+
+
 # -- compressibility quality signal -----------------------------------------
 
 COMPRESS_MIN_RATIO = 0.30  # below: near-pure repetition (spam/boilerplate)

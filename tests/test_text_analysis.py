@@ -373,3 +373,62 @@ def test_compressibility_monotone_and_edges():
     # determinism
     again = compressibility_batch(t).to_pandas().set_index("doc_id")
     assert (again["n_compressed"] == out["n_compressed"]).all()
+
+
+def test_doc_word_pairs_and_bigram_counts_vs_reference():
+    from collections import Counter
+
+    from document_ai_ray.stages.text_analysis import (
+        PAIR_SEP,
+        bigram_value_counts,
+        doc_word_pairs,
+    )
+
+    texts = [
+        "a b c a b",
+        "  leading and  double  spaces here ",
+        "single",
+        "",
+        "x y",
+        "a b c a b",  # duplicate doc: counts must add
+    ]
+    arr = pa.array(texts, pa.string())
+    rows, w1, w2 = doc_word_pairs(arr)
+    ref = Counter()
+    ref_rows = []
+    for i, s in enumerate(texts):
+        ws = [w for w in s.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            ref[(a, b)] += 1
+            ref_rows.append(i)
+    assert rows.tolist() == ref_rows
+    got = Counter(zip(w1.to_pylist(), w2.to_pylist()))
+    assert got == ref
+
+    t = bigram_value_counts(arr)
+    got2 = {
+        tuple(p.split(PAIR_SEP)): n
+        for p, n in zip(t.column("pair").to_pylist(), t.column("n").to_pylist())
+    }
+    assert got2 == dict(ref)
+
+
+def test_window_pair_counts_vs_reference():
+    from collections import Counter
+
+    from document_ai_ray.stages.text_analysis import PAIR_SEP, window_pair_counts
+
+    texts = ["a b c d e", "p  q r", "", "z", "a a a a"]
+    for W in (1, 2, 3):
+        t = window_pair_counts(pa.array(texts, pa.string()), W)
+        got = {
+            tuple(p.split(PAIR_SEP)): n
+            for p, n in zip(t.column("pair").to_pylist(), t.column("n").to_pylist())
+        }
+        ref = Counter()
+        for s in texts:
+            ws = [w for w in s.split(" ") if w]
+            for i in range(len(ws)):
+                for j in range(i + 1, min(i + W, len(ws) - 1) + 1):
+                    ref[(ws[i], ws[j])] += 1
+        assert got == dict(ref), f"window={W}"
