@@ -515,3 +515,126 @@ def funnel_signup_purchase(sf_dir: str):
         )
 
     return per_bucket.repartition(1).map_batches(total, batch_format="pyarrow", batch_size=1 << 30)
+
+
+@register(
+    "cube_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(sf_dir: str):
+    """CUBE aggregate (all four grouping sets of two dims): the same
+    scan-once discipline as `rollup_pricing` — leaf combiner
+    aggregation over the facts, then every super-level re-aggregated
+    FROM THE LEAVES in the tiny final task.  The extra level vs ROLLUP
+    is (NULL, l_linestatus)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    leaf = partial_group_agg(
+        ds, ["l_returnflag", "l_linestatus"], {"l_quantity": "sum_qty"}, count_alias="n"
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        by_flag = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum")
+        )
+        by_flag["l_linestatus"] = None
+        by_status = df.groupby("l_linestatus", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum")
+        )
+        by_status["l_returnflag"] = None
+        total = pd.DataFrame(
+            {"l_returnflag": [None], "l_linestatus": [None],
+             "sum_qty": [df["sum_qty"].sum()], "n": [df["n"].sum()]}
+        )
+        out = pd.concat([df, by_flag, by_status, total], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+        ]
+        sq = out["sum_qty"].to_numpy()
+        out["sum_qty"] = np.copysign(np.floor(np.abs(sq) * 100 + 0.5), sq) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return leaf.repartition(1).map_batches(cube, batch_format="pyarrow", batch_size=1 << 30)
+
+
+@register(
+    "mode_qty_by_flag",
+    # explicit windowed-count form instead of mode(): DuckDB's mode()
+    # breaks frequency ties arbitrarily; this pins min-value tie-break
+    # on both sides
+    oracle="""
+    WITH c AS (SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+               FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, v) AS rn FROM c)
+    SELECT l_returnflag, v AS mode_qty, n FROM r WHERE rn = 1
+    """,
+)
+def mode_qty_by_flag(sf_dir: str):
+    """Per-group MODE (most frequent value, min-value tie-break): the
+    (group, value) domain is tiny (3 flags x 50 quantities), so the
+    combiner pattern reduces the corpus to <=150 count rows before the
+    single-task argmax — the fact rows are scanned exactly once and
+    never shuffled."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = partial_group_agg(ds, ["l_returnflag", "l_quantity"], count_alias="n")
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["l_returnflag", "n", "l_quantity"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("l_returnflag", as_index=False).first()
+        out = out.rename(columns={"l_quantity": "mode_qty"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out[["l_returnflag", "mode_qty", "n"]], preserve_index=False)
+
+    return counts.repartition(1).map_batches(pick, batch_format="pyarrow", batch_size=1 << 30)
+
+
+@register(
+    "percent_rank_orders",
+    # o_orderkey in the ORDER BY makes the ordering unique, so
+    # RANK == ROW_NUMBER and both sides agree exactly on ties
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    """,
+)
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per order within its priority class —
+    rank-global window semantics on the scale-safe exact-rank substrate
+    (`ops.with_group_ranks`: distributed range-partitioned sort +
+    offset-merged per-block ranks; no task holds a whole priority
+    partition).  Unique (o_totalprice, o_orderkey) ordering pins tie
+    behavior identically on both sides."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ranked = with_group_ranks(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        rank = t.column("__rank").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("__gn").to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = np.where(n > 1, rank / np.maximum(n - 1, 1), 0.0)
+        cume = (rank + 1) / n
+        pr = np.copysign(np.floor(np.abs(pr) * 1e6 + 0.5), pr) / 1e6
+        cume = np.copysign(np.floor(np.abs(cume) * 1e6 + 0.5), cume) / 1e6
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "pct_rank": pa.array(pr, pa.float64()),
+                "cume": pa.array(cume, pa.float64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

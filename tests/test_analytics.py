@@ -141,3 +141,48 @@ def test_set_op_keys_string_keys(sf_tiny):
     exc = {r["k"] for r in set_op_keys(mk(A), mk(B), "k", "except").take_all()}
     assert inter == A & B
     assert exc == A - B
+
+
+def test_cube_pricing_levels(sf_tiny):
+    from document_ai_ray.pipelines.analytics import cube_pricing
+
+    df = cube_pricing(sf_tiny).to_pandas()
+    leaves = df[df["l_returnflag"].notna() & df["l_linestatus"].notna()]
+    total = df[df["l_returnflag"].isna() & df["l_linestatus"].isna()]
+    by_flag = df[df["l_returnflag"].notna() & df["l_linestatus"].isna()]
+    by_status = df[df["l_returnflag"].isna() & df["l_linestatus"].notna()]
+    assert len(total) == 1
+    # every level's n adds up to the grand total
+    n_tot = int(total["n"].iloc[0])
+    assert int(leaves["n"].sum()) == n_tot
+    assert int(by_flag["n"].sum()) == n_tot
+    assert int(by_status["n"].sum()) == n_tot
+
+
+def test_mode_qty_by_flag_matches_pandas(sf_tiny):
+    import duckdb
+
+    from document_ai_ray.pipelines.analytics import mode_qty_by_flag
+
+    got = mode_qty_by_flag(sf_tiny).to_pandas().sort_values("l_returnflag")
+    ref = duckdb.sql(
+        f"""WITH c AS (SELECT l_returnflag, l_quantity v, COUNT(*) n
+            FROM read_parquet('{sf_tiny}/lineitem.parquet') GROUP BY 1,2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, v) rn FROM c)
+        SELECT l_returnflag, v mode_qty, n FROM r WHERE rn = 1 ORDER BY 1"""
+    ).fetchdf()
+    assert got["mode_qty"].tolist() == ref["mode_qty"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+
+
+def test_percent_rank_orders_bounds(sf_tiny):
+    from document_ai_ray.pipelines.analytics import percent_rank_orders
+
+    df = percent_rank_orders(sf_tiny).to_pandas()
+    assert ((df["pct_rank"] >= 0) & (df["pct_rank"] <= 1)).all()
+    assert ((df["cume"] > 0) & (df["cume"] <= 1)).all()
+    # each priority group has exactly one max (pct_rank == 1) given
+    # unique ordering, and its cume is exactly 1
+    for _, g in df.groupby("o_orderpriority"):
+        assert (g["cume"] == 1.0).sum() == 1
+        assert g.loc[g["cume"] == 1.0, "pct_rank"].iloc[0] == 1.0
