@@ -1,0 +1,60 @@
+"""Product-quantization ANN tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from document_ai_ray.stages.pq import _encode_matrix, _kmeans_l2, pq_train
+
+
+def test_kmeans_l2_reduces_distortion_and_is_deterministic():
+    rng = np.random.RandomState(3)
+    x = rng.randn(400, 8)
+    c1 = _kmeans_l2(x, 16, n_iter=1, seed=5)
+    c15 = _kmeans_l2(x, 16, n_iter=15, seed=5)
+
+    def distortion(c):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d.min(axis=1).mean()
+
+    assert distortion(c15) < distortion(c1)
+    assert np.array_equal(c15, _kmeans_l2(x, 16, n_iter=15, seed=5))
+
+
+def test_encode_assigns_nearest_codeword():
+    rng = np.random.RandomState(4)
+    m = rng.randn(50, 16)
+    books = pq_train(m, n_subspaces=4, n_codes=8, n_iter=10)
+    # normalize like pq_encode does
+    from document_ai_ray.stages.similarity import _normalize
+
+    mn = _normalize(m.astype(np.float64))
+    codes = _encode_matrix(mn, books)
+    assert codes.shape == (50, 4)
+    for j in range(4):
+        sub = mn[:, j * 4 : (j + 1) * 4]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        assert np.array_equal(codes[:, j], d.argmin(axis=1).astype(np.uint8))
+
+
+def test_pq_train_rejects_ragged_dims():
+    with pytest.raises(ValueError):
+        pq_train(np.ones((10, 10)), n_subspaces=4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_pq_refined_recall_floor(sf_small):
+    from document_ai_ray.pipelines.similarity_queries import knn_pq_query
+
+    df = knn_pq_query(sf_small)  # returns pandas
+    per_q = df.drop_duplicates("query_id")["recall_at_k"]
+    assert per_q.mean() >= 0.8  # documented floor (measured 0.92)
+    # exact self-exclusion: a query never reports itself
+    assert (df["query_id"] != df["neighbor_id"]).all()
+    # k rows per query, ranks 1..k
+    from document_ai_ray.pipelines.similarity_queries import K
+
+    per = df.groupby("query_id")["rank"].agg(["size", "min", "max"])
+    assert (per["size"] == K).all()
+    assert (per["min"] == 1).all() and (per["max"] == K).all()
