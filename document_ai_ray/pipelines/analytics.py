@@ -638,3 +638,45 @@ def percent_rank_orders(sf_dir: str):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4
+    FROM events
+    """,
+)
+def moving_avg_events(sf_dir: str):
+    """ROWS-frame moving average (4-row window per user) — the
+    row-count-frame sibling of the time-RANGE `events_rolling_1h`:
+    hash-bucket users, one vectorized per-bucket sort + group-keyed
+    pandas rolling(4).  Unique (ts, event_id) ordering pins frame
+    contents identically on both sides."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def ma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ma = (
+            g.groupby("user_id")["value"]
+            .rolling(4, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ma4": np.copysign(np.floor(np.abs(ma) * 1e6 + 0.5), ma) / 1e6,
+            }
+        )
+
+    return (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: ma_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )

@@ -497,3 +497,110 @@ def media_phash_dup_pairs(sf_dir: str):
         P2,
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection over AVI/MJPEG clips
+# ---------------------------------------------------------------------------
+
+N_SCENE_CLIPS = 40
+
+
+def _scene_frame(w: int, h: int, scene: int, media_id: int, k: int):
+    """Frame k of clip `media_id`: scene 0 is a left-to-right gradient,
+    scene 1 an inverted top-to-bottom one with swapped channels — big
+    inter-scene luminance jump, tiny intra-scene drift (the +k lift)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    if scene == 0:
+        base = (xx * 130 // max(w - 1, 1)) + (media_id * 5) % 30 + k
+        img = np.stack([base + 40, base, 200 - base // 2], -1)
+    else:
+        base = ((h - 1 - yy) * 130 // max(h - 1, 1)) + k
+        img = np.stack([40 + base // 2, 210 - base, base + 30], -1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _scene_cut_dataset():
+    """Clips with ONE planted hard cut at a per-clip known frame index
+    (deterministic from media_id) — ground truth for the detector."""
+    import ray.data as rd
+
+    from document_ai_ray.functions.avi import encode_avi_mjpeg
+    from document_ai_ray.stages.multimodal import MEDIA_SCHEMA
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            w, h = 32 + (i % 3) * 8, 24 + (i % 2) * 8
+            n_frames = 8 + (i % 5)
+            cut_at = 2 + (i * 7) % (n_frames - 3)  # in [2, n_frames-2)
+            frames = [
+                _scene_frame(w, h, int(k >= cut_at), i, k) for k in range(n_frames)
+            ]
+            rows.append(
+                {
+                    "media_id": i,
+                    "media_type": "video/x-msvideo",
+                    "payload": encode_avi_mjpeg(frames, fps=12, quality=88),
+                    # ground truth rides the meta struct
+                    "meta": {"width": w, "height": h, "sample_rate": cut_at},
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(N_SCENE_CLIPS, override_num_blocks=4).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+@register("media_scene_cuts")
+def media_scene_cuts(sf_dir: str):
+    """Shot-boundary (scene-cut) detection — the frame-sampling
+    sibling every video curation pipeline needs before keyframe
+    extraction: demux each AVI/MJPEG clip (functions/avi.py), decode
+    consecutive frames through the real JPEG codec, score boundaries
+    by mean absolute luma difference, and flag the frame whose
+    difference dominates (max-diff with a 2x-over-median margin
+    guard).  A CLIP is the parallelism unit (frame diffs need
+    consecutive frames, so they stay in one task; clips stream).
+
+    Rows-only; self-evidencing: each row carries the PLANTED cut index
+    (expected_cut) next to the detected one plus the margin — equality
+    on every clip is asserted in tests/test_multimodal.py."""
+    import numpy as np
+
+    from document_ai_ray.functions.avi import decode_avi
+
+    def detect(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid, payload, meta in zip(
+            t.column("media_id").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("meta").to_pylist(),
+        ):
+            frames = decode_avi(payload)
+            lumas = [
+                0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+                for f in frames
+            ]
+            diffs = np.array(
+                [np.abs(b - a).mean() for a, b in zip(lumas, lumas[1:])]
+            )
+            cut = int(diffs.argmax()) + 1  # boundary BEFORE frame `cut`
+            med = float(np.median(diffs))
+            margin = float(diffs.max() / max(med, 1e-9))
+            rows.append(
+                {
+                    "media_id": mid,
+                    "n_frames": len(frames),
+                    "detected_cut": cut,
+                    "expected_cut": meta["sample_rate"],
+                    "cut_match": cut == meta["sample_rate"],
+                    "margin": round(margin, 2),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return _scene_cut_dataset().map_batches(detect, batch_format="pyarrow")

@@ -775,3 +775,69 @@ def range_join_price_bands(sf_dir: str):
         )
 
     return ds.map_batches(band, batch_format="pyarrow")
+
+
+@register(
+    "full_outer_join_sides",
+    oracle="""
+    WITH l AS (SELECT o_custkey AS k, COUNT(*) AS n_ord
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+    r AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT CASE WHEN l.k IS NULL THEN 'right_only'
+                WHEN r.k IS NULL THEN 'left_only'
+                ELSE 'both' END AS side,
+           COUNT(*) AS n, COALESCE(SUM(l.n_ord), 0) AS n_orders
+    FROM l FULL OUTER JOIN r ON l.k = r.k
+    GROUP BY 1
+    """,
+)
+def full_outer_join_sides(sf_dir: str):
+    """FULL OUTER join (both-sides-large, hash-partitioned): urgent
+    orders' customer keys ⟗ BUILDING-segment customers — both inputs
+    are filtered subsets, so each side genuinely has unmatched rows.
+    The left side is pre-aggregated by the combiner pattern BEFORE the
+    shuffle (orders collapse to one row per customer), and the output
+    is the per-side row/order census, so nothing row-sized survives
+    the final merge."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    left = partial_group_agg(orders, ["o_custkey"], count_alias="n_ord")
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).select_columns(["c_custkey"]).map_batches(
+        # Ray's join coalesces the key columns, so side-presence must be
+        # carried by a non-key marker on each side (n_ord is the left's)
+        lambda t: t.append_column("r_flag", pa.array([1] * len(t), pa.int8())),
+        batch_format="pyarrow",
+    )
+    joined = left.join(
+        cust,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        has_l = pc.is_valid(t.column("n_ord")).to_numpy(zero_copy_only=False)
+        has_r = pc.is_valid(t.column("r_flag")).to_numpy(zero_copy_only=False)
+        side = np.where(~has_l, "right_only", np.where(~has_r, "left_only", "both"))
+        n_ord = t.column("n_ord").fill_null(0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "side": pa.array(side.tolist(), pa.string()),
+                "n_ord": pa.array(n_ord, pa.int64()),
+            }
+        )
+
+    return partial_group_agg(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["side"],
+        {"n_ord": "n_orders"},
+        count_alias="n",
+    ).select_columns(["side", "n", "n_orders"])

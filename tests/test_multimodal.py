@@ -472,3 +472,14 @@ def test_media_avi_frames_query():
     rows = media_avi_frames("").take_all()
     assert len(rows) >= 48 * 2  # every clip has >=3 frames, stride 2 -> >=2 rows
     assert all(r["within_bound"] for r in rows), max(r["max_abs_err"] for r in rows)
+
+
+def test_media_scene_cuts_exact_on_planted_boundaries():
+    from document_ai_ray.pipelines.media_queries import N_SCENE_CLIPS, media_scene_cuts
+
+    df = media_scene_cuts("unused").to_pandas()
+    assert len(df) == N_SCENE_CLIPS
+    assert df["cut_match"].all()  # every planted cut found exactly
+    assert (df["margin"] >= 2.0).all()  # dominant, not borderline
+    # detected boundary is always interior
+    assert ((df["detected_cut"] > 0) & (df["detected_cut"] < df["n_frames"])).all()
