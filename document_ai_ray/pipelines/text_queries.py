@@ -1369,7 +1369,7 @@ def langid_fasttext_docs(sf_dir: str):
         return t.filter(pa.array((ids // _FT_HOLDOUT) % _FT_HOLDOUT == 0))
 
     train = ds.map_batches(is_train, batch_format="pyarrow")
-    W, b, hist = textclf_train(train, n_classes=len(langs), n_iter=15, lr=1.0)
+    W, b, hist = textclf_train(train, n_classes=len(langs), n_iter=10, lr=1.0)
     scored = textclf_predict(
         ds.map_batches(is_eval, batch_format="pyarrow"), W, b
     )
