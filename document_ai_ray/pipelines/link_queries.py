@@ -242,3 +242,136 @@ def pagerank_hosts_query(sf_dir: str):
 
     edges = links.map_batches(to_edges, batch_format="pyarrow")
     return pagerank_hosts(edges, iters=10)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt URL gate + sitemap roundtrip (crawl-side discovery formats)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_TXT = """
+# graft test corpus policy
+User-agent: *
+Disallow: /private/
+
+User-agent: graftbot
+Disallow: /private/
+Allow: /private/public/
+Disallow: /*.pdf$
+Allow: /tmp/open/
+Disallow: /tmp/
+"""
+
+# path kinds exercised (doc_id % 6) — covers default-allow, plain
+# disallow, longer-allow override, wildcard-$ rule, and nested allow
+_PATH_CASE_SQL = """CASE doc_id % 6
+      WHEN 0 THEN '/public/p' || doc_id
+      WHEN 1 THEN '/private/p' || doc_id
+      WHEN 2 THEN '/private/public/p' || doc_id
+      WHEN 3 THEN '/tmp/p' || doc_id
+      WHEN 4 THEN '/tmp/open/p' || doc_id
+      ELSE '/files/p' || doc_id || '.pdf' END"""
+
+_PATH_PREFIXES = ["/public/p", "/private/p", "/private/public/p", "/tmp/p", "/tmp/open/p"]
+
+
+def _doc_path(doc_id: int) -> str:
+    kind = doc_id % 6
+    if kind == 5:
+        return f"/files/p{doc_id}.pdf"
+    return f"{_PATH_PREFIXES[kind]}{doc_id}"
+
+
+@register(
+    "robots_filter_urls",
+    # the oracle EVALUATES the same rule table (longest pattern wins,
+    # Allow wins ties, default allow) — it does not hardcode answers
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_PATH_CASE_SQL} AS path FROM documents),
+    rules(pat, is_allow, plen) AS (VALUES
+      ('/private/%', false, 9),
+      ('/private/public/%', true, 16),
+      ('%.pdf', false, 7),
+      ('/tmp/open/%', true, 10),
+      ('/tmp/%', false, 5)),
+    m AS (SELECT u.doc_id, r.is_allow,
+                 ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                                    ORDER BY r.plen DESC, r.is_allow DESC) AS rn
+          FROM u JOIN rules r ON u.path LIKE r.pat)
+    SELECT u.doc_id, u.path, COALESCE(m.is_allow, true) AS allowed
+    FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+    """,
+)
+def robots_filter_urls(sf_dir: str):
+    """robots.txt URL gate (RFC 9309 longest-match semantics,
+    functions/robots.py): parse the policy ONCE on the driver, ship the
+    compiled rule list to every task, and evaluate each document's
+    derived fetch path in a streaming pass.  The DuckDB oracle replays
+    the same longest-pattern-wins/Allow-breaks-ties evaluation over a
+    VALUES rule table, so the REP semantics are value-checked, not
+    hardcoded."""
+    from document_ai_ray.functions.robots import parse_robots, robots_allowed
+
+    rules = parse_robots(_ROBOTS_TXT, agent="graftbot")
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        paths = [_doc_path(i) for i in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "path": pa.array(paths, pa.string()),
+                "allowed": pa.array([robots_allowed(rules, p) for p in paths]),
+            }
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+@register(
+    "sitemap_roundtrip",
+    oracle="""
+    SELECT 'http://' || source || '.example/doc/' || doc_id AS loc,
+           '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+           CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority
+    FROM documents
+    """,
+)
+def sitemap_roundtrip(sf_dir: str):
+    """Sitemap protocol roundtrip: documents -> per-source <urlset> XML
+    blobs (one sitemap per source host, the real publishing layout) ->
+    tolerant re-parse -> URL rows.  Value-checks the XML writer AND
+    parser end-to-end against the SQL derivation of the same entries
+    (same discipline as extract_warc_roundtrip).  Shape: building and
+    parsing both happen inside map_batches; sitemap blobs never
+    leave their task."""
+    from document_ai_ray.sources.sitemap import parse_sitemap, write_sitemap_xml
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        by_source: dict[str, list[dict]] = {}
+        for did, src in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()):
+            by_source.setdefault(src, []).append(
+                {
+                    "loc": f"http://{src}.example/doc/{did}",
+                    "lastmod": f"2024-01-{1 + did % 28:02d}",
+                    "priority": (did % 10) / 10.0,
+                }
+            )
+        locs, mods, prios = [], [], []
+        for src in sorted(by_source):
+            xml = write_sitemap_xml(by_source[src])  # -> bytes on the "wire"
+            for e in parse_sitemap(xml):
+                locs.append(e["loc"])
+                mods.append(e["lastmod"])
+                prios.append(e["priority"])
+        return pa.table(
+            {
+                "loc": pa.array(locs, pa.string()),
+                "lastmod": pa.array(mods, pa.string()),
+                "priority": pa.array(prios, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow")
