@@ -780,3 +780,54 @@ def cdc_chunk_stats(sf_dir: str):
             }
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiword phrase blocklist (substring counts, not word-set membership)
+# ---------------------------------------------------------------------------
+
+_BLOCK_PHRASES = ["value table", "fast merge", "slow scan", "big join"]
+
+_PHRASE_COUNT_SQL = " + ".join(
+    f"CAST((len(text) - len(replace(text, '{p}', ''))) / {len(p)} AS BIGINT)"
+    for p in _BLOCK_PHRASES
+)
+
+
+@register(
+    "phrase_blocklist_docs",
+    oracle=f"""
+    SELECT doc_id, {_PHRASE_COUNT_SQL} AS n_phrase_hits,
+           ({_PHRASE_COUNT_SQL}) > 0 AS blocked
+    FROM documents
+    """,
+)
+def phrase_blocklist_docs(sf_dir: str):
+    """MULTIWORD phrase blocklist — the substring sibling of the
+    word-set `badword_filter_docs` (policy blocklists are phrases more
+    often than words: scam slogans, boilerplate disclaimers).
+    Non-overlapping left-to-right counts per phrase (str.count — the
+    identical semantics the oracle replays with DuckDB's replace-length
+    trick), summed per doc; one streaming pass, patterns shipped once
+    in the task closure (a real blocklist of 10^4+ phrases would move
+    to a broadcast + a compiled alternation/Aho-Corasick scan — same
+    shape, bigger constant)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t):
+        import numpy as np
+        import pyarrow as pa
+
+        texts = t.column("text").to_pylist()
+        hits = np.zeros(len(texts), np.int64)
+        for ph in _BLOCK_PHRASES:
+            hits += np.fromiter((s.count(ph) for s in texts), np.int64, len(texts))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_phrase_hits": pa.array(hits, pa.int64()),
+                "blocked": pa.array(hits > 0),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")

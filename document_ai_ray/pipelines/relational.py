@@ -841,3 +841,79 @@ def full_outer_join_sides(sf_dir: str):
         {"n_ord": "n_orders"},
         count_alias="n",
     ).select_columns(["side", "n", "n_orders"])
+
+
+# ---------------------------------------------------------------------------
+# CIDR longest-prefix-match join (GeoIP-style weblog enrichment)
+# ---------------------------------------------------------------------------
+
+# (prefix, plen, label): overlapping blocks — /12 inside /8 inside /4 —
+# so the LONGEST match genuinely decides.  Prefix = the top `plen` bits.
+_CIDR_RULES = [
+    (0b0000, 4, "net_a"),              # 0.0.0.0/4
+    (0b0100, 4, "net_b"),              # 64.0.0.0/4
+    (0b1000, 4, "net_c"),              # 128.0.0.0/4
+    (0b00000001, 8, "net_a_dc1"),      # 1.0.0.0/8   (inside net_a)
+    (0b01000010, 8, "net_b_dc2"),      # 66.0.0.0/8  (inside net_b)
+    (0b100000011000, 12, "net_c_pop"), # 129.128.0.0/12 (inside net_c)
+]
+
+_IP_SQL = "(CAST(user_id AS BIGINT) * 2654435761) % 4294967296"
+
+
+@register(
+    "cidr_lookup_events",
+    # the oracle replays longest-prefix-match over the same rule table:
+    # match = top plen bits equal, pick max plen, default 'unknown'
+    oracle=f"""
+    WITH e AS (SELECT event_id, {_IP_SQL} AS ip FROM events),
+    rules(prefix, plen, label) AS (VALUES
+      (0, 4, 'net_a'), (4, 4, 'net_b'), (8, 4, 'net_c'),
+      (1, 8, 'net_a_dc1'), (66, 8, 'net_b_dc2'), (2072, 12, 'net_c_pop')),
+    m AS (SELECT e.event_id, r.label,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY r.plen DESC) AS rn
+          FROM e JOIN rules r ON (e.ip >> (32 - r.plen)) = r.prefix)
+    SELECT COALESCE(m.label, 'unknown') AS label, COUNT(*) AS n
+    FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+    GROUP BY 1
+    """,
+)
+def cidr_lookup_events(sf_dir: str):
+    """Longest-prefix-match (CIDR) join — the GeoIP/ASN enrichment
+    shape: every event's synthetic IPv4 (a Knuth multiplicative hash of
+    user_id, replayed bit-for-bit by the oracle) is matched against an
+    overlapping prefix table and the LONGEST prefix wins.  Distributed
+    shape: the prefix table is broadcast-scale by nature (real GeoIP is
+    ~10^6 rows — a worker-cache dict, never a shuffle); matching is one
+    streaming pass, vectorized per prefix LENGTH (mask the IP to each
+    length present, probe a dict, keep the longest hit — at most ~32
+    probes per batch, not per row).  Output is the per-label census."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    by_len: dict[int, dict[int, str]] = {}
+    for prefix, plen, label in _CIDR_RULES:
+        by_len.setdefault(plen, {})[prefix] = label
+    lens_desc = sorted(by_len, reverse=True)
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def match(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (uid * 2654435761) % 4294967296
+        label = np.full(len(ip), "unknown", dtype=object)
+        undecided = np.ones(len(ip), bool)
+        for plen in lens_desc:  # longest first: first hit is final
+            keys = ip >> (32 - plen)
+            table = by_len[plen]
+            hit = np.array([int(k) in table for k in keys], bool) & undecided
+            if hit.any():
+                label[hit] = [table[int(k)] for k in keys[hit]]
+                undecided &= ~hit
+        return pa.table({"label": pa.array(label.tolist(), pa.string())})
+
+    return partial_group_agg(
+        ds.map_batches(match, batch_format="pyarrow"), ["label"], count_alias="n"
+    ).select_columns(["label", "n"])
