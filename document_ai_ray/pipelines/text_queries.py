@@ -1388,3 +1388,56 @@ def langid_fasttext_docs(sf_dir: str):
         )
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece-style unigram-LM tokenizer (the other trainer family)
+# ---------------------------------------------------------------------------
+
+_UT_VOCAB = 300
+
+
+def _unigram_vocab(sf_dir: str):
+    from document_ai_ray.stages.bpe import corpus_word_counts
+    from document_ai_ray.stages.unigram_tok import unigram_train
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    wc = corpus_word_counts(docs, vocab_cap=20000)
+    return unigram_train(wc, vocab_size=_UT_VOCAB)
+
+
+@register("unigram_tok_train")
+def unigram_tok_train(sf_dir: str):
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    family, next to the BPE trainer `bpe_train_merges`): seed from all
+    frequent substrings, hard-EM piece probabilities over the
+    distributed distinct-word table, prune to the target vocab.
+    Rows-only (an EM fixpoint has no SQL analogue); determinism and
+    likelihood monotonicity per fixed vocab are asserted in
+    tests/test_unigram_tok.py.  Output: the trained vocab with
+    logprobs and ranks."""
+    logp, hist = _unigram_vocab(sf_dir)
+    pieces = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(pieces) + 1), pa.int64()),
+            "piece": pa.array([p for p, _ in pieces], pa.string()),
+            "logprob": pa.array([round(v, 6) for _, v in pieces], pa.float64()),
+            "n_pieces": pa.array([len(pieces)] * len(pieces), pa.int64()),
+        }
+    )
+
+
+@register("unigram_tokenize_docs")
+def unigram_tokenize_docs(sf_dir: str):
+    """Tokenize the corpus with the trained unigram vocab — per-doc
+    token counts, char counts, and a self-evidencing ROUNDTRIP column
+    (each word's pieces must concatenate back to the word; all rows
+    must carry roundtrip_ok=true).  The compression ratio
+    n_chars_tok/n_tokens is the fertility metric tokenizer teams
+    track."""
+    from document_ai_ray.stages.unigram_tok import unigram_encode_docs
+
+    logp, _ = _unigram_vocab(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_encode_docs(docs, logp)
