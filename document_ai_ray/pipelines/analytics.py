@@ -680,3 +680,75 @@ def moving_avg_events(sf_dir: str):
         .groupby("bucket")
         .map_groups(lambda g: ma_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+@register(
+    "event_value_outliers",
+    # membership uses the ROUNDED z on BOTH sides so a boundary row
+    # cannot flip between engines on a last-ulp difference (the
+    # uniform TPC-H price columns have NO |z|>2.5 tail; events.value
+    # is the heavy-tailed one — measured max |z| 8.7)
+    oracle="""
+    WITH s AS (SELECT event_type, AVG(value) AS mu,
+                      STDDEV_POP(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT event_id, event_type,
+           ROUND((value - mu) / sd, 6) AS z
+    FROM events JOIN s USING (event_type)
+    WHERE ABS(ROUND((value - mu) / sd, 6)) > 2.5
+    """,
+)
+def event_value_outliers(sf_dir: str):
+    """Per-group z-score outlier detection (|z| > 2.5 within the event
+    type): ONE combiner pass reduces the facts to per-group
+    (n, sum, sumsq) sufficient statistics, the tiny stats table is
+    broadcast back, and a second streaming pass scores + filters —
+    the canonical two-pass shape that never shuffles fact rows."""
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def suff(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type")["value"].agg(["size", "sum"])
+        g["sumsq"] = df.assign(q=df["value"] ** 2).groupby("event_type")["q"].sum()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    stats: dict[str, tuple[float, float]] = {}
+    acc: dict[str, list[float]] = {}
+    for b in ds.map_batches(suff, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for k, n, s, q in zip(
+            b.column("event_type").to_pylist(),
+            b.column("size").to_pylist(),
+            b.column("sum").to_pylist(),
+            b.column("sumsq").to_pylist(),
+        ):
+            a = acc.setdefault(k, [0.0, 0.0, 0.0])
+            a[0] += n
+            a[1] += s
+            a[2] += q
+    for k, (n, s, q) in acc.items():
+        mu = s / n
+        stats[k] = (mu, np.sqrt(max(q / n - mu * mu, 0.0)))
+    ref = ray.put(stats)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        st: dict = get_broadcast((_ref,), tag="zscore_stats")
+        et = t.column("event_type").to_pylist()
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        mu = np.array([st[p][0] for p in et])
+        sd = np.array([st[p][1] for p in et])
+        z = (val - mu) / sd
+        z = np.copysign(np.floor(np.abs(z) * 1e6 + 0.5), z) / 1e6
+        keep = np.abs(z) > 2.5
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "event_type": t.column("event_type").filter(pa.array(keep)),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

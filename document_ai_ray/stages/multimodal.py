@@ -845,3 +845,41 @@ def sample_frames(media_ds, every: int = 4, concurrency: int = 4, batch_size: in
     return media_ds.map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def audio_landmarks(
+    power: np.ndarray,
+    peaks_per_frame: int = 3,
+    fan_out: int = 4,
+    max_dt: int = 6,
+) -> np.ndarray:
+    """Shazam-style landmark fingerprints (Wang 2003): per STFT frame,
+    keep the strongest `peaks_per_frame` bins above the frame mean,
+    then pair each anchor peak with up to `fan_out` peaks in the next
+    1..`max_dt` frames.  Each landmark packs (anchor_bin, target_bin,
+    dt) into one int64 — ABSOLUTE time never enters the hash, so the
+    fingerprint is invariant to time shifts (and to amplitude scaling,
+    since peak RANKS are scale-free).  Returns a deduped int64 array."""
+    n_frames, n_bins = power.shape
+    peaks: list[np.ndarray] = []
+    for f in range(n_frames):
+        row = power[f]
+        k = min(peaks_per_frame, n_bins)
+        idx = np.argpartition(row, n_bins - k)[-k:]
+        idx = idx[row[idx] > row.mean()]
+        peaks.append(np.sort(idx))
+    out = set()
+    for f, anchors in enumerate(peaks):
+        if not len(anchors):
+            continue
+        paired = 0
+        for dt in range(1, max_dt + 1):
+            if f + dt >= n_frames or paired >= fan_out:
+                break
+            for b2 in peaks[f + dt]:
+                for b1 in anchors:
+                    out.add((int(b1) << 20) | (int(b2) << 8) | dt)
+                paired += 1
+                if paired >= fan_out:
+                    break
+    return np.fromiter(out, np.int64, len(out))

@@ -483,3 +483,16 @@ def test_media_scene_cuts_exact_on_planted_boundaries():
     assert (df["margin"] >= 2.0).all()  # dominant, not borderline
     # detected boundary is always interior
     assert ((df["detected_cut"] > 0) & (df["detected_cut"] < df["n_frames"])).all()
+
+
+def test_media_audio_dup_pairs_full_recall_zero_noise():
+    from document_ai_ray.pipelines.media_queries import (
+        N_AUDIO_BASES,
+        media_audio_dup_pairs,
+    )
+
+    df = media_audio_dup_pairs("unused").to_pandas()
+    assert df["same_base"].all()  # no cross-base pair survives 0.75
+    assert len(df) == N_AUDIO_BASES * 6  # full recall: C(4,2) per base
+    assert (df["id_a"] // 4).equals(df["id_b"] // 4)
+    assert (df["overlap"] >= 0.75).all()
