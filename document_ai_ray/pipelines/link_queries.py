@@ -375,3 +375,82 @@ def sitemap_roundtrip(sf_dir: str):
         )
 
     return docs.map_batches(roundtrip, batch_format="pyarrow")
+
+
+_TRI_ORACLE = """
+WITH raw AS (
+  SELECT (doc_id * doc_id + doc_id) % 40 AS x, (doc_id * doc_id * 3 + 5) % 40 AS y
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 7 + 11) % 40, (doc_id * doc_id * 5 + doc_id * 2) % 40
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * doc_id * 7 + 1) % 40, (doc_id * 11 + doc_id * doc_id) % 40
+  FROM documents
+),
+e AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw WHERE x != y)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) AS n_triangles
+"""
+
+
+@register("triangle_count_graph", oracle=_TRI_ORACLE)
+def triangle_count_graph(sf_dir: str):
+    """Exact distributed TRIANGLE COUNT (the classic clustering-
+    coefficient / spam-farm-detection graph kernel) over an
+    arithmetically-derived graph the oracle replays with a three-way
+    self-join: canonical dedupe → wedge generation grouped by the low
+    endpoint → bucketed closure check against the edge set
+    (stages/cluster.py `triangle_count`).  Every stage hash-bucketed;
+    the wedge-skew mitigation (degree orientation) is documented at
+    the stage."""
+    import numpy as np
+
+    from document_ai_ray.stages.cluster import triangle_count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xs = np.concatenate([(d * d + d) % 40, (d * 7 + 11) % 40, (d * d * 7 + 1) % 40])
+        ys = np.concatenate(
+            [(d * d * 3 + 5) % 40, (d * d * 5 + d * 2) % 40, (d * 11 + d * d) % 40]
+        )
+        return pa.table({"a": pa.array(xs), "b": pa.array(ys)})
+
+    edges = docs.map_batches(derive, batch_format="pyarrow")
+    n_tri = triangle_count(edges)
+    # n_edges via the same canonical dedupe path the counter used
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    P = auto_buckets(edges.count())
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = t.column("a").to_numpy(zero_copy_only=False)
+        y = t.column("b").to_numpy(zero_copy_only=False)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        a, b = np.minimum(x, y), np.maximum(x, y)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b),
+             "bucket": pa.array(((a * 1000003 + b) % P).astype(np.int32))}
+        )
+
+    def ded_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.Series([len(df.drop_duplicates(["a", "b"]))], dtype="int64")})
+
+    n_edges = 0
+    for bt in bucket_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"), "bucket", ded_count, P,
+        batch_format="pandas",
+    ).iter_batches(batch_format="pyarrow"):
+        n_edges += int(sum(bt.column("n").to_pylist()))
+
+    return pa.table(
+        {"n_edges": pa.array([n_edges], pa.int64()), "n_triangles": pa.array([n_tri], pa.int64())}
+    )

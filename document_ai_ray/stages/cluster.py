@@ -219,3 +219,100 @@ def keep_canonical(assigned: rd.Dataset, out_col: str = "doc_id") -> rd.Dataset:
         return pa.Table.from_arrays([t.filter(m).column("doc_id")], names=[out_col])
 
     return assigned.map_batches(keep, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: rd.Dataset, a_col: str = "a", b_col: str = "b", n_buckets: int | None = None
+) -> int:
+    """Distributed exact triangle count (compact node-iterator with
+    low→high orientation): canonicalize + dedupe edges, group by the
+    LOW endpoint to emit each wedge's closing candidate (x, y), then
+    verify candidates against the edge set in one bucketed pass of the
+    UNIONED (edges ⊎ candidates) stream — triangles = candidates whose
+    closing edge exists.  Every stage is hash-bucketed; the driver sees
+    only per-bucket counts.
+
+    Skew note: a hub of degree D emits O(D²) wedges; at web scale the
+    standard mitigation is degree-based orientation (orient every edge
+    toward the higher-degree endpoint, bounding wedge fan-out by the
+    arboricity) — the low→high orientation here is its id-ordered
+    special case."""
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    P = n_buckets or auto_buckets(edges.count())
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "bucket": pa.array(((a * 1000003 + b) % P).astype(np.int32)),
+            }
+        )
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    e = bucket_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"), "bucket", dedupe, P,
+        batch_format="pandas",
+    ).materialize()  # consumed twice: wedge generation + closure check
+
+    def add_low_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((a % P).astype(np.int32)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("a"):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"a": nb[i], "b": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucket_map_groups(
+        e.map_batches(add_low_bucket, batch_format="pyarrow"), "bucket", wedges, P,
+        batch_format="pandas",
+    )
+
+    def tag(ds, val):
+        return ds.map_batches(
+            lambda t, v=val: t.select(["a", "b"]).append_column(
+                "is_edge", pa.array([v] * len(t), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(((a * 1000003 + b) % P).astype(np.int32)))
+
+    def close_count(df: pd.DataFrame) -> pd.DataFrame:
+        edges_set = df[df["is_edge"] == 1][["a", "b"]].drop_duplicates()
+        cands = df[df["is_edge"] == 0]
+        n = len(cands.merge(edges_set, on=["a", "b"]))
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    unioned = tag(e, 1).union(tag(cand, 0))
+    counts = bucket_map_groups(
+        unioned.map_batches(pair_bucket, batch_format="pyarrow"), "bucket", close_count, P,
+        batch_format="pandas",
+    )
+    total = 0
+    for bt in counts.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(bt.column("n")).as_py() or 0)
+    return total

@@ -215,6 +215,21 @@ def knn_pq_refined(
     {vec_id: [query rows]} probe map — so the corpus-wide scan still
     reads 8-byte codes only.  Output: query_id, neighbor_id, rank."""
     short = knn_pq(codes, query_ids, query_matrix, books, k=shortlist).to_pandas()
+    return exact_rerank(vectors, short, query_ids, query_matrix, k, id_col, vec_col)
+
+
+def exact_rerank(
+    vectors: rd.Dataset,
+    short,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist
+    DataFrame against the float vector table — the refine stage shared
+    by knn_pq_refined and knn_ivfpq_refined."""
     probe: dict[int, list[int]] = {}
     for nid, qid in zip(short["neighbor_id"].to_numpy(), short["query_id"].to_numpy()):
         probe.setdefault(int(nid), []).append(int(qid))
@@ -253,3 +268,183 @@ def knn_pq_refined(
     return local.repartition(1).map_batches(
         _final_topk_fn(k), batch_format="pyarrow", batch_size=1 << 30
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file partition + residual product codes
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    sample: np.ndarray,
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The literal FAISS IVF-PQ recipe: a coarse spherical-k-means
+    quantizer picks a cell, PQ encodes the RESIDUAL (x − centroid) —
+    residuals are far more compressible than raw vectors, so the same
+    code budget buys more recall.  Returns (centroids (C, d),
+    codebooks (M, K, d/M)), both trained on the driver-side sample."""
+    from document_ai_ray.stages.similarity import train_centroids
+
+    sample = _normalize(np.asarray(sample, np.float64))
+    cents = train_centroids(sample, n_cells=n_cells)
+    assign = np.argmax(sample @ cents.T, axis=1)
+    residuals = sample - cents[assign]
+    books = _train_books_raw(residuals, n_subspaces, n_codes)
+    return cents, books
+
+
+def _train_books_raw(mat: np.ndarray, n_subspaces: int, n_codes: int) -> np.ndarray:
+    """pq_train without the normalization step (residuals are NOT unit
+    vectors and must not be renormalized)."""
+    d = mat.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible into {n_subspaces} subspaces")
+    dsub = d // n_subspaces
+    books = np.empty((n_subspaces, min(n_codes, len(mat)), dsub), np.float64)
+    for j in range(n_subspaces):
+        books[j] = _kmeans_l2(mat[:, j * dsub : (j + 1) * dsub], n_codes, 15, 23 + j)
+    return books
+
+
+def ivfpq_encode(
+    vectors: rd.Dataset,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Streaming encode: (vec_id, cell:int32, code:binary[M])."""
+    ref = ray.put((cents, books))
+
+    def enc(t: pa.Table, state_ref: tuple) -> pa.Table:
+        key = (state_ref[0].hex(), "ivfpq_books")
+        st = _INSTANCES.get(key)
+        if st is None:
+            st = _INSTANCES[key] = ray.get(state_ref[0])
+        c, cb = st
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        cell = np.argmax(m @ c.T, axis=1)
+        codes = _encode_matrix(m - c[cell], cb)
+        return pa.table(
+            {
+                "vec_id": t.column(id_col),
+                "cell": pa.array(cell.astype(np.int32), pa.int32()),
+                "code": pa.array([x.tobytes() for x in codes], pa.binary()),
+            }
+        )
+
+    return vectors.map_batches(enc, fn_kwargs={"state_ref": (ref,)}, batch_format="pyarrow")
+
+
+class IvfPqScan:
+    """Per-worker warm state: per-(query, probed-cell) residual LUTs."""
+
+    def __init__(self, q_ids, q_mat, cents, books, k: int, n_probe: int):
+        self.q_ids = np.asarray(q_ids)
+        self.k = k
+        q = _normalize(np.asarray(q_mat, np.float64))
+        qc = q @ cents.T
+        self.q_cells = np.argsort(-qc, axis=1)[:, :n_probe]  # (Q, n_probe)
+        n_sub, n_codes, dsub = books.shape
+        # LUT[qi, pi, j, c] = ||(q - cent)_sub - codeword||^2
+        self.lut = np.empty((len(q), n_probe, n_sub, n_codes), np.float64)
+        for qi in range(len(q)):
+            for pi, cell in enumerate(self.q_cells[qi]):
+                r = q[qi] - cents[cell]
+                for j in range(n_sub):
+                    sub = r[j * dsub : (j + 1) * dsub]
+                    cb = books[j]
+                    self.lut[qi, pi, j, :] = (
+                        (sub * sub).sum() - 2.0 * cb @ sub + (cb * cb).sum(axis=1)
+                    )
+        self.n_sub = n_sub
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        cell = t.column("cell").to_numpy()
+        raw = t.column("code").to_pylist()
+        codes = np.frombuffer(b"".join(raw), np.uint8).reshape(len(raw), self.n_sub)
+        cols = np.arange(self.n_sub)
+        q_out, n_out, d_out = [], [], []
+        for qi in range(len(self.q_ids)):
+            for pi, pc in enumerate(self.q_cells[qi]):
+                in_cell = cell == pc
+                in_cell &= ids != self.q_ids[qi]
+                if not in_cell.any():
+                    continue
+                sub_codes = codes[in_cell]
+                dist = self.lut[qi, pi][cols, sub_codes].sum(axis=1)
+                sub_ids = ids[in_cell]
+                k = min(self.k, len(sub_ids))
+                part = np.argpartition(dist, k - 1)[:k]
+                q_out.extend([int(self.q_ids[qi])] * k)
+                n_out.extend(int(x) for x in sub_ids[part])
+                d_out.extend(float(x) for x in dist[part])
+        return pa.Table.from_arrays(
+            [
+                pa.array(q_out, pa.int64()),
+                pa.array(n_out, pa.int64()),
+                pa.array(d_out, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "adc_dist"],
+        )
+
+
+def knn_ivfpq(
+    codes: rd.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> rd.Dataset:
+    """ADC top-k restricted to each query's `n_probe` nearest cells —
+    the scan touches codes of probed cells only (at scale the encoded
+    table is partitioned BY CELL, so unprobed partitions are never
+    read; here the filter is per batch)."""
+    ref = ray.put((query_ids, query_matrix, cents, books))
+
+    def scan(t: pa.Table, state_ref: tuple) -> pa.Table:
+        key = (state_ref[0].hex(), "ivfpq", k, n_probe)
+        inst = _INSTANCES.get(key)
+        if inst is None:
+            q_ids, q_mat, c, cb = ray.get(state_ref[0])
+            inst = _INSTANCES[key] = IvfPqScan(q_ids, q_mat, c, cb, k, n_probe)
+        return inst(t)
+
+    local = codes.map_batches(scan, fn_kwargs={"state_ref": (ref,)}, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "adc_dist", "neighbor_id"])
+        df = df.groupby("query_id", as_index=False).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank"]], preserve_index=False
+        )
+
+    return local.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=1 << 30)
+
+
+def knn_ivfpq_refined(
+    vectors: rd.Dataset,
+    codes: rd.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    n_probe: int = 6,
+    shortlist: int = 50,
+) -> rd.Dataset:
+    """IVF-PQ + refine: ADC shortlist from the probed cells, exact
+    re-rank of the shortlist.  Recall is bounded by the cell-probe
+    miss rate alone (PQ distortion is repaired by the refine)."""
+    short = knn_ivfpq(
+        codes, query_ids, query_matrix, cents, books, k=shortlist, n_probe=n_probe
+    ).to_pandas()
+    return exact_rerank(vectors, short, query_ids, query_matrix, k)

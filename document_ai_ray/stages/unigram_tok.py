@@ -89,6 +89,67 @@ def _counts_to_logp(counts: dict[str, float]) -> dict[str, float]:
     return {p: math.log(c / total) for p, c in counts.items() if c > 0}
 
 
+def seed_vocab_distributed(
+    words: rd.Dataset, seed_size: int, max_len: int = MAX_PIECE_LEN
+) -> dict[str, int]:
+    """`seed_vocab` with the substring enumeration pushed into the
+    word-table Dataset (at 100 TB the distinct-word table is millions
+    of rows — the driver must not loop it): per-batch substring-weight
+    COMBINER partials, hash-bucketed exact merge, per-bucket local
+    top (a global top piece is top in its bucket), tiny final cut.
+    Single characters bypass the cap, as in the driver version."""
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    P = auto_buckets(words.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        weight: dict[str, int] = {}
+        for w, n in zip(t.column("word").to_pylist(), t.column("n").to_pylist()):
+            L = len(w)
+            for i in range(L):
+                for j in range(i + 1, min(i + max_len, L) + 1):
+                    p = w[i:j]
+                    weight[p] = weight.get(p, 0) + n
+        return pa.table(
+            {
+                "piece": pa.array(list(weight), pa.string()),
+                "c": pa.array(list(weight.values()), pa.int64()),
+                "bucket": pa.array(
+                    [crc_bucket(p, P) for p in weight], pa.int32()
+                ),
+            }
+        )
+
+    def bucket_top(df):
+        out = df.groupby("piece", as_index=False)["c"].sum()
+        chars = out[out["piece"].str.len() == 1]
+        multi = out[out["piece"].str.len() > 1]
+        multi = multi.sort_values(["c", "piece"], ascending=[False, True]).head(seed_size)
+        import pandas as pd
+
+        return pd.concat([chars, multi], ignore_index=True)
+
+    merged = bucket_map_groups(
+        words.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        bucket_top,
+        P,
+        batch_format="pandas",
+    )
+    cand: dict[str, int] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        cand.update(zip(b.column("piece").to_pylist(), b.column("c").to_pylist()))
+    chars = {p: c for p, c in cand.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1), key=lambda kv: (-kv[1], kv[0])
+    )[: max(0, seed_size - len(chars))]
+    out = dict(chars)
+    out.update(dict(multi))
+    return out
+
+
 def unigram_train(
     word_counts: list[tuple[str, int]],
     vocab_size: int = 300,
@@ -98,13 +159,10 @@ def unigram_train(
     prune_frac: float = 0.25,
 ) -> tuple[dict[str, float], list[float]]:
     """Train on a weighted word table.  Returns ({piece: logprob},
-    per-round corpus Viterbi log-likelihood history).  The E-step runs
-    DISTRIBUTED over a Ray Dataset of the distinct words; all driver
-    state is vocab-sized."""
+    per-round corpus Viterbi log-likelihood history).  Both the seed
+    enumeration and the E-step run DISTRIBUTED over a Ray Dataset of
+    the distinct words; all driver state is vocab-sized."""
     from document_ai_ray.pipelines.ops import get_broadcast
-
-    weights = seed_vocab(word_counts, seed_size)
-    logp = _counts_to_logp({p: float(c) for p, c in weights.items()})
 
     words = rd.from_arrow(
         pa.table(
@@ -113,7 +171,10 @@ def unigram_train(
                 "n": pa.array([n for _, n in word_counts], pa.int64()),
             }
         )
-    ).materialize()  # EM re-scans it every round
+    ).materialize()  # seeding + EM re-scan it every round
+
+    weights = seed_vocab_distributed(words, seed_size)
+    logp = _counts_to_logp({p: float(c) for p, c in weights.items()})
 
     history: list[float] = []
 

@@ -153,3 +153,37 @@ def test_page_tables_ignores_tableless_pages():
     )
     rows = page_tables(ds).take_all()
     assert [(r["url"], r["cell_text"]) for r in rows] == [("u2", "z")]
+
+
+def test_triangle_count_crafted_and_random(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.cluster import triangle_count
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({v for e in es for v in e})
+        return sum(
+            1
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed edge
+    k4 = list(itertools.combinations(range(4), 2))
+    edges = k4 + [(3, 2), (2, 3), (4, 5), (0, 0)]
+    ds = rd.from_arrow(
+        pa.table({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
+    )
+    assert triangle_count(ds) == 4 == brute(edges)
+
+    rng = np.random.RandomState(5)
+    rnd = [tuple(rng.randint(0, 20, 2)) for _ in range(120)]
+    ds2 = rd.from_arrow(
+        pa.table({"a": [e[0] for e in rnd], "b": [e[1] for e in rnd]})
+    )
+    assert triangle_count(ds2) == brute(rnd)

@@ -58,3 +58,52 @@ def test_knn_pq_refined_recall_floor(sf_small):
     per = df.groupby("query_id")["rank"].agg(["size", "min", "max"])
     assert (per["size"] == K).all()
     assert (per["min"] == 1).all() and (per["max"] == K).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivfpq_refined_recall_floor(sf_small):
+    from document_ai_ray.pipelines.similarity_queries import K, knn_ivfpq_query
+
+    df = knn_ivfpq_query(sf_small)  # returns pandas
+    per_q = df.drop_duplicates("query_id")["recall_at_k"]
+    assert per_q.mean() >= 0.5  # documented floor (measured 0.61)
+    assert (df["query_id"] != df["neighbor_id"]).all()
+    per = df.groupby("query_id")["rank"].agg(["min", "max", "size"])
+    assert (per["min"] == 1).all()
+    # probed cells can hold < k rows for some query, but most fill up
+    assert (per["size"] == K).mean() > 0.9
+
+
+def test_ivfpq_residual_encoding_tighter_than_raw():
+    import numpy as np
+
+    from document_ai_ray.stages.pq import (
+        _encode_matrix,
+        _train_books_raw,
+        ivfpq_train,
+        pq_train,
+    )
+    from document_ai_ray.stages.similarity import _normalize
+
+    rng = np.random.RandomState(11)
+    # clustered data: residual PQ must reconstruct better than raw PQ
+    centers = rng.randn(8, 32) * 3
+    x = np.vstack([c + rng.randn(60, 32) * 0.3 for c in centers])
+    xn = _normalize(x.astype(np.float64))
+    cents, books = ivfpq_train(xn, n_cells=8, n_subspaces=4, n_codes=16)
+    assign = np.argmax(xn @ cents.T, axis=1)
+    res = xn - cents[assign]
+    codes = _encode_matrix(res, books)
+    dsub = 32 // 4
+    recon = cents[assign].copy()
+    for j in range(4):
+        recon[:, j * dsub : (j + 1) * dsub] += books[j][codes[:, j]]
+    err_ivfpq = ((xn - recon) ** 2).sum(axis=1).mean()
+
+    raw_books = pq_train(xn, n_subspaces=4, n_codes=16)
+    raw_codes = _encode_matrix(xn, raw_books)
+    raw_recon = np.zeros_like(xn)
+    for j in range(4):
+        raw_recon[:, j * dsub : (j + 1) * dsub] = raw_books[j][raw_codes[:, j]]
+    err_raw = ((xn - raw_recon) ** 2).sum(axis=1).mean()
+    assert err_ivfpq < err_raw * 0.8

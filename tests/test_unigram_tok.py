@@ -57,3 +57,18 @@ def test_unigram_tokenize_roundtrip(sf_tiny):
     # pieces never exceed chars; multi-char pieces give real compression
     assert (df["n_tokens"] <= df["n_chars_tok"]).all()
     assert df["n_tokens"].sum() < 0.8 * df["n_chars_tok"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_vocab_distributed_matches_driver_version():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.unigram_tok import seed_vocab, seed_vocab_distributed
+
+    wc = [("alpha", 7), ("alphabet", 3), ("beta", 5), ("bet", 2), ("x", 1)]
+    ds = rd.from_arrow(
+        pa.table({"word": [w for w, _ in wc], "n": [n for _, n in wc]})
+    )
+    assert seed_vocab_distributed(ds, seed_size=40) == seed_vocab(wc, seed_size=40)
+    assert seed_vocab_distributed(ds, seed_size=12) == seed_vocab(wc, seed_size=12)
