@@ -454,3 +454,59 @@ def triangle_count_graph(sf_dir: str):
     return pa.table(
         {"n_edges": pa.array([n_edges], pa.int64()), "n_triangles": pa.array([n_tri], pa.int64())}
     )
+
+
+@register(
+    "feed_roundtrip",
+    oracle="""
+    SELECT 'Doc ' || doc_id AS title,
+           'http://' || source || '.example/post/' || doc_id AS link,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Mon, 0' || (1 + doc_id % 7) || ' Jan 2024 00:00:00 GMT'
+                ELSE '2024-01-0' || (1 + doc_id % 7) || 'T00:00:00Z' END AS ts
+    FROM documents
+    """,
+)
+def feed_roundtrip(sf_dir: str):
+    """RSS 2.0 / Atom feed roundtrip (sources/sitemap.py feed codecs):
+    even doc_ids publish through an RSS channel per source, odd ones
+    through an Atom feed (href-attribute links) — BOTH parse back
+    through the one tolerant scanner, value-checked against the SQL
+    derivation of the same entries.  Completes the crawl-discovery
+    trio: robots gate, sitemap, feeds."""
+    from document_ai_ray.sources.sitemap import parse_feed, write_atom, write_rss
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        rss: dict[str, list[dict]] = {}
+        atom: dict[str, list[dict]] = {}
+        for did, src in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()):
+            link = f"http://{src}.example/post/{did}"
+            title = f"Doc {did}"
+            if did % 2 == 0:
+                rss.setdefault(src, []).append(
+                    {"title": title, "link": link,
+                     "pubDate": f"Mon, 0{1 + did % 7} Jan 2024 00:00:00 GMT"}
+                )
+            else:
+                atom.setdefault(src, []).append(
+                    {"title": title, "link": link,
+                     "updated": f"2024-01-0{1 + did % 7}T00:00:00Z"}
+                )
+        titles, links, tss = [], [], []
+        for src in sorted(rss):
+            for e in parse_feed(write_rss(f"{src} feed", rss[src])):
+                titles.append(e["title"]); links.append(e["link"]); tss.append(e["ts"])
+        for src in sorted(atom):
+            for e in parse_feed(write_atom(f"{src} feed", atom[src])):
+                titles.append(e["title"]); links.append(e["link"]); tss.append(e["ts"])
+        return pa.table(
+            {
+                "title": pa.array(titles, pa.string()),
+                "link": pa.array(links, pa.string()),
+                "ts": pa.array(tss, pa.string()),
+            }
+        )
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow")

@@ -1055,3 +1055,33 @@ def fuzzy_join_names(sf_dir: str):
         linked.map_batches(pair_bucket, batch_format="pandas"), "bucket", dedupe, P2,
         batch_format="pandas",
     )
+
+
+@register(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def partition_pruned_scan(sf_dir: str):
+    """Hive-partitioned write + PARTITION-PRUNED read (the lakehouse
+    data-layout discipline): documents are written once as
+    lang=<v>/... parquet directories (Ray's partition_cols), then the
+    lang='en' read opens ONLY that directory — the pruning happens at
+    the PATH level, before any byte of the other partitions is read.
+    The pruned-read CONTENT is oracle-checked against the plain SQL
+    filter; the pruning itself (files under lang=en/ vs total) is
+    asserted in tests/test_relational_extras.py.  Scratch output under
+    /tmp, re-written per run (same discipline as the WARC roundtrip)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = "/tmp/graft_partition_demo"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+
+    pruned = rd.read_parquet(os.path.join(out_dir, "lang=en"))
+    return pruned.select_columns(["doc_id", "source", "n_chars"])

@@ -106,3 +106,86 @@ def parse_sitemap(b: bytes) -> list[dict]:
         if loc:
             out.append({"loc": loc, "lastmod": lastmod, "priority": prio})
     return out
+
+
+# ---------------------------------------------------------------------------
+# RSS 2.0 / Atom feeds — the other crawl-discovery XML family
+# ---------------------------------------------------------------------------
+
+_FEED_TAG = re.compile(
+    rb"<(?:\w+:)?(item|entry|title|link|pubDate|updated|guid|id)(?:\s[^>]*)?"
+    rb"(?:/>|>(.*?)</(?:\w+:)?\1\s*>)",
+    re.DOTALL | re.IGNORECASE,
+)
+_HREF = re.compile(rb"""<(?:\w+:)?link[^>]*\bhref\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+
+
+def write_rss(channel_title: str, items: list[dict]) -> bytes:
+    """items: [{title, link, pubDate?, guid?}] -> RSS 2.0 bytes."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<rss version="2.0"><channel>',
+        f"  <title>{_escape(channel_title)}</title>",
+    ]
+    for it in items:
+        parts.append("  <item>")
+        parts.append(f"    <title>{_escape(it['title'])}</title>")
+        parts.append(f"    <link>{_escape(it['link'])}</link>")
+        if it.get("pubDate"):
+            parts.append(f"    <pubDate>{_escape(it['pubDate'])}</pubDate>")
+        if it.get("guid"):
+            parts.append(f"    <guid>{_escape(it['guid'])}</guid>")
+        parts.append("  </item>")
+    parts.append("</channel></rss>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def write_atom(feed_title: str, entries: list[dict]) -> bytes:
+    """entries: [{title, link, updated?, id?}] -> Atom 1.0 bytes (link
+    carried the Atom way, as an href attribute)."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<feed xmlns="http://www.w3.org/2005/Atom">',
+        f"  <title>{_escape(feed_title)}</title>",
+    ]
+    for e in entries:
+        parts.append("  <entry>")
+        parts.append(f"    <title>{_escape(e['title'])}</title>")
+        parts.append(f'    <link href="{_escape(e["link"])}"/>')
+        if e.get("updated"):
+            parts.append(f"    <updated>{_escape(e['updated'])}</updated>")
+        if e.get("id"):
+            parts.append(f"    <id>{_escape(e['id'])}</id>")
+        parts.append("  </entry>")
+    parts.append("</feed>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def parse_feed(b: bytes) -> list[dict]:
+    """RSS <item> / Atom <entry> bytes -> [{title, link, ts}] — ts is
+    pubDate (RSS) or updated (Atom), '' if absent.  Tolerant: either
+    <link>text</link> or <link href="..."/>; entries without a link
+    are skipped."""
+    out = []
+    for m in _FEED_TAG.finditer(b):
+        tag = m.group(1).lower()
+        if tag not in (b"item", b"entry") or m.group(2) is None:
+            continue
+        body = m.group(2)
+        title, link, ts = "", "", ""
+        for im in _FEED_TAG.finditer(body):
+            itag = im.group(1).lower()
+            payload = im.group(2)
+            if itag == b"title" and payload is not None:
+                title = _text(payload)
+            elif itag == b"link" and payload is not None and payload.strip():
+                link = _text(payload)
+            elif itag in (b"pubdate", b"updated") and payload is not None:
+                ts = _text(payload)
+        if not link:
+            hm = _HREF.search(body)
+            if hm:
+                link = _unescape(hm.group(1).decode("utf-8", "replace"))
+        if link:
+            out.append({"title": title, "link": link, "ts": ts})
+    return out
