@@ -307,3 +307,63 @@ def html_meta_extract(sf_dir: str):
         sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
     ).map_batches(to_pages, batch_format="pyarrow")
     return extract_head_meta(pages)
+
+
+def _jsonld_page_html(d: int, lang: str, src: str) -> bytes:
+    """Page with one real JSON-LD block + decoys: a commented-out block
+    with WRONG values, a non-ld script with JSON-looking text, and a
+    truncated (invalid) ld block BEFORE the real one that must be
+    skipped, not fatal."""
+    real = (
+        '{"@context": "https://schema.org", "@type": "%s", '
+        '"headline": "%s story %d", "datePublished": "2024-01-%02d", '
+        '"author": {"@type": "Person", "name": "Writer %d"}}'
+        % ("Article" if d % 2 == 0 else "NewsArticle", src, d, 1 + d % 28, d % 20)
+    )
+    html = (
+        "<!DOCTYPE html><html><head><title>t</title>"
+        '<!-- <script type="application/ld+json">{"@type":"Decoy","headline":"nope"}</script> -->'
+        '<script type="text/javascript">var x = {"@type": "AlsoDecoy"};</script>'
+        '<SCRIPT TYPE="application/ld+json">{"@type": "Broken", "headline": </SCRIPT>'
+        f'<script type="application/ld+json">{real}</script>'
+        f"</head><body><p>body {lang}</p></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+@register(
+    "jsonld_extract",
+    oracle=(
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'Article' ELSE 'NewsArticle' END AS ld_type, "
+        "source || ' story ' || CAST(doc_id AS VARCHAR) AS headline, "
+        "'2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS date_published, "
+        "'Writer ' || CAST(doc_id % 20 AS VARCHAR) AS author "
+        "FROM documents"
+    ),
+)
+def jsonld_extract(sf_dir: str):
+    """schema.org JSON-LD extraction (the machine-readable article
+    metadata modern pages ship in <script type=application/ld+json>):
+    the tolerant tokenizer skips a commented-out decoy block, a
+    JavaScript block with JSON-looking text, and a TRUNCATED invalid
+    ld block before the real one.  Every field oracle-rebuilt from the
+    source columns (same discipline as html_meta_extract)."""
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_jsonld
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        rows = [
+            {"url": f"doc://{d}", "html": _jsonld_page_html(d, lang, src)}
+            for d, lang, src in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("source").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pylist(rows)
+
+    pages = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "source"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+    return extract_jsonld(pages)

@@ -111,3 +111,69 @@ def extract_head_meta(pages_ds, url_col: str = "url", html_col: str = "html"):
         return pa.Table.from_arrays(cols, names=[url_col, *META_FIELDS])
 
     return pages_ds.map_batches(batch, batch_format="pyarrow", batch_size=512)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data (schema.org) — <script type="application/ld+json">
+# ---------------------------------------------------------------------------
+
+JSONLD_FIELDS = ("ld_type", "headline", "date_published", "author")
+
+
+def parse_jsonld(payload: bytes | str) -> dict[str, str | None]:
+    """First VALID schema.org JSON-LD block -> flat fields (@type,
+    headline/name, datePublished, author.name).  Rides the same
+    tolerant tokenizer as head-meta, so commented-out decoy blocks and
+    non-ld script types never leak; blocks that fail json.loads are
+    skipped (real crawls are full of truncated JSON-LD)."""
+    import json
+
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", "replace")
+    out: dict[str, str | None] = {k: None for k in JSONLD_FIELDS}
+    in_ld_since: int | None = None
+    for m in _TAG_RE.finditer(payload):
+        if m.group(2) is None:  # comment
+            continue
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        if tag != "script":
+            continue
+        if not closing and in_ld_since is None:
+            attrs = _attrs(m.group(3) or "")
+            if attrs.get("type", "").strip().lower() == "application/ld+json":
+                in_ld_since = m.end()
+        elif closing and in_ld_since is not None:
+            body = payload[in_ld_since : m.start()]
+            in_ld_since = None
+            try:
+                data = json.loads(body)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(data, list):
+                data = data[0] if data else {}
+            if not isinstance(data, dict):
+                continue
+            out["ld_type"] = data.get("@type")
+            out["headline"] = data.get("headline") or data.get("name")
+            out["date_published"] = data.get("datePublished")
+            author = data.get("author")
+            if isinstance(author, dict):
+                out["author"] = author.get("name")
+            elif isinstance(author, str):
+                out["author"] = author
+            return out  # first valid block wins
+    return out
+
+
+def extract_jsonld(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """pages (url, html) -> one flat row per page with JSONLD_FIELDS."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        rows = [parse_jsonld(h) for h in t.column(html_col).to_pylist()]
+        cols: dict = {"url": pa.array(urls, pa.string())}
+        for f in JSONLD_FIELDS:
+            cols[f] = pa.array([r[f] for r in rows], pa.string())
+        return pa.table(cols)
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow")

@@ -126,3 +126,27 @@ def test_extract_head_meta_stage():
     out = extract_head_meta(rd.from_arrow(pa.Table.from_pylist(rows))).take_all()
     assert sorted(r["title"] for r in out) == sorted(f"t{i}" for i in range(10))
     assert all(r["canonical"] is None for r in out)
+
+
+def test_parse_jsonld_decoys_and_recovery():
+    from document_ai_ray.stages.html_meta import parse_jsonld
+
+    html = (
+        "<html><head>"
+        '<!-- <script type="application/ld+json">{"@type":"Decoy"}</script> -->'
+        '<script type="text/javascript">var x = {"@type": "No"};</script>'
+        '<script type="application/ld+json">{broken</script>'
+        '<script type="application/ld+json">'
+        '[{"@type": "Article", "name": "N1", "datePublished": "2024-02-03",'
+        ' "author": "Plain Name"}]'
+        "</script></head><body></body></html>"
+    )
+    got = parse_jsonld(html)
+    assert got["ld_type"] == "Article"
+    assert got["headline"] == "N1"  # name fallback
+    assert got["date_published"] == "2024-02-03"
+    assert got["author"] == "Plain Name"  # string author accepted
+
+    # no ld block at all -> all-None row, never a raise
+    empty = parse_jsonld("<html><head><title>t</title></head></html>")
+    assert all(v is None for v in empty.values())
