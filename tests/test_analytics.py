@@ -186,3 +186,13 @@ def test_percent_rank_orders_bounds(sf_tiny):
     for _, g in df.groupby("o_orderpriority"):
         assert (g["cume"] == 1.0).sum() == 1
         assert g.loc[g["cume"] == 1.0, "pct_rank"].iloc[0] == 1.0
+
+
+def test_approx_distinct_users_by_type_error_bound(sf_tiny):
+    from document_ai_ray.functions.sketch import HLL_P
+    from document_ai_ray.pipelines.analytics import approx_distinct_users_by_type
+
+    t = approx_distinct_users_by_type(sf_tiny).to_pandas()
+    assert len(t) >= 3
+    bound = 3.0 / (2**HLL_P) ** 0.5
+    assert (t["rel_err"] <= bound).all()
