@@ -1085,3 +1085,143 @@ def partition_pruned_scan(sf_dir: str):
 
     pruned = rd.read_parquet(os.path.join(out_dir, "lang=en"))
     return pruned.select_columns(["doc_id", "source", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance: MERGE/upsert + incremental aggregate
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal, 0 AS ver FROM customer),
+upd AS (SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+               ROUND(c_acctbal + 100.0, 2) AS c_acctbal, 1 AS ver
+        FROM customer WHERE c_custkey % 10 = 3),
+ins AS (SELECT 1000000 + c_custkey AS c_custkey, 'FRESH' AS c_mktsegment,
+               ROUND(c_acctbal, 2) AS c_acctbal, 1 AS ver
+        FROM customer WHERE c_custkey % 10 = 7),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ver DESC) AS rn
+      FROM all_rows)
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+FROM r WHERE rn = 1
+"""
+
+
+@register("merge_upsert_customers", oracle=_UPSERT_ORACLE)
+def merge_upsert_customers(sf_dir: str):
+    """MERGE INTO / upsert (the lakehouse table-maintenance primitive):
+    a derived delta batch UPDATEs every custkey%10==3 row and INSERTs
+    fresh keys, applied over the base snapshot with last-writer-wins.
+    Distributed shape: tag rows with a version, hash-bucket by key, one
+    vectorized keep-max-version pass per bucket — the same
+    first-per-key discipline as `dedup_exact_docs`, never a sort of
+    the full table.  Oracle replays the merge with a window."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    base = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    P = auto_buckets(base.count())
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "c_acctbal": pa.array(np.round(bal, 2), pa.float64()),
+                "ver": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    def make_delta(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        upd = keys % 10 == 3
+        ins = keys % 10 == 7
+        out_keys = np.concatenate([keys[upd], 1000000 + keys[ins]])
+        out_seg = ["UPDATED"] * int(upd.sum()) + ["FRESH"] * int(ins.sum())
+        out_bal = np.concatenate([np.round(bal[upd] + 100.0, 2), np.round(bal[ins], 2)])
+        return pa.table(
+            {
+                "c_custkey": pa.array(out_keys, pa.int64()),
+                "c_mktsegment": pa.array(out_seg, pa.string()),
+                "c_acctbal": pa.array(out_bal, pa.float64()),
+                "ver": pa.array(np.ones(len(out_keys), np.int8)),
+            }
+        )
+
+    tagged = base.map_batches(tag_base, batch_format="pyarrow").union(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+            make_delta, batch_format="pyarrow"
+        )
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((k % P).astype(np.int32)))
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_custkey", "ver"], ascending=[True, False], kind="mergesort")
+        out = df.drop_duplicates("c_custkey", keep="first")
+        return out[["c_custkey", "c_mktsegment", "c_acctbal"]]
+
+    return bucket_map_groups(
+        tagged.map_batches(add_bucket, batch_format="pyarrow"), "bucket", keep_latest, P,
+        batch_format="pandas",
+    )
+
+
+_INC_ORACLE = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@register("incremental_agg_maintenance", oracle=_INC_ORACLE)
+def incremental_agg_maintenance(sf_dir: str):
+    """INCREMENTAL aggregate maintenance: the base aggregate (events in
+    the first half of the time range) is computed once, then the delta
+    batch (second half) is aggregated ALONE and merged into the base —
+    no rescan of base facts.  This is the materialized-view update
+    shape every streaming warehouse uses; correctness = the merged
+    result equals the full recompute (the oracle IS the full
+    recompute).  Both sides are tiny combiner outputs; the merge is
+    one pandas concat-groupby on group-cardinality rows."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    # split on event_id parity — any disjoint partition demonstrates
+    # the merge; vectorized batch filters, never per-row lambdas
+    def parity(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("event_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((k % 2 == 0) == keep_even))
+
+        return f
+
+    ev = lambda: read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    base = ev().map_batches(parity(True), batch_format="pyarrow")
+    delta = ev().map_batches(parity(False), batch_format="pyarrow")
+    base_agg = partial_group_agg(base, ["event_type"], {"value": "sum_value"}, count_alias="n")
+    delta_agg = partial_group_agg(delta, ["event_type"], {"value": "sum_value"}, count_alias="n")
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        sv = out["sum_value"].to_numpy()
+        out["sum_value"] = np.copysign(np.floor(np.abs(sv) * 100 + 0.5), sv) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out[["event_type", "n", "sum_value"]], preserve_index=False)
+
+    return (
+        base_agg.union(delta_agg)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    )
