@@ -1225,3 +1225,64 @@ def incremental_agg_maintenance(sf_dir: str):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     )
+
+
+@register(
+    "ship_delay_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 2)
+             AS avg_ship_days,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_delay_by_priority(sf_dir: str):
+    """Timestamp arithmetic across a fact⋈fact join: per-priority mean
+    order→ship latency in whole days.  Shape: hash-partitioned shuffle
+    join on the order key (neither side broadcastable at scale), the
+    day-difference computed vectorized on the epoch-microsecond
+    integers, then the combiner aggregate.  date_diff('day') truncates
+    toward zero on whole-day timestamps — both sides operate on the
+    identical integer-division form."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def delay(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ordd = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = (ship - ordd) // 86_400_000_000  # whole days, µs timestamps
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "days": pa.array(days.astype(np.float64), pa.float64()),
+            }
+        )
+
+    agg = partial_group_agg(
+        joined.map_batches(delay, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"days": "sum_days"},
+        count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("sum_days").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        avg = s / n
+        avg = np.copysign(np.floor(np.abs(avg) * 100 + 0.5), avg) / 100
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "avg_ship_days": pa.array(avg, pa.float64()),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
