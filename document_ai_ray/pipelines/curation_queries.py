@@ -831,3 +831,37 @@ def phrase_blocklist_docs(sf_dir: str):
         )
 
     return docs.map_batches(scan, batch_format="pyarrow")
+
+
+@register("csv_roundtrip", oracle=_WDS_ORACLE)
+def csv_roundtrip(sf_dir: str):
+    """Value-identity through the CSV exchange format (quoting-safe:
+    document text contains no newlines by construction, but commas and
+    quotes round-trip through Arrow's RFC-4180 writer/reader).  Both
+    ends are Ray datasources — shard-parallel writers, no driver
+    materialization — completing the interchange quartet next to
+    JSONL, WARC and WebDataset tar."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_csv_rt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    docs.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+    return back.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "text": t.column("text").cast(pa.string()),
+                "lang": t.column("lang").cast(pa.string()),
+                "source": t.column("source").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

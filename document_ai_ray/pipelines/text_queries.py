@@ -1441,3 +1441,79 @@ def unigram_tokenize_docs(sf_dir: str):
     logp, _ = _unigram_vocab(sf_dir)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return unigram_encode_docs(docs, logp)
+
+
+def _seg_langid_oracle() -> str:
+    """Per-half stopword-argmax battery, GENERATED from the one
+    STOPWORDS table so the SQL can never drift from the Python lists."""
+    from document_ai_ray.stages.text_analysis import STOPWORDS, _LANG_ORDER
+
+    def hits(src: str) -> str:
+        cols = []
+        for lang in _LANG_ORDER:
+            words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+            cols.append(f"SUM(CASE WHEN w IN ({words}) THEN 1 ELSE 0 END) AS h_{lang}")
+        return f"SELECT doc_id, {', '.join(cols)} FROM {src} GROUP BY doc_id"
+
+    greatest = ", ".join(f"h_{lang}" for lang in _LANG_ORDER)
+    pick = " ".join(
+        f"WHEN h_{lang} = g THEN '{lang}'" for lang in _LANG_ORDER[:-1]
+    )
+    pred = f"CASE WHEN g = 0 THEN 'und' {pick} ELSE '{_LANG_ORDER[-1]}' END"
+    return rf"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\p{{L}}+') AS ws
+             FROM documents),
+h AS (SELECT doc_id,
+             ws[1 : len(ws) // 2] AS w1,
+             ws[len(ws) // 2 + 1 : len(ws)] AS w2
+      FROM tok),
+u1 AS (SELECT doc_id, unnest(w1) AS w FROM h),
+u2 AS (SELECT doc_id, unnest(w2) AS w FROM h),
+s1 AS ({hits('u1')}),
+s2 AS ({hits('u2')}),
+p1 AS (SELECT doc_id, {pred} AS pred_first
+       FROM (SELECT *, GREATEST({greatest}) AS g FROM s1)),
+p2 AS (SELECT doc_id, {pred} AS pred_second
+       FROM (SELECT *, GREATEST({greatest}) AS g FROM s2))
+SELECT d.doc_id,
+       COALESCE(p1.pred_first, 'und') AS pred_first,
+       COALESCE(p2.pred_second, 'und') AS pred_second,
+       COALESCE(p1.pred_first, 'und') != COALESCE(p2.pred_second, 'und') AS mixed
+FROM documents d
+LEFT JOIN p1 ON d.doc_id = p1.doc_id
+LEFT JOIN p2 ON d.doc_id = p2.doc_id
+"""
+
+
+@register("langid_segments_docs", oracle=_seg_langid_oracle())
+def langid_segments_docs(sf_dir: str):
+    """Mixed-language document detection (the per-segment langid pass
+    CCNet runs per paragraph): tokenize once, langid the first and
+    second token halves independently, flag disagreement.  The oracle's
+    per-half stopword battery is GENERATED from the same STOPWORDS
+    table the Python path uses, so the two sides cannot drift.
+    Stateless streaming map."""
+    from document_ai_ray.stages.text_analysis import _WORD_RE, langid_words
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        p1, p2, mixed = [], [], []
+        for text in t.column("text").to_pylist():
+            words = _WORD_RE.findall(text.lower())
+            n = len(words)
+            a = langid_words(words[: n // 2])
+            b = langid_words(words[n // 2 :])
+            p1.append(a)
+            p2.append(b)
+            mixed.append(a != b)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pred_first": pa.array(p1, pa.string()),
+                "pred_second": pa.array(p2, pa.string()),
+                "mixed": pa.array(mixed),
+            }
+        )
+
+    return docs.map_batches(seg, batch_format="pyarrow")

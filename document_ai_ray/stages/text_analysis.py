@@ -565,3 +565,23 @@ def hll_distinct_words(ds) -> float:
     merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     final = [np.frombuffer(b["regs"], dtype=np.uint8) for b in merged.take_all()]
     return hll_estimate(hll_merge(final))
+
+
+def langid_words(words: list[str]) -> str:
+    """`langid_text`'s argmax over an already-tokenized word list —
+    the per-segment building block for mixed-language detection."""
+    if not words:
+        return "und"
+    counts: dict[str, int] = {}
+    get_langs = _SW_LANGS.get
+    for w in words:
+        langs = get_langs(w.lower())
+        if langs is not None:
+            for lang in langs:
+                counts[lang] = counts.get(lang, 0) + 1
+    best_lang, best_hits = "und", 0
+    for lang in _LANG_ORDER:
+        hits = counts.get(lang, 0)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
