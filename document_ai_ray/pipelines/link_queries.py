@@ -510,3 +510,55 @@ def feed_roundtrip(sf_dir: str):
         )
 
     return docs.map_batches(roundtrip, batch_format="pyarrow")
+
+
+@register(
+    "clustering_coeff_graph",
+    oracle="""
+WITH raw AS (
+  SELECT (doc_id * doc_id + doc_id) % 40 AS x, (doc_id * doc_id * 3 + 5) % 40 AS y
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 7 + 11) % 40, (doc_id * doc_id * 5 + doc_id * 2) % 40
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * doc_id * 7 + 1) % 40, (doc_id * 11 + doc_id * doc_id) % 40
+  FROM documents
+),
+e AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw WHERE x != y),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       GROUP BY 1)
+SELECT deg.node, deg.degree, COALESCE(tn.n_triangles, 0) AS n_triangles,
+       ROUND(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(tn.n_triangles, 0) / (deg.degree * (deg.degree - 1))
+                  ELSE 0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN tn USING (node)
+""",
+)
+def clustering_coeff_graph(sf_dir: str):
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the same derived
+    graph as `triangle_count_graph`: the wedge-closure substrate with
+    the apex carried, so each verified triangle credits all three
+    corners (stages/cluster.py `clustering_coefficient`).  Oracle
+    replays triangles-per-node with the 3-way self-join unnested to
+    corners."""
+    import numpy as np
+
+    from document_ai_ray.stages.cluster import clustering_coefficient
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xs = np.concatenate([(d * d + d) % 40, (d * 7 + 11) % 40, (d * d * 7 + 1) % 40])
+        ys = np.concatenate(
+            [(d * d * 3 + 5) % 40, (d * d * 5 + d * 2) % 40, (d * 11 + d * d) % 40]
+        )
+        return pa.table({"a": pa.array(xs), "b": pa.array(ys)})
+
+    return clustering_coefficient(docs.map_batches(derive, batch_format="pyarrow"))

@@ -1286,3 +1286,103 @@ def ship_delay_by_priority(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'doc_id_unique' AS rule,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'text_nonempty', CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lang_in_domain', CAST(SUM(CASE WHEN lang NOT IN ('de','en','es','fr','it','zh') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_matches_text', CAST(SUM(CASE WHEN n_chars != len(text) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_in_range', CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    """,
+)
+def data_quality_checks(sf_dir: str):
+    """Deequ-style data-quality constraint suite over the corpus table:
+    key uniqueness, non-emptiness, domain membership, derived-column
+    consistency (n_chars == len(text)) and range bounds — each rule a
+    per-batch vectorized violation COUNTER (combiner partials summed in
+    one tiny merge), uniqueness as count(*) − approx-free exact
+    distinct via the bucketed key-dedup census.  One scan for the four
+    row-local rules; one key-shuffle (hash-bucketed, count-only) for
+    uniqueness — nothing row-sized leaves a task."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    P = auto_buckets(docs.count())
+    domain = {"de", "en", "es", "fr", "it", "zh"}
+
+    def rowlocal(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang").to_pylist()
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        empty = sum(1 for x in texts if x is None or x == "")
+        bad_lang = sum(1 for x in langs if x not in domain)
+        tlen = np.fromiter((len(x or "") for x in texts), np.int64, len(texts))
+        mismatch = int((nch != tlen).sum())
+        out_of_range = int(((nch < 1) | (nch > 100000)).sum())
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["text_nonempty", "lang_in_domain", "n_chars_matches_text", "n_chars_in_range"],
+                    pa.string(),
+                ),
+                "n_violations": pa.array(
+                    [empty, bad_lang, mismatch, out_of_range], pa.int64()
+                ),
+            }
+        )
+
+    local = partial_group_agg(
+        docs.map_batches(rowlocal, batch_format="pyarrow"),
+        ["rule"],
+        {"n_violations": "n_violations"},
+    )
+
+    # uniqueness: per-bucket (count - distinct) over the key column only
+    def key_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "bucket": pa.array((k % P).astype(np.int32))}
+        )
+
+    def dup_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rule": pd.Series(["doc_id_unique"], dtype="object"),
+                "n_violations": pd.Series(
+                    [int(len(df) - df["doc_id"].nunique())], dtype="int64"
+                ),
+            }
+        )
+
+    uniq = partial_group_agg(
+        bucket_map_groups(
+            docs.select_columns(["doc_id"]).map_batches(key_bucket, batch_format="pyarrow"),
+            "bucket",
+            dup_count,
+            P,
+            batch_format="pandas",
+        ),
+        ["rule"],
+        {"n_violations": "n_violations"},
+    )
+
+    return local.union(uniq).select_columns(["rule", "n_violations"])

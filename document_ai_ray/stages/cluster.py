@@ -316,3 +316,140 @@ def triangle_count(
     for bt in counts.iter_batches(batch_format="pyarrow"):
         total += int(pc.sum(bt.column("n")).as_py() or 0)
     return total
+
+
+def clustering_coefficient(
+    edges: rd.Dataset, a_col: str = "a", b_col: str = "b", n_buckets: int | None = None
+) -> rd.Dataset:
+    """Per-node local clustering coefficient: cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), T(v) = triangles through v.  Same bucketed
+    wedge-closure substrate as `triangle_count`, with the wedge APEX
+    carried so each verified closure credits all three corners; node
+    degrees come from a combiner aggregate.  Returns (node, degree,
+    n_triangles, clustering_coeff ROUND 6)."""
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, partial_group_agg
+
+    P = n_buckets or auto_buckets(edges.count())
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b),
+             "bucket": pa.array(((a * 1000003 + b) % P).astype(np.int32))}
+        )
+
+    e = bucket_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"), "bucket",
+        lambda df: df.drop_duplicates(["a", "b"]), P, batch_format="pandas",
+    ).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t.column("a").to_numpy(zero_copy_only=False), t.column("b").to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    deg = partial_group_agg(
+        e.map_batches(node_partial, batch_format="pyarrow"), ["node"], count_alias="degree"
+    )
+
+    def add_low_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((a % P).astype(np.int32)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for v, g in df.groupby("a"):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"a": nb[i], "b": nb[j], "apex": int(v)}))
+        if not outs:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "apex": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucket_map_groups(
+        e.map_batches(add_low_bucket, batch_format="pyarrow"), "bucket", wedges, P,
+        batch_format="pandas",
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"]).append_column(
+            "apex", pa.array(np.full(len(t), -1, np.int64))
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(((a * 1000003 + b) % P).astype(np.int32)))
+
+    def close_credit(df: pd.DataFrame) -> pd.DataFrame:
+        edges_set = df[df["apex"] == -1][["a", "b"]].drop_duplicates()
+        cands = df[df["apex"] != -1]
+        hit = cands.merge(edges_set, on=["a", "b"])
+        if hit.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        nodes = np.concatenate(
+            [hit["apex"].to_numpy(), hit["a"].to_numpy(), hit["b"].to_numpy()]
+        )
+        return pd.DataFrame({"node": nodes.astype(np.int64)})
+
+    unioned = e.map_batches(tag_edges, batch_format="pyarrow").union(cand)
+    tri_nodes = bucket_map_groups(
+        unioned.map_batches(pair_bucket, batch_format="pyarrow"), "bucket", close_credit, P,
+        batch_format="pandas",
+    )
+    tri = partial_group_agg(tri_nodes, ["node"], count_alias="n_triangles")
+
+    # node-keyed merge of two node-cardinality tables
+    P2 = auto_buckets(deg.count())
+
+    def nb2(t: pa.Table) -> pa.Table:
+        k = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((k % P2).astype(np.int32)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).agg(
+            degree=("degree", "sum"), n_triangles=("n_triangles", "sum")
+        )
+        d = g["degree"].to_numpy(np.float64)
+        t_ = g["n_triangles"].to_numpy(np.float64)
+        cc = np.where(d >= 2, 2.0 * t_ / np.maximum(d * (d - 1), 1.0), 0.0)
+        g["clustering_coeff"] = np.copysign(np.floor(np.abs(cc) * 1e6 + 0.5), cc) / 1e6
+        g["degree"] = g["degree"].astype(np.int64)
+        g["n_triangles"] = g["n_triangles"].astype(np.int64)
+        return g[["node", "degree", "n_triangles", "clustering_coeff"]]
+
+    both = (
+        deg.map_batches(
+            lambda t: t.append_column("n_triangles", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow",
+        ).union(
+            tri.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "degree": pa.array(np.zeros(len(t), np.int64)),
+                        "n_triangles": t.column("n_triangles"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    )
+    return bucket_map_groups(
+        both.map_batches(nb2, batch_format="pyarrow"), "bucket", finish, P2,
+        batch_format="pandas",
+    )

@@ -187,3 +187,29 @@ def test_triangle_count_crafted_and_random(ray_session):
         pa.table({"a": [e[0] for e in rnd], "b": [e[1] for e in rnd]})
     )
     assert triangle_count(ds2) == brute(rnd)
+
+
+def test_clustering_coefficient_crafted(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.cluster import clustering_coefficient
+
+    # K4 plus a pendant node 4 attached to node 0
+    edges = list(itertools.combinations(range(4), 2)) + [(0, 4)]
+    ds = rd.from_arrow(pa.table({"a": [e[0] for e in edges], "b": [e[1] for e in edges]}))
+    df = clustering_coefficient(ds).to_pandas().set_index("node").sort_index()
+    # nodes 1-3: degree 3 inside K4, all pairs of neighbors connected -> cc 1
+    for v in (1, 2, 3):
+        assert df.loc[v, "degree"] == 3
+        assert df.loc[v, "n_triangles"] == 3
+        assert df.loc[v, "clustering_coeff"] == 1.0
+    # node 0: degree 4 (K4 + pendant), still 3 triangles -> 2*3/(4*3) = 0.5
+    assert df.loc[0, "degree"] == 4
+    assert df.loc[0, "clustering_coeff"] == 0.5
+    # pendant: degree 1 -> 0 by convention
+    assert df.loc[4, "degree"] == 1
+    assert df.loc[4, "clustering_coeff"] == 0.0
