@@ -757,3 +757,35 @@ def media_audio_dup_pairs(sf_dir: str):
         cand.map_batches(add_bucket, batch_format="pandas"), "bucket", verify, P2,
         batch_format="pandas",
     )
+
+
+@register("media_phash_dedup_keep")
+def media_phash_dedup_keep(sf_dir: str):
+    """End-to-end IMAGE dedup, the full text-side recipe transplanted
+    to pixels: pHash near-dup pairs (banding + Hamming verify) ->
+    distributed connected components (min-label propagation,
+    stages/cluster.py) -> keep the canonical (lowest-id) member per
+    cluster.  Rows-only; self-evidencing: with 60 bases x 4
+    perceptually-equal variants and full pair recall, exactly the 60
+    variant-0 images survive — kept, cluster size and base id ride
+    along, asserted in tests/test_phash.py."""
+    import pyarrow.compute as pc
+
+    from document_ai_ray.stages.cluster import connected_components
+
+    pairs = media_phash_dup_pairs(sf_dir).materialize()  # pair-set-sized
+    clusters = connected_components(pairs, id_a="id_a", id_b="id_b")
+
+    def keep_flag(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": t.column("node"),
+                "cluster_id": t.column("cluster_id"),
+                "base_id": pa.array(node // 4, pa.int64()),
+                "kept": pa.array(node == cid),
+            }
+        )
+
+    return clusters.map_batches(keep_flag, batch_format="pyarrow")

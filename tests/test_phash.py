@@ -103,3 +103,19 @@ def test_media_phash_dup_pairs_full_recall_zero_noise():
     assert (t["id_a"] // 4).equals(t["id_b"] // 4)
     per_base = t.groupby(a // 4).size()
     assert (per_base == 6).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_phash_dedup_keep_one_per_base():
+    from document_ai_ray.pipelines.media_queries import (
+        N_PHASH_BASES,
+        media_phash_dedup_keep,
+    )
+
+    t = media_phash_dedup_keep("unused").to_pandas()
+    assert len(t) == N_PHASH_BASES * 4  # every image is clustered
+    kept = t[t["kept"]]
+    assert len(kept) == N_PHASH_BASES  # exactly one survivor per base
+    assert (kept["media_id"] % 4 == 0).all()  # the lowest-id variant
+    # cluster == base (full recall, zero cross-base merges)
+    assert (t["cluster_id"] // 4).equals(t["base_id"])
