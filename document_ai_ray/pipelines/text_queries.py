@@ -1517,3 +1517,144 @@ def langid_segments_docs(sf_dir: str):
         )
 
     return docs.map_batches(seg, batch_format="pyarrow")
+
+
+_KEY_K = 10
+
+_KEYNESS_ORACLE = r"""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT source, word FROM w WHERE word != ''),
+c AS (SELECT source, word, CAST(COUNT(*) AS DOUBLE) AS a FROM w2 GROUP BY 1, 2),
+ws AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM w2 GROUP BY 1),
+wt AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS nw FROM w2 GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w2),
+g AS (SELECT c.source, c.word, c.a,
+             wt.nw - c.a AS b, ws.ns - c.a AS cc, tot.n - wt.nw - ws.ns + c.a AS d,
+             wt.nw, ws.ns, tot.n
+      FROM c JOIN ws USING (source) JOIN wt USING (word) CROSS JOIN tot),
+s AS (SELECT source, word, a,
+        2 * ((CASE WHEN a > 0 THEN a * ln(a * n / (nw * ns)) ELSE 0 END)
+           + (CASE WHEN b > 0 THEN b * ln(b * n / (nw * (n - ns))) ELSE 0 END)
+           + (CASE WHEN cc > 0 THEN cc * ln(cc * n / ((n - nw) * ns)) ELSE 0 END)
+           + (CASE WHEN d > 0 THEN d * ln(d * n / ((n - nw) * (n - ns))) ELSE 0 END)) AS g2
+      FROM g),
+r AS (SELECT source, word, CAST(a AS BIGINT) AS n_in_source, ROUND(g2, 6) AS g2,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY ROUND(g2, 6) DESC, word) AS rn
+      FROM s)
+SELECT source, word, n_in_source, g2 FROM r WHERE rn <= 10
+"""
+
+
+@register("keyness_terms_by_source", oracle=_KEYNESS_ORACLE)
+def keyness_terms_by_source(sf_dir: str):
+    """DISTINCTIVE terms per source by Dunning log-likelihood keyness
+    (G² over the word-in-source 2×2 contingency) — the corpus-
+    linguistics op behind per-domain keyword profiles.  Distributed
+    shape: bucketed (source, word) count COMBINER, vocab-sized word
+    totals + tiny per-source totals broadcast, per-bucket vectorized G²
+    with a per-source local top-k prune (a global top-k row is top-k
+    in its bucket), one small final sort.  The G² expression keeps
+    identical associativity on both sides; ordering uses the ROUNDED
+    score so the cut line is engine-robust."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, get_broadcast
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        src_col = t.column("source").to_numpy(zero_copy_only=False)
+        srcs, words, ns_ = [], [], []
+        for src in np.unique(src_col):
+            sub = t.filter(pa.array(src_col == src))
+            g = word_value_counts(sub.column("text"))
+            srcs.extend([str(src)] * len(g))
+            words.extend(g.column("word").to_pylist())
+            ns_.extend(g.column("n").to_pylist())
+        bucket = pa.array([crc_bucket(w, P) for w in words], pa.int32())
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(ns_, pa.int64()),
+                "bucket": bucket,
+            }
+        )
+
+    def bucket_sum(df):
+        return df.groupby(["source", "word"], as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        bucket_sum,
+        P,
+        batch_format="pandas",
+    ).materialize()  # consumed by totals AND scoring
+
+    nw: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for s_, w_, n_ in zip(
+            b.column("source").to_pylist(), b.column("word").to_pylist(), b.column("n").to_pylist()
+        ):
+            nw[w_] = nw.get(w_, 0) + n_
+            ns[s_] = ns.get(s_, 0) + n_
+    n_total = float(sum(ns.values()))
+    ref = ray.put((nw, ns, n_total))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nw_, ns_, n = get_broadcast((ref,), tag="keyness_totals")
+        a = df["n"].to_numpy(np.float64)
+        w_tot = df["word"].map(nw_).to_numpy(np.float64)
+        s_tot = df["source"].map(ns_).to_numpy(np.float64)
+        b = w_tot - a
+        cc = s_tot - a
+        d = n - w_tot - s_tot + a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(a > 0, a * np.log(a * n / (w_tot * s_tot)), 0.0)
+            tb = np.where(b > 0, b * np.log(b * n / (w_tot * (n - s_tot))), 0.0)
+            tc = np.where(cc > 0, cc * np.log(cc * n / ((n - w_tot) * s_tot)), 0.0)
+            td = np.where(d > 0, d * np.log(d * n / ((n - w_tot) * (n - s_tot))), 0.0)
+        g2 = 2 * (ta + tb + tc + td)
+        g2 = np.copysign(np.floor(np.abs(g2) * 1e6 + 0.5), g2) / 1e6
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "word": df["word"].to_numpy(),
+                "n_in_source": df["n"].to_numpy(np.int64),
+                "g2": g2,
+            }
+        )
+        out = out.sort_values(["source", "g2", "word"], ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby("source", as_index=False).head(_KEY_K)
+
+    # re-bucket for scoring: any bucketing works for the local prune,
+    # keep the word hash so bucket contents match the merged counts
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [crc_bucket(w, P) for w in df["word"]]
+        return df
+
+    candidates = bucket_map_groups(
+        counts.map_batches(rebucket, batch_format="pandas"), "bucket", score, P,
+        batch_format="pandas",
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "g2", "word"], ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("source", as_index=False).head(_KEY_K)
+
+    return candidates.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
