@@ -817,3 +817,145 @@ def approx_distinct_users_by_type(sf_dir: str):
             "rel_err": pa.array(rel, pa.float64()),
         }
     )
+
+
+@register(
+    "rank_dense_rank_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY l_bucket) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY l_bucket) AS BIGINT) AS drnk
+    FROM (SELECT o_orderkey, o_orderpriority,
+                 CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS l_bucket
+          FROM orders)
+    """,
+)
+def rank_dense_rank_orders(sf_dir: str):
+    """Tie-aware RANK and DENSE_RANK (completing the window family
+    next to ROW_NUMBER / NTILE / PERCENT_RANK): prices are bucketed to
+    10k bands so ties genuinely exist, then
+      RANK  = 1 + min ROW_NUMBER among equal values,
+      DENSE = 1 + the value's position among the group's DISTINCT
+              values,
+    both computed on the scale-safe exact-rank substrate: one
+    `with_group_ranks` pass over the rows gives ROW_NUMBERs, a
+    (group, value) REDUCTION (combiner min) gives per-value first
+    ranks, a second `with_group_ranks` over that distinct-value table
+    gives dense positions, and one bucketed join ships the two
+    value-keyed columns back to the rows — no task ever holds a whole
+    partition."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        partial_group_agg,
+        with_group_ranks,
+    )
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "v": pa.array((p / 10000).astype(np.int64)),
+            }
+        )
+
+    rows = with_group_ranks(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "o_orderpriority",
+        ["v", "o_orderkey"],
+    )
+
+    # per (group, value): min row_number  (combiner-friendly)
+    def min_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_orderpriority", "v"], as_index=False)["__rank"].min()
+        return pa.Table.from_pandas(g.rename(columns={"__rank": "minr"}), preserve_index=False)
+
+    P = auto_buckets(ds.count())
+
+    def gv_bucket_pd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [
+            crc_bucket(f"{s}\x1f{v}", P) for s, v in zip(df["o_orderpriority"], df["v"])
+        ]
+        return df
+
+    firsts = bucket_map_groups(
+        rows.map_batches(min_partial, batch_format="pyarrow").map_batches(
+            gv_bucket_pd, batch_format="pandas"
+        ),
+        "bucket",
+        lambda df: df.groupby(["o_orderpriority", "v"], as_index=False)["minr"].min(),
+        P,
+        batch_format="pandas",
+    ).materialize()  # distinct-value table: one per (group, band)
+
+    # dense position = rank of the value within the group's distinct set
+    dense = with_group_ranks(firsts, "o_orderpriority", ["v"])
+
+    def dense_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "v": t.column("v"),
+                "minr": t.column("minr"),
+                "dpos": t.column("__rank"),
+            }
+        )
+
+    lookup = dense.map_batches(dense_cols, batch_format="pyarrow")
+
+    # bucketed join: value-keyed (minr, dpos) back onto the rows
+    def tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "v": t.column("v"),
+                "o_orderkey": t.column("o_orderkey"),
+                "minr": pa.array(np.full(len(t), -1, np.int64)),
+                "dpos": pa.array(np.full(len(t), -1, np.int64)),
+            }
+        )
+
+    def tag_lookup(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "v": t.column("v"),
+                "o_orderkey": pa.array(np.full(len(t), -1, np.int64)),
+                "minr": t.column("minr"),
+                "dpos": t.column("dpos"),
+            }
+        )
+
+    unioned = rows.map_batches(tag_rows, batch_format="pyarrow").union(
+        lookup.map_batches(tag_lookup, batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lk = df[df["o_orderkey"] == -1][["o_orderpriority", "v", "minr", "dpos"]]
+        rw = df[df["o_orderkey"] != -1][["o_orderpriority", "v", "o_orderkey"]]
+        m = rw.merge(lk, on=["o_orderpriority", "v"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "o_orderpriority": m["o_orderpriority"].to_numpy(),
+                "rnk": (m["minr"].to_numpy(np.int64) + 1),
+                "drnk": (m["dpos"].to_numpy(np.int64) + 1),
+            }
+        )
+
+    return bucket_map_groups(
+        unioned.map_batches(gv_bucket_pd, batch_format="pandas"), "bucket", join_bucket, P,
+        batch_format="pandas",
+    )
