@@ -959,3 +959,102 @@ def rank_dense_rank_orders(sf_dir: str):
         unioned.map_batches(gv_bucket_pd, batch_format="pandas"), "bucket", join_bucket, P,
         batch_format="pandas",
     )
+
+
+@register(
+    "first_last_value_orders",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_order,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def first_last_value_orders(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per customer (each customer's first and
+    latest order under a pinned unique ordering) — one vectorized
+    per-bucket sort + group first/last, the LAG shape with endpoint
+    aggregation instead of a shift.  DISTINCT on both sides collapses
+    the per-row window to one row per customer."""
+    import numpy as np
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def fl_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        gb = g.groupby("o_custkey", as_index=False)
+        first = gb.first()
+        last = gb.last()
+        fp = first["o_totalprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_custkey": first["o_custkey"].to_numpy(),
+                "first_order": first["o_orderkey"].to_numpy(np.int64),
+                "last_order": last["o_orderkey"].to_numpy(np.int64),
+                "first_price": np.copysign(np.floor(np.abs(fp) * 100 + 0.5), fp) / 100,
+            }
+        )
+
+    def cust_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((k % P_BUCKETS).astype(np.int32)))
+
+    return (
+        ds.map_batches(cust_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: fl_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+@register(
+    "event_transitions_markov",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS next_type
+               FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions_markov(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences (the clickstream transition-matrix op): hash-bucket
+    users, ONE vectorized per-bucket sort + shift to pair each event
+    with its successor, then the combiner aggregate over the tiny
+    (type, next_type) domain.  Unique (ts, event_id) ordering pins
+    successor choice identically on both sides."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g["event_type"].shift(-1)
+        same_user = g["user_id"].shift(-1) == g["user_id"]
+        keep = same_user.to_numpy()
+        out = pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy()[keep], "next_type": nxt.to_numpy()[keep]}
+        )
+        return out.groupby(["event_type", "next_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    bucketed = (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: trans_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+    return partial_group_agg(
+        bucketed, ["event_type", "next_type"], {"n": "n"}
+    ).select_columns(["event_type", "next_type", "n"])
