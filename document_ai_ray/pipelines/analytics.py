@@ -1058,3 +1058,62 @@ def event_transitions_markov(sf_dir: str):
     return partial_group_agg(
         bucketed, ["event_type", "next_type"], {"n": "n"}
     ).select_columns(["event_type", "next_type", "n"])
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+    j AS (SELECT e.user_id,
+                 date_trunc('day', f.first_ts) AS cohort_day,
+                 date_diff('day', date_trunc('day', f.first_ts),
+                           date_trunc('day', e.ts)) AS days_since
+          FROM events e JOIN f USING (user_id))
+    SELECT CAST(strftime(cohort_day, '%Y-%m-%d') AS VARCHAR) AS cohort,
+           CAST(days_since AS BIGINT) AS days_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(sf_dir: str):
+    """Retention cohort matrix (the product-analytics staple): users
+    cohorted by first-event DAY (the synthetic corpus spans one
+    month), counted distinct on every later day.  Distributed shape:
+    per-user first-event via a bucketed MIN combiner; events re-join
+    their user's cohort in the SAME user bucket (one shuffle serves
+    both); day arithmetic vectorized on epoch days; the distinct-user
+    count per (cohort, days_since) dedupes INSIDE the user bucket (a
+    user lives in exactly one bucket, so local distinct is global)
+    and sums tiny partials."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]")
+        days = ts.astype("datetime64[D]").astype(np.int64)  # epoch days
+        users = g["user_id"].to_numpy(np.int64)
+        first = pd.DataFrame({"u": users, "d": days}).groupby("u")["d"].min()
+        cohort = first.loc[users].to_numpy(np.int64)
+        since = days - cohort
+        trip = pd.DataFrame({"c": cohort, "s": since, "u": users}).drop_duplicates()
+        out = trip.groupby(["c", "s"], as_index=False).size()
+        cd = out["c"].to_numpy(np.int64).astype("datetime64[D]")
+        return pd.DataFrame(
+            {
+                "cohort": np.datetime_as_string(cd, unit="D"),
+                "days_since": out["s"].to_numpy(np.int64),
+                "n_active": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    bucketed = (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: cohort_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+    return partial_group_agg(
+        bucketed, ["cohort", "days_since"], {"n_active": "n_active"}
+    ).select_columns(["cohort", "days_since", "n_active"])
