@@ -1658,3 +1658,157 @@ def keyness_terms_by_source(sf_dir: str):
     return candidates.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
     )
+
+
+_HEAPS_K = 8
+
+_HEAPS_ORACLE = f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+cp AS (SELECT CAST(CEIL(nd.n_docs * t.k / {_HEAPS_K}.0) AS BIGINT) AS c
+       FROM nd, UNNEST(generate_series(1, {_HEAPS_K})) AS t(k)),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT doc_id, word FROM w WHERE word != ''),
+m AS (SELECT word, MIN(doc_id) AS first_doc FROM w2 GROUP BY 1)
+SELECT cp.c AS checkpoint_docs,
+       CAST((SELECT COUNT(*) FROM w2 WHERE doc_id < cp.c) AS BIGINT) AS n_tokens,
+       CAST((SELECT COUNT(*) FROM m WHERE first_doc < cp.c) AS BIGINT) AS n_distinct
+FROM cp
+"""
+
+
+@register("heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def heaps_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (distinct words vs tokens at
+    8 corpus checkpoints) — the corpus statistic tokenizer sizing and
+    dedup-health monitoring read.  Exact at every checkpoint WITHOUT
+    rescanning per checkpoint: one bucketed MIN-combiner gives each
+    word's first doc, one streaming pass gives per-checkpoint token
+    counts (vectorized against all checkpoints at once), and the
+    distinct counts fall out of a histogram over first-doc — two
+    scans total for all 8 points."""
+    import numpy as np
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    cps = np.array(
+        [int(np.ceil(n_docs * k / float(_HEAPS_K))) for k in range(1, _HEAPS_K + 1)],
+        np.int64,
+    )
+    P = auto_buckets(n_docs)
+
+    def word_first_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lists = pc.split_pattern(t.column("text"), " ")
+        n_per = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = np.repeat(ids, n_per)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep).to_pandas()
+        rows = rows[keep.to_numpy(zero_copy_only=False)]
+        g = pd.DataFrame({"word": words, "first_doc": rows}).groupby("word", as_index=False)[
+            "first_doc"
+        ].min()
+        g["bucket"] = [crc_bucket(w, P) for w in g["word"]]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_min(df):
+        return df.groupby("word", as_index=False)["first_doc"].min()
+
+    firsts = bucket_map_groups(
+        docs.map_batches(word_first_partial, batch_format="pyarrow"),
+        "bucket",
+        bucket_min,
+        P,
+        batch_format="pandas",
+    )
+
+    # histogram of first-doc against the checkpoints (tiny partials)
+    def first_hist(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").to_numpy(zero_copy_only=False)
+        counts = (fd[None, :] < cps[:, None]).sum(axis=1)
+        return pa.table(
+            {"k": pa.array(range(_HEAPS_K)), "n_distinct": pa.array(counts, pa.int64())}
+        )
+
+    def token_hist(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column("text"), " ")
+        n_per = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # empties must not count: per-row non-empty token counts
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = np.repeat(np.arange(len(ids)), n_per)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        per_row = np.bincount(rows[nonempty], minlength=len(ids)).astype(np.int64)
+        counts = ((ids[None, :] < cps[:, None]) * per_row[None, :]).sum(axis=1)
+        return pa.table(
+            {"k": pa.array(range(_HEAPS_K)), "n_tokens": pa.array(counts, pa.int64())}
+        )
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    dist = partial_group_agg(
+        firsts.map_batches(first_hist, batch_format="pyarrow"), ["k"], {"n_distinct": "n_distinct"}
+    ).to_pandas()
+    toks = partial_group_agg(
+        docs.map_batches(token_hist, batch_format="pyarrow"), ["k"], {"n_tokens": "n_tokens"}
+    ).to_pandas()
+    merged = toks.merge(dist, on="k").sort_values("k")
+    return pa.table(
+        {
+            "checkpoint_docs": pa.array(cps, pa.int64()),
+            "n_tokens": pa.array(merged["n_tokens"].to_numpy(), pa.int64()),
+            "n_distinct": pa.array(merged["n_distinct"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+_ZIPF_N = 50
+
+_ZIPF_ORACLE = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk FROM c)
+SELECT ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM r WHERE rnk <= {_ZIPF_N}
+"""
+
+
+@register("zipf_slope_vocab", oracle=_ZIPF_ORACLE)
+def zipf_slope_vocab(sf_dir: str):
+    """Zipf rank-frequency fit: least-squares slope of ln(freq) vs
+    ln(rank) over the top-{N} vocabulary (the corpus-health statistic —
+    natural text sits near −1; the synthetic near-uniform vocab is much
+    flatter, and the value itself is the oracle-checked output).
+    Distributed part = the exact bucketed heavy-hitter reduction of
+    `vocab_top_words`; the fit is O(N) driver arithmetic written as
+    cov/var exactly like SQL's regr_slope."""
+    import math
+
+    top = vocab_top_words(sf_dir).to_pandas()  # already globally sorted
+    top = top.head(_ZIPF_N)
+    n = len(top)
+    xs = [math.log(r) for r in range(1, n + 1)]
+    ys = [math.log(float(v)) for v in top["n"]]
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    var = sum((x - mx) ** 2 for x in xs) / n
+    slope = cov / var
+    slope = math.copysign(math.floor(abs(slope) * 1e6 + 0.5), slope) / 1e6
+    return pa.table(
+        {
+            "zipf_slope": pa.array([slope], pa.float64()),
+            "n_words": pa.array([n], pa.int64()),
+        }
+    )
