@@ -1386,3 +1386,101 @@ def data_quality_checks(sf_dir: str):
     )
 
     return local.union(uniq).select_columns(["rule", "n_violations"])
+
+
+@register(
+    "q5_local_supplier_revenue",
+    # TPC-H Q5 shape adapted to this schema: revenue per customer
+    # nation where the supplying nation matches, one region, bounded
+    # order dates
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 (local supplier volume), the canonical multiway-join
+    benchmark query, in the engine's join-planning idiom: the THREE
+    dimension tables (region -> nation -> supplier/customer maps) fold
+    into broadcast lookups built once on the driver — only dimension
+    keys ship — while the two FACT tables meet in one hash-partitioned
+    shuffle join; the local-supplier predicate (s_nationkey =
+    c_nationkey) and the region/date filters apply vectorized before
+    the combiner aggregate, so filtered rows never reach the shuffle
+    output."""
+    import numpy as np
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast
+
+    # dimension maps (driver-side: region+nation are tens of rows;
+    # supplier/customer nation maps are key->int dicts — broadcast)
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"])
+    nat_in_asia = nat[nat["n_regionkey"].isin(asia)]
+    nation_name = dict(zip(nat_in_asia["n_nationkey"], nat_in_asia["n_name"]))
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    c_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    dims_ref = ray.put((nation_name, s_nation, c_nation))
+
+    import datetime
+
+    # date predicate pushed into the parquet read (row-group pruning)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= datetime.datetime(1997, 1, 1)),
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    joined = large_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+
+    def score(t: pa.Table, _ref=(dims_ref,)) -> pa.Table:
+        import pandas as pd
+
+        nn, sn, cn = get_broadcast(_ref, tag="q5_dims")
+        sk = t.column("l_suppkey").to_pylist()
+        ck = t.column("o_custkey").to_pylist()
+        s_nat = pd.Series(sk).map(sn).to_numpy()
+        c_nat = pd.Series(ck).map(cn).to_numpy()
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        names = pd.Series(c_nat[keep]).map(nn)
+        in_region = names.notna().to_numpy()
+        rev = (price[keep] * (1 - disc[keep]))[in_region]
+        return pa.table(
+            {
+                "n_name": pa.array(names[in_region].to_numpy(), pa.string()),
+                "rev": pa.array(rev, pa.float64()),
+            }
+        )
+
+    agg = partial_group_agg(
+        joined.map_batches(score, batch_format="pyarrow"), ["n_name"], {"rev": "revenue"},
+        count_alias="n_items",
+    )
+    return agg.map_batches(lambda t: round_cols(t, {"revenue": 2}), batch_format="pyarrow").select_columns(
+        ["n_name", "revenue", "n_items"]
+    )
