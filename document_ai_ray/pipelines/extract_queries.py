@@ -48,13 +48,78 @@ def extract_validated_count(sf_dir: str):
     return merge_partials(partials, keys=["lang"], agg_funcs={"n_docs": "sum"})
 
 
-@register("extract_flagship_full")
+# The flagship's oracle EVALUATES the validator spec in SQL (r3 verdict
+# #5): byte-identity (extracted_text = text), the evidence-gated
+# stopword-argmax langid (same tables as langid_docs, plus the >= 15
+# whitespace-token gate from html_extract.py), and the validator rule
+# battery (validate.py) replayed over the documents table.  On wrapped
+# pages the charset/parse/readability rules pass and no labeled fields
+# or byline exist BY CONSTRUCTION of the wrapper (synth.py
+# wrap_documents_batch: one <main><p> plus link-only chrome), so the
+# field causes are constants of the wrapper spec; too_short /
+# extracted_text_is_empty / lang_mismatch are live rules the SQL
+# evaluates per row.
+_FLAGSHIP_ORACLE = r"""
+    WITH w AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '\p{L}+'))) AS w FROM documents),
+    st AS (SELECT doc_id,
+                  SUM(CASE WHEN w IN ('am','auf','bei','das','dem','den','der','des','die','ein','eine','einen','für','im','ist','mit','nach','sind','und','von','wo','während','zu','über') THEN 1 ELSE 0 END) AS h_de,
+                  SUM(CASE WHEN w IN ('a','about','across','an','and','are','as','at','be','by','for','from','in','is','it','near','not','of','on','or','over','that','the','this','to','toward','was','where','while','with') THEN 1 ELSE 0 END) AS h_en,
+                  SUM(CASE WHEN w IN ('al','con','de','del','donde','el','en','es','hacia','la','las','los','mientras','para','por','que','se','sobre','son','su','un','una','y') THEN 1 ELSE 0 END) AS h_es,
+                  SUM(CASE WHEN w IN ('au','aux','avec','ce','cette','dans','de','des','du','elle','est','et','il','la','le','les','où','par','pendant','pour','que','qui','sont','sur','un','une','vers') THEN 1 ELSE 0 END) AS h_fr,
+                  SUM(CASE WHEN w IN ('che','con','dei','del','della','delle','di','dove','e','gli','i','il','in','la','le','lo','mentre','per','sono','sopra','su','un','una','verso','è') THEN 1 ELSE 0 END) AS h_it
+           FROM w GROUP BY doc_id),
+    g AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_it) AS g FROM st),
+    p AS (SELECT doc_id,
+                 CASE WHEN g = 0 THEN 'und' WHEN h_de = g THEN 'de' WHEN h_en = g THEN 'en' WHEN h_es = g THEN 'es' WHEN h_fr = g THEN 'fr' ELSE 'it' END AS pl
+          FROM g),
+    pred AS (SELECT d.doc_id,
+                    CASE WHEN LENGTH(regexp_extract_all(d.text, '\S+')) >= 15
+                         THEN COALESCE(p.pl, 'und') ELSE 'und' END AS pred_lang
+             FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id),
+    rows_ AS (SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) AS url,
+                     d.lang AS lang,
+                     'text/html' AS content_type,
+                     d.text AS extracted_text,
+                     pr.pred_lang AS pred_lang,
+                     CASE WHEN d.text = '' THEN 'extracted_text_is_empty,'
+                          WHEN LENGTH(d.text) < 50 THEN 'too_short,' ELSE '' END
+                     || 'title_is_not_filled,author_is_not_filled,date_is_not_filled,reference_is_not_filled,contact_is_not_present,byline_is_not_present'
+                     || CASE WHEN pr.pred_lang <> 'und' AND pr.pred_lang <> d.lang
+                             THEN ',lang_mismatch' ELSE '' END AS causes
+              FROM documents d JOIN pred pr ON d.doc_id = pr.doc_id)
+    SELECT url, lang, content_type, extracted_text, pred_lang, causes,
+           causes = '' AS validated
+    FROM rows_
+"""
+
+
+@register("extract_flagship_full", oracle=_FLAGSHIP_ORACLE)
 def extract_flagship_full(sf_dir: str):
-    """Full validated extraction output (rows-only check: nested
-    blocks/quality/causes columns have no SQL analogue)."""
+    """The headline pipeline, oracle-checked (r3 verdict #5): the FULL
+    wrap -> normalize -> parse -> segment -> score -> extract ->
+    classify -> validate chain runs, then the scalar per-row view
+    (byte-exact text, pred_lang, refused-cause list as CSV, validated)
+    is hash-compared against the SQL replay of the validator spec."""
     from document_ai_ray.pipelines.extract import flagship
 
-    return flagship(sf_dir)
+    def project(t: pa.Table) -> pa.Table:
+        causes = pa.array(
+            [",".join(c) for c in t.column("refused_causes").to_pylist()], pa.string()
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("url"),
+                t.column("lang"),
+                t.column("content_type"),
+                t.column("extracted_text"),
+                t.column("pred_lang"),
+                causes,
+                t.column("validated"),
+            ],
+            names=["url", "lang", "content_type", "extracted_text", "pred_lang", "causes", "validated"],
+        )
+
+    return flagship(sf_dir).map_batches(project, batch_format="pyarrow")
 
 
 @register(

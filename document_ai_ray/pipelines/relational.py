@@ -654,12 +654,45 @@ def orders_sample_systematic(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
-@register("orders_sample_random")
+# Bernoulli(p) by hash threshold (the md5-threshold technique proven
+# by sample_docs_weighted): u = first 8 md5 hex chars of key||seed,
+# keep iff u < p * 2^32.  8-char hex strings compare lexicographically
+# exactly as their integers, so both sides do the same comparison.
+_RSAMPLE_SEED = "rsample-r4"
+_RSAMPLE_THRESH = int(0.1 * (1 << 32))  # p = 0.1
+
+
+@register(
+    "orders_sample_random",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '-{_RSAMPLE_SEED}'), 1, 8)
+          < lpad(lower(to_hex({_RSAMPLE_THRESH})), 8, '0')
+    """,
+)
 def orders_sample_random(sf_dir: str):
-    """Seeded fractional random sample via Dataset.random_sample
-    (rows-only: the sampler's RNG is engine-specific)."""
+    """Seeded Bernoulli(0.1) random sample, oracle-promoted (r3 verdict
+    #9): per-key md5 hash compared against the probability threshold —
+    uniform, reproducible across engines/runs (no RNG state), and a
+    pure per-batch filter (no shuffle), unlike Dataset.random_sample
+    whose block-level RNG is engine-specific."""
+    import hashlib
+
+    import numpy as np
+
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return ds.random_sample(0.1, seed=42)
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = np.array(
+            [
+                int(hashlib.md5(f"{k}-{_RSAMPLE_SEED}".encode()).hexdigest()[:8], 16)
+                for k in t.column("o_orderkey").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return t.filter(pa.array(u < _RSAMPLE_THRESH))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 @register(
@@ -792,13 +825,25 @@ def range_join_price_bands(sf_dir: str):
     """,
 )
 def full_outer_join_sides(sf_dir: str):
-    """FULL OUTER join (both-sides-large, hash-partitioned): urgent
-    orders' customer keys ⟗ BUILDING-segment customers — both inputs
-    are filtered subsets, so each side genuinely has unmatched rows.
-    The left side is pre-aggregated by the combiner pattern BEFORE the
-    shuffle (orders collapse to one row per customer), and the output
-    is the per-side row/order census, so nothing row-sized survives
-    the final merge."""
+    """FULL OUTER join semantics (both-sides-large) WITHOUT Ray's native
+    hash-shuffle join: urgent orders' customer keys ⟗ BUILDING-segment
+    customers, reported as a per-side key/order census.
+
+    The r3 verdict flagged the previous `Dataset.join(join_type=
+    "full_outer")` plan as non-deterministic under the driver (the same
+    hash-shuffle machinery that hangs with groupby in this Ray build),
+    so the query now rides the engine's proven shape: tag each side,
+    union, hash-bucket on the key (disjoint key groups per bucket), and
+    classify per key inside the bucket with one vectorized pandas pass
+    — exactly the `set_op_keys` pattern (ops.py) extended with the
+    left's order counts.  Left rows are pre-collapsed by the combiner
+    (one row per customer) before the exchange; each bucket emits at
+    most 3 census rows, so the final merge sees n_buckets×3 rows."""
+    import numpy as np
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
     orders = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
         filter=(pc.field("o_orderpriority") == "1-URGENT"),
@@ -807,40 +852,69 @@ def full_outer_join_sides(sf_dir: str):
     cust = read_table(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
         filter=(pc.field("c_mktsegment") == "BUILDING"),
-    ).select_columns(["c_custkey"]).map_batches(
-        # Ray's join coalesces the key columns, so side-presence must be
-        # carried by a non-key marker on each side (n_ord is the left's)
-        lambda t: t.append_column("r_flag", pa.array([1] * len(t), pa.int8())),
-        batch_format="pyarrow",
-    )
-    joined = left.join(
-        cust,
-        join_type="full_outer",
-        num_partitions=8,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    ).select_columns(["c_custkey"])
+    n_buckets = auto_buckets(cust.count())
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_ord = (
+                t.column("n_ord").to_numpy(zero_copy_only=False).astype(np.int64)
+                if side == 0
+                else np.zeros(len(t), np.int64)
+            )
+            bk = (k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "n_ord": pa.array(n_ord, pa.int64()),
+                    "side": pa.array(np.full(len(t), side, np.int8)),
+                    "bk": pa.array(bk.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    union = left.map_batches(tag(0, "o_custkey"), batch_format="pyarrow").union(
+        cust.map_batches(tag(1, "c_custkey"), batch_format="pyarrow")
     )
 
-    def classify(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        has_l = pc.is_valid(t.column("n_ord")).to_numpy(zero_copy_only=False)
-        has_r = pc.is_valid(t.column("r_flag")).to_numpy(zero_copy_only=False)
-        side = np.where(~has_l, "right_only", np.where(~has_r, "left_only", "both"))
-        n_ord = t.column("n_ord").fill_null(0).to_numpy(zero_copy_only=False)
+    def census(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "side": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        per_key = df.groupby("k").agg(
+            has_l=("side", "min"), has_r=("side", "max"), n_ord=("n_ord", "sum")
+        )
+        label = np.where(
+            per_key["has_l"] == 1,
+            "right_only",
+            np.where(per_key["has_r"] == 0, "left_only", "both"),
+        )
+        out = (
+            per_key.assign(side=label)
+            .groupby("side")
+            .agg(n=("n_ord", "size"), n_orders=("n_ord", "sum"))
+            .reset_index()
+        )
         return pa.table(
             {
-                "side": pa.array(side.tolist(), pa.string()),
-                "n_ord": pa.array(n_ord, pa.int64()),
+                "side": pa.array(out["side"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "n_orders": pa.array(out["n_orders"], pa.int64()),
             }
         )
 
-    return partial_group_agg(
-        joined.map_batches(classify, batch_format="pyarrow"),
-        ["side"],
-        {"n_ord": "n_orders"},
-        count_alias="n",
-    ).select_columns(["side", "n", "n_orders"])
+    partials = bucket_map_groups(union, "bk", census, n_buckets)
+    return merge_partials(partials, ["side"], {"n": "sum", "n_orders": "sum"}).select_columns(
+        ["side", "n", "n_orders"]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,9 @@ SUBSET = [
     "events_hourly",           # tumbling window
     "events_sessionize",       # session window
     "dedup_exact_docs",        # exact dedup
+    "full_outer_join_sides",   # bucketed per-side census (r4 rewrite)
+    "orders_sample_random",    # md5-threshold Bernoulli sample (r4 oracle)
+    "extract_flagship_full",   # flagship validator replay (r4 oracle)
 ]
 
 
