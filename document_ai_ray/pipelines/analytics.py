@@ -695,7 +695,7 @@ def moving_avg_events(sf_dir: str):
     SELECT event_id, event_type,
            ROUND((value - mu) / sd, 6) AS z
     FROM events JOIN s USING (event_type)
-    WHERE ABS(ROUND((value - mu) / sd, 6)) > 2.5
+    WHERE sd > 0 AND ABS(ROUND((value - mu) / sd, 6)) > 2.5
     """,
 )
 def event_value_outliers(sf_dir: str):
@@ -740,7 +740,9 @@ def event_value_outliers(sf_dir: str):
         val = t.column("value").to_numpy(zero_copy_only=False)
         mu = np.array([st[p][0] for p in et])
         sd = np.array([st[p][1] for p in et])
-        z = (val - mu) / sd
+        # a constant-valued group has sd == 0: define z = 0 (no outlier)
+        # instead of inf/NaN, matching the oracle's WHERE sd > 0 gate
+        z = np.where(sd > 0, (val - mu) / np.where(sd > 0, sd, 1.0), 0.0)
         z = np.copysign(np.floor(np.abs(z) * 1e6 + 0.5), z) / 1e6
         keep = np.abs(z) > 2.5
         return pa.table(

@@ -556,14 +556,10 @@ def webdataset_roundtrip(sf_dir: str):
     deterministic bytes), are re-read via read_binary_files + in-task
     tar parse, and must come back exactly — doc_id, text, lang, source
     all value-checked against the source table."""
-    import os
-    import shutil
-    import tempfile
-
+    from document_ai_ray.functions.scratch import scratch_dir
     from document_ai_ray.sources.webdataset import read_webdataset, write_webdataset
 
-    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_wds_rt")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = scratch_dir("wds_rt")
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     paths = [r["path"] for r in write_webdataset(docs, out_dir).take_all()]
@@ -578,15 +574,12 @@ def jsonl_roundtrip(sf_dir: str):
     `read_json` -> value-checked against the source table.  Both ends
     are Ray datasources, so a 100 TB corpus spools shard-parallel with
     no driver materialization."""
-    import os
-    import shutil
-    import tempfile
-
     import pyarrow as pa
     import ray.data as rd
 
-    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_jsonl_rt")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out_dir = scratch_dir("jsonl_rt")
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     docs.write_json(out_dir)
@@ -841,15 +834,12 @@ def csv_roundtrip(sf_dir: str):
     ends are Ray datasources — shard-parallel writers, no driver
     materialization — completing the interchange quartet next to
     JSONL, WARC and WebDataset tar."""
-    import os
-    import shutil
-    import tempfile
-
     import pyarrow as pa
     import ray.data as rd
 
-    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_csv_rt")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out_dir = scratch_dir("csv_rt")
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     docs.write_csv(out_dir)

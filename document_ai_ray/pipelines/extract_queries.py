@@ -196,15 +196,13 @@ def extract_warc_roundtrip(sf_dir: str):
     url (same oracle as extract_roundtrip)."""
     import hashlib
     import os
-    import shutil
-    import tempfile
 
+    from document_ai_ray.functions.scratch import scratch_dir
     from document_ai_ray.pipelines.extract import extract_pipeline
     from document_ai_ray.sources.tables import pages_from_documents
     from document_ai_ray.sources.warc import read_warc, write_warc_file
 
-    out_dir = os.path.join(tempfile.gettempdir(), "document_ai_ray_warc_rt")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = scratch_dir("warc_rt")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(t: pa.Table) -> pa.Table:

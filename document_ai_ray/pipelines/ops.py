@@ -307,15 +307,27 @@ def skew_join(
             "are hot — pre-aggregate one side instead"
         )
 
-    cold = large_join(
-        left.map_batches(take_cold, fn_kwargs={"key": on}, batch_format="pyarrow"),
-        right,
-        on,
-        right_on,
-        num_partitions,
+    cold_left = left.map_batches(take_cold, fn_kwargs={"key": on}, batch_format="pyarrow")
+    # ALL-HOT guard (r4 determinism sweep): when every left key is hot
+    # (small/extremely-skewed inputs) the cold side is EMPTY, and Ray's
+    # native hash-shuffle join raises an opaque ArrowInvalid on an
+    # empty side — skip the shuffle entirely.  The count() is one
+    # filter pass over the fact side, far cheaper than the join it
+    # guards.
+    cold = (
+        large_join(cold_left, right, on, right_on, num_partitions)
+        if cold_left.count() > 0
+        else None
     )
     if hot_right is None or hot_right.num_rows == 0:
-        return cold  # hot left keys have no right match (inner join)
+        if cold is not None:
+            return cold  # hot left keys have no right match (inner join)
+        # nothing matches at all: 0-row result with the right's schema
+        # flowing through the (empty-safe) Arrow broadcast join below
+        rs = right.schema()
+        hot_right = pa.table(
+            {n: pa.array([], type=t) for n, t in zip(rs.names, rs.types)}
+        )
     hot_joined = broadcast_join(
         left.map_batches(take_hot, fn_kwargs={"key": on}, batch_format="pyarrow"),
         hot_right,
@@ -323,6 +335,8 @@ def skew_join(
         right_key=right_on,
     )
     cols = sorted(c for c in hot_joined.schema().names)
+    if cold is None:
+        return hot_joined.select_columns(cols)
     return hot_joined.select_columns(cols).union(cold.select_columns(cols))
 
 
@@ -656,6 +670,12 @@ def grouped_topk(
     )
 
 
+# cardinality ceiling for with_group_ranks' driver-held offset
+# metadata (n_blocks x n_groups count dicts): 64k groups x 1k blocks
+# ~ a few GB worst case — beyond this the caller must bucket instead
+MAX_RANK_GROUPS = 1 << 16
+
+
 def with_group_ranks(
     ds: rd.Dataset,
     group_col: str,
@@ -684,6 +704,14 @@ def with_group_ranks(
     For a DETERMINISTIC rank (not just deterministic values at each
     rank), include a tiebreaker column in sort_cols.
 
+    CONTRACT — low-cardinality groups only: the driver-held offset
+    metadata is O(n_blocks x n_groups), so the substrate is for keys
+    like lang/priority/a constant.  Above ``MAX_RANK_GROUPS`` distinct
+    groups it raises ValueError (instead of silently exhausting driver
+    memory); per-doc/per-user keys belong on `bucket_map_groups` with a
+    per-bucket pandas rank instead — group-local ranks need no global
+    offset merge once groups are bucket-disjoint.
+
     With `value_col` set, also attaches the EXCLUSIVE per-group prefix
     sum of that (integer) column under the same order as `cum_col` —
     i.e. SUM(value) OVER (PARTITION BY group ORDER BY sort_cols ROWS
@@ -710,6 +738,12 @@ def with_group_ranks(
         for k, (n, v) in c.items():
             rn, rv = running.get(k, (0, 0))
             running[k] = (rn + n, rv + v)
+        if len(running) > MAX_RANK_GROUPS:
+            raise ValueError(
+                f"with_group_ranks: >{MAX_RANK_GROUPS} distinct '{group_col}' groups — "
+                "the driver-held offset metadata is O(n_blocks x n_groups); "
+                "use bucket_map_groups with a per-bucket rank for high-cardinality keys"
+            )
     totals = {k: n for k, (n, _) in running.items()}
 
     @ray.remote

@@ -1041,16 +1041,21 @@ def fuzzy_join_names(sf_dir: str):
     P = auto_buckets(parts.count() * 2)
 
     def corrupt_and_key(t: pa.Table) -> pa.Table:
-        keys, names, kinds, blocks, buckets = [], [], [], [], []
+        keys, names, kinds, bkinds, blocks, buckets = [], [], [], [], [], []
         for pk, name in zip(t.column("p_partkey").to_pylist(), t.column("p_name").to_pylist()):
             cname = name
             if len(name) >= 8:
                 pos = pk % len(name)
                 cname = name[:pos] + name[pos + 1 :]
-            for block in {cname[:4], cname[-4:]}:
+            # block KIND travels with the value: prefix blocks only pair
+            # with prefix blocks, suffix with suffix — the declared
+            # blocked spec (and exactly the oracle's prefix=prefix OR
+            # suffix=suffix join), not any-block-value co-residence
+            for bk_kind, block in ((0, cname[:4]), (1, cname[-4:])):
                 keys.append(pk)
                 names.append(cname)
                 kinds.append(0)  # corrupted side
+                bkinds.append(bk_kind)
                 blocks.append(block)
                 buckets.append(crc_bucket(block, P))
         return pa.table(
@@ -1058,6 +1063,7 @@ def fuzzy_join_names(sf_dir: str):
                 "pk": pa.array(keys, pa.int64()),
                 "name": pa.array(names, pa.string()),
                 "kind": pa.array(kinds, pa.int8()),
+                "bk_kind": pa.array(bkinds, pa.int8()),
                 "block": pa.array(blocks, pa.string()),
                 "bucket": pa.array(buckets, pa.int32()),
             }
@@ -1065,12 +1071,13 @@ def fuzzy_join_names(sf_dir: str):
 
     def dict_and_key(t: pa.Table) -> pa.Table:
         seen = set(t.column("p_name").to_pylist())
-        keys, names, kinds, blocks, buckets = [], [], [], [], []
+        keys, names, kinds, bkinds, blocks, buckets = [], [], [], [], [], []
         for name in seen:  # per-batch distinct; global dedupe in-bucket
-            for block in {name[:4], name[-4:]}:
+            for bk_kind, block in ((0, name[:4]), (1, name[-4:])):
                 keys.append(-1)
                 names.append(name)
                 kinds.append(1)  # dictionary side
+                bkinds.append(bk_kind)
                 blocks.append(block)
                 buckets.append(crc_bucket(block, P))
         return pa.table(
@@ -1078,6 +1085,7 @@ def fuzzy_join_names(sf_dir: str):
                 "pk": pa.array(keys, pa.int64()),
                 "name": pa.array(names, pa.string()),
                 "kind": pa.array(kinds, pa.int8()),
+                "bk_kind": pa.array(bkinds, pa.int8()),
                 "block": pa.array(blocks, pa.string()),
                 "bucket": pa.array(buckets, pa.int32()),
             }
@@ -1088,10 +1096,12 @@ def fuzzy_join_names(sf_dir: str):
 
     def link(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        # match on the BLOCK VALUE (not mere bucket co-residence: a CRC
-        # collision of two different blocks must not create candidates
-        # the oracle's blocked join would exclude)
-        for _, bgrp in df.groupby("block"):
+        # match on the BLOCK VALUE AND KIND (not mere bucket
+        # co-residence: a CRC collision of two different blocks must not
+        # create candidates the oracle's blocked join would exclude, and
+        # a corrupted-name prefix block must not pair with a dictionary
+        # SUFFIX block for names shorter than the two-block overlap)
+        for _, bgrp in df.groupby(["block", "bk_kind"]):
             cand = bgrp[bgrp["kind"] == 0].drop_duplicates(["pk", "name"])
             dic = bgrp[bgrp["kind"] == 1].drop_duplicates(["name"])
             if cand.empty or dic.empty:
@@ -1148,12 +1158,12 @@ def partition_pruned_scan(sf_dir: str):
     asserted in tests/test_relational_extras.py.  Scratch output under
     /tmp, re-written per run (same discipline as the WARC roundtrip)."""
     import os
-    import shutil
 
     import ray.data as rd
 
-    out_dir = "/tmp/graft_partition_demo"
-    shutil.rmtree(out_dir, ignore_errors=True)
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out_dir = scratch_dir("partition_demo")
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
     docs.write_parquet(out_dir, partition_cols=["lang"])
 
@@ -1199,13 +1209,19 @@ def merge_upsert_customers(sf_dir: str):
     base = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
     P = auto_buckets(base.count())
 
+    def _round2(x):
+        # DuckDB ROUND is half-away-from-zero; np.round is half-to-even
+        # — use the repo's copysign/floor idiom so 2.005-style halves
+        # agree with the oracle regardless of input decimals
+        return np.copysign(np.floor(np.abs(x) * 100.0 + 0.5), x) / 100.0
+
     def tag_base(t: pa.Table) -> pa.Table:
         bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_mktsegment": t.column("c_mktsegment"),
-                "c_acctbal": pa.array(np.round(bal, 2), pa.float64()),
+                "c_acctbal": pa.array(_round2(bal), pa.float64()),
                 "ver": pa.array(np.zeros(len(t), np.int8)),
             }
         )
@@ -1217,7 +1233,7 @@ def merge_upsert_customers(sf_dir: str):
         ins = keys % 10 == 7
         out_keys = np.concatenate([keys[upd], 1000000 + keys[ins]])
         out_seg = ["UPDATED"] * int(upd.sum()) + ["FRESH"] * int(ins.sum())
-        out_bal = np.concatenate([np.round(bal[upd] + 100.0, 2), np.round(bal[ins], 2)])
+        out_bal = np.concatenate([_round2(bal[upd] + 100.0), _round2(bal[ins])])
         return pa.table(
             {
                 "c_custkey": pa.array(out_keys, pa.int64()),

@@ -213,3 +213,25 @@ def test_clustering_coefficient_crafted(ray_session):
     # pendant: degree 1 -> 0 by convention
     assert df.loc[4, "degree"] == 1
     assert df.loc[4, "clustering_coeff"] == 0.0
+
+
+def test_pagerank_partials_are_sparse():
+    """r3 verdict #3: per-block contribution partials must be (dst_idx,
+    contrib) rows — one per DISTINCT destination in the block — never a
+    dense host-length vector."""
+    import numpy as np
+
+    from document_ai_ray.stages.links import _sparse_contrib
+
+    n_hosts = 100_000
+    # a block touching only 3 destinations out of 100k hosts
+    di = np.array([7, 42, 7, 99_999, 42, 7], dtype=np.int64)
+    w = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    t = _sparse_contrib(di, w)
+    assert len(t) == 3, "partial must have one row per distinct dst, not n_hosts"
+    assert len(t) < n_hosts
+    got = dict(zip(t.column("dst_idx").to_pylist(), t.column("c").to_pylist()))
+    assert got == {7: 10.0, 42: 7.0, 99_999: 4.0}
+    # empty block -> empty partial with the same schema
+    e = _sparse_contrib(np.array([], dtype=np.int64), np.array([]))
+    assert len(e) == 0 and e.schema == t.schema

@@ -362,3 +362,22 @@ def test_skew_join_hot_both_sides_raises(ray_session):
             hot_frac=0.1,
             max_hot_right_rows=100,
         ).to_pandas()
+
+
+def test_with_group_ranks_high_cardinality_guard():
+    """r3 verdict #6: per-doc-cardinality group keys must raise cleanly
+    (the offset metadata is O(n_blocks x n_groups)) instead of silently
+    blowing up the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import MAX_RANK_GROUPS, with_group_ranks
+
+    n = MAX_RANK_GROUPS + 10
+    ds = rd.from_arrow(
+        pa.table({"g": np.arange(n, dtype=np.int64), "v": np.ones(n, np.int64)})
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        with_group_ranks(ds, "g", ["v"]).materialize()

@@ -30,12 +30,15 @@ def test_feed_parse_tolerance():
 def test_partition_pruned_scan_layout(sf_tiny):
     from document_ai_ray.pipelines.relational import partition_pruned_scan
 
+    from document_ai_ray.functions.scratch import scratch_dir
+
     df = partition_pruned_scan(sf_tiny).to_pandas()
     assert len(df) > 0
     # layout proof: the lang=en directory holds only a fraction of the
     # files; the pruned read never touches the rest
-    all_files = glob.glob("/tmp/graft_partition_demo/lang=*/*.parquet")
-    en_files = glob.glob("/tmp/graft_partition_demo/lang=en/*.parquet")
+    out_dir = scratch_dir("partition_demo", fresh=False)
+    all_files = glob.glob(f"{out_dir}/lang=*/*.parquet")
+    en_files = glob.glob(f"{out_dir}/lang=en/*.parquet")
     assert 0 < len(en_files) < len(all_files)
     langs = {os.path.basename(os.path.dirname(f)) for f in all_files}
     assert len(langs) >= 3  # several partitions exist on disk

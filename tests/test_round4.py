@@ -52,3 +52,26 @@ def test_priority_queries_are_oracle_checked():
     oracles = registry.oracle_sql()
     for n in registry._PRIORITY:
         assert n in oracles, f"{n} was pinned for driver certification but has no oracle"
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_large_priority",   # ops.large_join (native inner hash-shuffle)
+        "anti_join_customers",   # semi_anti_join_auto anti path (left_outer)
+        "semi_join_parts",       # semi_anti_join_auto semi path (inner)
+        "join_events_skew",      # skew join (salted native join)
+    ],
+)
+def test_native_join_users_hash_stable(name, sf_tiny):
+    """r3 verdict #8: every query still riding Ray's native hash-shuffle
+    Dataset.join must produce value-identical output across repeated
+    runs (the nondeterminism class that hit full_outer_join_sides)."""
+    from document_ai_ray.pipelines import registry
+
+    fn = registry.queries()[name]
+    hashes = {_value_hash(fn(sf_tiny).to_pandas()) for _ in range(4)}
+    assert len(hashes) == 1, f"{name}: nondeterministic across runs"
