@@ -430,3 +430,81 @@ def jsonld_extract(sf_dir: str):
         sf_dir, "documents", columns=["doc_id", "lang", "source"]
     ).map_batches(to_pages, batch_format="pyarrow")
     return extract_jsonld(pages)
+
+
+@register(
+    "extract_pdf_images",
+    # every column the SQL can know is oracle-evaluated: the image
+    # dimensions are deterministic functions of doc_id (the fixture
+    # spec), and the evidence columns (pixel_exact, phash_ham) are
+    # exact by the round-trip invariant — the embedded /DCTDecode
+    # stream must come back byte-equivalent, so decoding it matches the
+    # in-task reference decode bit-for-bit and the pHash distance is 0
+    oracle="""
+    SELECT 'pdfimg://' || CAST(doc_id AS VARCHAR) AS url,
+           1 AS n_images,
+           24 + (doc_id % 5) * 8 AS img_w,
+           16 + (doc_id % 3) * 8 AS img_h,
+           TRUE AS pixel_exact,
+           0 AS phash_ham
+    FROM documents
+    """,
+)
+def extract_pdf_images(sf_dir: str):
+    """Embedded-image extraction through the real-PDF branch (r3
+    verdict #4): each document becomes a real PDF carrying its text
+    AND a deterministic /DCTDecode image XObject (the repo's own JPEG
+    encoder), `pdf_images` locates + decodes the XObject with the
+    repo's JPEG decoder, and the query reports per-url image count,
+    parsed dimensions, pixel-exactness vs the in-task reference
+    decode, and the pHash hamming distance (0 by construction).
+    Pure per-batch map in warm workers — no shuffle."""
+    import numpy as np
+
+    from document_ai_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from document_ai_ray.functions.phash import hamming64, phash64
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.pdf_extract import pdf_images
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    def doc_image(doc_id: int) -> tuple[np.ndarray, int, int]:
+        w = 24 + (doc_id % 5) * 8
+        h = 16 + (doc_id % 3) * 8
+        x = np.linspace(0, 255, w).astype(np.uint8)[None, :].repeat(h, 0)
+        y = np.linspace(0, 255, h).astype(np.uint8)[:, None].repeat(w, 1)
+        px = np.stack([x, y, np.full((h, w), doc_id % 256, np.uint8)], axis=2)
+        return px, w, h
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        urls, n_imgs, ws, hs, exact, ham = [], [], [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            px, w, h = doc_image(doc_id)
+            jpeg = encode_jpeg(px, quality=85)
+            pdf = make_real_pdf_bytes("", [text], images=[(jpeg, w, h)])
+            imgs = [i for i in pdf_images(pdf) if i["error"] is None]
+            ref = decode_jpeg(jpeg)
+            got = imgs[0]["pixels"] if imgs else None
+            urls.append(f"pdfimg://{doc_id}")
+            n_imgs.append(len(imgs))
+            ws.append(imgs[0]["width"] if imgs else -1)
+            hs.append(imgs[0]["height"] if imgs else -1)
+            exact.append(bool(got is not None and np.array_equal(got, ref)))
+            ham.append(
+                int(hamming64(phash64(got), phash64(ref))) if got is not None else 64
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_images": pa.array(n_imgs, pa.int64()),
+                "img_w": pa.array(ws, pa.int64()),
+                "img_h": pa.array(hs, pa.int64()),
+                "pixel_exact": pa.array(exact, pa.bool_()),
+                "phash_ham": pa.array(ham, pa.int64()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    )

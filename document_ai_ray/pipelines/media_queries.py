@@ -434,6 +434,22 @@ def media_phash_dup_pairs(sf_dir: str):
             }
         )
 
+    return _phash_band_pairs(ds.map_batches(hash_batch, batch_format="pyarrow"), P)
+
+
+def _phash_band_pairs(hashed, P: int):
+    """(id, base_id, ph int64) dataset -> verified near-dup pairs
+    (id_a, id_b, dist, same_base) via 8x8-bit banding + bucketed
+    self-merge + exact Hamming verify — shared by the raw-image and
+    the PDF-embedded-image dedup queries."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.phash import hamming64, phash_bands
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.dedup import _pairs_by_selfmerge
+
     def band_expand(t: pa.Table) -> pa.Table:
         ids = t.column("id").to_numpy(zero_copy_only=False)
         bases = t.column("base_id").to_numpy(zero_copy_only=False)
@@ -462,9 +478,7 @@ def media_phash_dup_pairs(sf_dir: str):
 
     pair_fn = _pairs_by_selfmerge(["band", "key"], ["ph", "base_id"])
     cand = bucket_map_groups(
-        ds.map_batches(hash_batch, batch_format="pyarrow").map_batches(
-            band_expand, batch_format="pyarrow"
-        ),
+        hashed.map_batches(band_expand, batch_format="pyarrow"),
         "bucket",
         pair_fn,
         P,
@@ -782,6 +796,111 @@ def media_phash_dedup_keep(sf_dir: str):
         return pa.table(
             {
                 "media_id": t.column("node"),
+                "cluster_id": t.column("cluster_id"),
+                "base_id": pa.array(node // 4, pa.int64()),
+                "kept": pa.array(node == cid),
+            }
+        )
+
+    return clusters.map_batches(keep_flag, batch_format="pyarrow")
+
+
+def _pdf_image_corpus():
+    """60 bases x 4 JPEG variants (q85/q90/q75/half-size-q90), each
+    embedded as a /DCTDecode XObject inside a real single-page PDF —
+    the PDF-embedded sibling of `_phash_corpus` (r3 verdict #4:
+    reference parity with whole-page rasterization, images included).
+    Generation is distributed and seed-deterministic."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.functions.jpeg import encode_jpeg
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            base, variant = divmod(i, 4)
+            w, h = 48 + (base % 5) * 8, 36 + (base % 3) * 8
+            img = _smooth_image(base, w, h)
+            if variant == 0:
+                jpeg, iw, ih = encode_jpeg(img, quality=85), w, h
+            elif variant == 1:
+                jpeg, iw, ih = encode_jpeg(img, quality=90), w, h
+            elif variant == 2:
+                jpeg, iw, ih = encode_jpeg(img, quality=75), w, h
+            else:
+                f = img.astype(np.float64)
+                he, we = (h // 2) * 2, (w // 2) * 2
+                f = f[:he, :we]
+                half = (
+                    (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4
+                ).astype(np.uint8)
+                jpeg, iw, ih = encode_jpeg(half, quality=90), we // 2, he // 2
+            pdf = make_real_pdf_bytes(
+                f"pdf {i}", [f"document {i} with one embedded photo"],
+                images=[(jpeg, iw, ih)],
+            )
+            rows.append({"pdf_id": i, "base_id": base, "payload": pdf})
+        return pa.Table.from_pylist(rows)
+
+    return rd.range(N_PHASH_BASES * 4, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+@register("pdf_image_phash_dedup_keep")
+def pdf_image_phash_dedup_keep(sf_dir: str):
+    """End-to-end dedup of images EMBEDDED IN PDFS (r3 verdict #4):
+    real PDFs carry /DCTDecode XObjects, `pdf_images` decodes them
+    with the repo's JPEG codec, and the standard image-dedup recipe
+    runs downstream — pHash, banded candidates, Hamming verify,
+    connected components, keep-canonical.  Rows-only; self-evidencing
+    like `media_phash_dedup_keep`: 60 bases x 4 perceptually-equal
+    variants with full banding recall leave exactly the 60 variant-0
+    PDFs kept (asserted in tests/test_phash.py)."""
+    import numpy as np
+
+    from document_ai_ray.functions.phash import phash64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.stages.cluster import connected_components
+    from document_ai_ray.stages.pdf_extract import pdf_images
+
+    P = auto_buckets(N_PHASH_BASES * 4 * PHASH_BANDS)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids, bases, hashes = [], [], []
+        for pid, base, payload in zip(
+            t.column("pdf_id").to_pylist(),
+            t.column("base_id").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            imgs = [i for i in pdf_images(payload) if i["pixels"] is not None]
+            if not imgs:
+                continue  # undecodable image: row-level degradation
+            ids.append(pid)
+            bases.append(base)
+            hashes.append(phash64(imgs[0]["pixels"]))
+        ph = np.array(hashes, np.uint64).view(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "base_id": pa.array(bases, pa.int64()),
+                "ph": pa.array(ph, pa.int64()),
+            }
+        )
+
+    pairs = _phash_band_pairs(
+        _pdf_image_corpus().map_batches(hash_batch, batch_format="pyarrow"), P
+    ).materialize()  # pair-set-sized
+    clusters = connected_components(pairs, id_a="id_a", id_b="id_b")
+
+    def keep_flag(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pdf_id": t.column("node"),
                 "cluster_id": t.column("cluster_id"),
                 "base_id": pa.array(node // 4, pa.int64()),
                 "kept": pa.array(node == cid),

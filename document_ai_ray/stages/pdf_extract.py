@@ -454,6 +454,85 @@ def _real_pdf_items(payload: bytes):
     return items
 
 
+# --- embedded image XObjects (r3 verdict #4) --------------------------------
+_IMG_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def pdf_images(payload: bytes) -> list[dict]:
+    """Decode every /Subtype /Image XObject in a real-format PDF.
+
+    The reference rasterizes whole pages images included
+    (/root/reference/ai_documents/analysis/cv/document_parsing.py:5-14);
+    this is the layout-parse analogue: each image stream is located by
+    its dict (same scan as the text path), non-image pre-filters are
+    applied in order, and a trailing /DCTDecode is decoded with the
+    repo's own JPEG codec (functions/jpeg.py — baseline + progressive).
+    Returns one dict per image: {width, height, filter, pixels
+    ((h,w,3) uint8 RGB or None), error (None on success)}.  Never
+    raises — an undecodable image degrades to pixels=None + error,
+    the row-level discipline of the text branch."""
+    out: list[dict] = []
+    for dict_src, body in _iter_streams(payload):
+        if not _IMG_SUBTYPE_RE.search(dict_src):
+            continue
+        wm, hm = _WIDTH_RE.search(dict_src), _HEIGHT_RE.search(dict_src)
+        width = int(wm.group(1)) if wm else -1
+        height = int(hm.group(1)) if hm else -1
+        fm = _FILTER_RE.search(dict_src)
+        names = (
+            (_NAME_RE.findall(fm.group(1)) if fm.group(1) is not None else [fm.group(2)])
+            if fm
+            else []
+        )
+        img = {
+            "width": width,
+            "height": height,
+            "filter": (names[-1].decode("ascii") if names else "raw"),
+            "pixels": None,
+            "error": None,
+        }
+        try:
+            data = body
+            for nm in names[:-1]:  # pre-filters (e.g. ASCII85 wrapping)
+                fn = _FILTERS.get(nm)
+                if fn is None:
+                    raise ValueError(f"unsupported pre-filter {nm!r}")
+                data = fn(data)
+            last = names[-1] if names else None
+            if last in (b"DCTDecode", b"DCT"):
+                from document_ai_ray.functions.jpeg import decode_jpeg
+
+                img["pixels"] = decode_jpeg(data)
+            elif last is None:
+                # unfiltered /DeviceRGB samples, row-major
+                import numpy as np
+
+                arr = np.frombuffer(data[: width * height * 3], np.uint8)
+                if arr.size == width * height * 3:
+                    img["pixels"] = arr.reshape(height, width, 3).copy()
+                else:
+                    img["error"] = "image_decode_error:short_raw_stream"
+            else:
+                fn = _FILTERS.get(last)
+                if fn is not None:  # e.g. FlateDecode raw samples
+                    import numpy as np
+
+                    raw = fn(data)
+                    arr = np.frombuffer(raw[: width * height * 3], np.uint8)
+                    if arr.size == width * height * 3:
+                        img["pixels"] = arr.reshape(height, width, 3).copy()
+                    else:
+                        img["error"] = "image_decode_error:short_raw_stream"
+                else:
+                    img["error"] = f"image_decode_error:unsupported_filter:{last!r}"
+        except Exception as exc:
+            img["error"] = f"image_decode_error:{type(exc).__name__}"
+        out.append(img)
+    return out
+
+
 @dataclass
 class PdfBlock:
     text: str

@@ -501,6 +501,7 @@ def make_real_pdf_bytes(
     xref_stream: bool = False,
     hex_strings: bool = False,
     cid_font: bool = False,
+    images: list[tuple[bytes, int, int]] | None = None,
 ) -> bytes:
     """A minimal REAL-format single-page PDF (header, catalog/pages/
     page/font objects, filtered content stream, xref, trailer) whose
@@ -514,7 +515,14 @@ def make_real_pdf_bytes(
     layout instead of a classic xref table: the content stream's
     /Length is an INDIRECT reference whose integer object lives inside
     a FlateDecode /ObjStm, and the file ends with a /Type /XRef
-    cross-reference STREAM (no `trailer` keyword)."""
+    cross-reference STREAM (no `trailer` keyword).
+
+    `images` = [(jpeg_bytes, width, height), ...] embeds each as a
+    /Subtype /Image XObject with /Filter /DCTDecode (classic layout
+    only), referenced from the page resources and painted by a
+    `cm /ImN Do` pair in the content stream — the layout real PDFs use
+    for photos (≙ the reference rasterizing whole pages images
+    included, /root/reference/ai_documents/analysis/cv/document_parsing.py:5-14)."""
     import zlib
 
     lines: list[tuple[float, float, int, str]] = []
@@ -625,11 +633,20 @@ def make_real_pdf_bytes(
         out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
         return bytes(out)
 
+    assert not (images and xref_stream), "image fixture uses the classic layout"
+    n_base = 6 if cid_font else 5  # last object number before the images
+    res = b"<< /Font << /F1 5 0 R >> "
+    if images:
+        xrefs = b" ".join(
+            b"/Im%d %d 0 R" % (i + 1, n_base + 1 + i) for i in range(len(images))
+        )
+        res += b"/XObject << %s >> " % xrefs
+    res += b">>"
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"/Contents 4 0 R /Resources %s >>" % res,
         b"<< /Length %d %s>>\nstream\n%s\nendstream" % (len(body_stream), filt, body_stream),
         (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
@@ -642,6 +659,13 @@ def make_real_pdf_bytes(
         objs.append(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
             % (len(cmap_stream), cmap_stream)
+        )
+    for jpeg, iw, ih in images or []:
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+            % (iw, ih, len(jpeg), jpeg)
         )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

@@ -434,3 +434,43 @@ def test_parse_cmap_bfrange_forms():
     assert m[1] == "A" and m[2] == "é"
     assert m[0x10] == "a" and m[0x11] == "b" and m[0x12] == "c"
     assert m[0x20] == "X" and m[0x21] == "Z"
+
+
+def test_pdf_embedded_images_pixel_exact_roundtrip():
+    """r3 verdict #4: /DCTDecode image XObjects embedded in a real PDF
+    decode back pixel-exactly (the stream bytes survive the layout, so
+    the extracted decode equals the reference decode bit-for-bit),
+    baseline and progressive, alongside unharmed text extraction."""
+    import numpy as np
+
+    from document_ai_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from document_ai_ray.stages.pdf_extract import parse_pdf, pdf_images
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    rng = np.random.RandomState(17)
+    px1 = rng.randint(0, 256, (40, 64, 3), dtype=np.uint8)
+    px2 = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    j1 = encode_jpeg(px1, quality=85)
+    j2 = encode_jpeg(px2, quality=85, progressive=True)
+    pdf = make_real_pdf_bytes(
+        "Title", ["body text paragraph for the text branch"],
+        images=[(j1, 64, 40), (j2, 32, 32)],
+    )
+    blocks, lines, err = parse_pdf(pdf)
+    assert err is None and "Title" in lines[0]
+    imgs = pdf_images(pdf)
+    assert [(\
+        i["width"], i["height"], i["filter"], i["error"]) for i in imgs] == [
+        (64, 40, "DCTDecode", None), (32, 32, "DCTDecode", None)]
+    assert np.array_equal(imgs[0]["pixels"], decode_jpeg(j1))
+    assert np.array_equal(imgs[1]["pixels"], decode_jpeg(j2))
+
+
+def test_pdf_images_bad_stream_degrades_per_row():
+    from document_ai_ray.stages.pdf_extract import pdf_images
+    from document_ai_ray.synth import make_real_pdf_bytes
+
+    pdf = make_real_pdf_bytes("T", ["text"], images=[(b"\xff\xd8garbage", 8, 8)])
+    imgs = pdf_images(pdf)
+    assert len(imgs) == 1 and imgs[0]["pixels"] is None
+    assert imgs[0]["error"] and imgs[0]["error"].startswith("image_decode_error")

@@ -119,3 +119,19 @@ def test_media_phash_dedup_keep_one_per_base():
     assert (kept["media_id"] % 4 == 0).all()  # the lowest-id variant
     # cluster == base (full recall, zero cross-base merges)
     assert (t["cluster_id"] // 4).equals(t["base_id"])
+
+
+def test_pdf_image_phash_dedup_keep_one_per_base():
+    """r3 verdict #4: the image-dedup recipe extended to PDF-embedded
+    /DCTDecode images — full recall, one survivor per base."""
+    from document_ai_ray.pipelines.media_queries import (
+        N_PHASH_BASES,
+        pdf_image_phash_dedup_keep,
+    )
+
+    t = pdf_image_phash_dedup_keep("unused").to_pandas()
+    assert len(t) == N_PHASH_BASES * 4  # every embedded image clustered
+    kept = t[t["kept"]]
+    assert len(kept) == N_PHASH_BASES  # exactly one survivor per base
+    assert (kept["pdf_id"] % 4 == 0).all()  # the lowest-id variant
+    assert (t["cluster_id"] // 4).equals(t["base_id"])
