@@ -146,6 +146,203 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     }
 
 
+# Dedup/ANN family for the 10x scale evidence (r3 verdict #7): the four
+# pipelines whose 100 TB arguments were design-verified but only ever
+# measured at sf0.1.
+DEDUP_SCALE_QUERIES = [
+    "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "semantic_dedup_keep",
+    "embedding_near_dup_pairs",
+]
+
+
+def _rss_sampler(stop, peak):
+    """Background thread: every 0.2 s sum VmRSS over this process +
+    every ray worker/raylet on the box (peak cluster-wide RSS — the
+    honest single-box stand-in for per-task memory)."""
+    import glob
+
+    me = os.getpid()
+    while not stop.is_set():
+        total = 0
+        for sdir in glob.glob("/proc/[0-9]*"):
+            try:
+                pid = int(os.path.basename(sdir))
+                with open(f"{sdir}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if pid != me and b"ray" not in cmd:
+                    continue
+                with open(f"{sdir}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])  # KiB
+                            break
+            except (OSError, ValueError):
+                continue
+        peak[0] = max(peak[0], total)
+        stop.wait(0.2)
+
+
+_REPLICA_TAGS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _mutate_words(text: str, k: int) -> str:
+    """Replica-k text: every word gets a replica-letter prefix — a
+    similarity-PRESERVING relabeling of the vocabulary.  Within a
+    replica, every pairwise shingle relationship of the 1x corpus is
+    preserved exactly (both docs transform identically), while
+    replicas share no vocabulary at all (zero cross-replica shingle
+    overlap), so the near-dup pair population scales exactly linearly
+    with the factor.  (A marker-insertion scheme measured 14632 pairs
+    from 25 at 10x — marker tokens created spurious cross-doc
+    similarity; this relabeling reproduces 10 x 25.)"""
+    if k == 0:
+        return text
+    tag = "q" + _REPLICA_TAGS[k % 26]
+    return " ".join(tag + w for w in text.split())
+
+
+def build_scaled_corpus(sf_dir: str, factor: int) -> str:
+    """Write a factor-x corpus under /tmp (documents + embeddings as
+    parquet dirs readable by read_table): replication is distributed
+    (flat replicate inside map_batches), deterministic, and id-shifted
+    so every replica row is a distinct entity."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out = scratch_dir(f"dedupscale{factor}")
+    os.makedirs(out, exist_ok=True)
+
+    def rep_docs(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang").to_pylist()
+        srcs = t.column("source").to_pylist()
+        rows = []
+        for k in range(factor):
+            for d, tx, lg, sc in zip(ids, texts, langs, srcs):
+                mt = _mutate_words(tx, k)
+                rows.append(
+                    {"doc_id": d + k * 10_000_000, "text": mt, "lang": lg,
+                     "source": sc, "n_chars": len(mt)}
+                )
+        return pa.Table.from_pylist(rows)
+
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        rep_docs, batch_format="pyarrow"
+    ).write_parquet(os.path.join(out, "documents.parquet"))
+
+    def rep_vecs(t: "pa.Table") -> "pa.Table":
+        ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        vecs = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        labels = t.column("label").to_pylist()
+        parts = []
+        d = vecs.shape[1]
+        for k in range(factor):
+            # random orthogonal transform = an isometry: every replica
+            # preserves the 1x corpus's internal pairwise cosines
+            # EXACTLY (near-dup population scales linearly) while
+            # cross-replica cosines decorrelate to ~N(0, 1/d) (a plain
+            # component roll measured 6002 pairs where 590 belonged —
+            # the corpus's cluster structure survives rolls)
+            if k:
+                q, _ = np.linalg.qr(np.random.RandomState(k).normal(size=(d, d)))
+                v = vecs @ q
+            else:
+                v = vecs
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids + k * 10_000_000),
+                        "embedding": pa.array(list(v)),
+                        "label": pa.array(labels),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).map_batches(
+        rep_vecs, batch_format="pyarrow"
+    ).write_parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
+    """1x vs factor-x wall + peak RSS for the dedup/ANN family.  The
+    scale claim being evidenced: auto_buckets grows bucket counts
+    linearly with the input, so per-task (per-bucket) work is flat and
+    wall should scale ~linearly while peak memory grows far slower
+    than the data."""
+    import threading
+
+    import ray
+
+    from document_ai_ray.functions.scale import DEFAULT_ROWS_PER_BUCKET, auto_buckets
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from document_ai_ray.pipelines import registry
+
+    qs = registry.queries()
+    scaled_dir = build_scaled_corpus(sf_dir, factor)
+    # untimed warmup at the small sibling (worker spawn, imports)
+    for name in DEDUP_SCALE_QUERIES:
+        _consume(qs[name](_warmup_dir(sf_dir)))
+
+    out: dict = {}
+    n_docs: dict = {}
+    for label, d in (("1x", sf_dir), (f"{factor}x", scaled_dir)):
+        import ray.data as rd
+
+        n_docs[label] = rd.read_parquet(os.path.join(d, "documents.parquet")).count()
+        per = {}
+        for name in DEDUP_SCALE_QUERIES:
+            stop, peak = threading.Event(), [0]
+            th = threading.Thread(target=_rss_sampler, args=(stop, peak), daemon=True)
+            th.start()
+            t0 = time.time()
+            try:
+                rows = _consume(qs[name](d))
+                rec = {"wall_sec": round(time.time() - t0, 3), "rows": rows}
+            except ValueError as exc:
+                # a loud scale guard (e.g. exact_jaccard's dense-corpus
+                # candidate budget) is itself evidence — record it
+                rec = {"wall_sec": round(time.time() - t0, 3), "rows": -1,
+                       "guarded": str(exc)[:160]}
+            stop.set()
+            th.join()
+            rec["peak_rss_mib"] = round(peak[0] / 1024, 1)
+            per[name] = rec
+        out[label] = per
+    ratios = {
+        n: round(out[f"{factor}x"][n]["wall_sec"] / max(out["1x"][n]["wall_sec"], 1e-9), 2)
+        for n in DEDUP_SCALE_QUERIES
+    }
+    mem_ratios = {
+        n: round(
+            out[f"{factor}x"][n]["peak_rss_mib"] / max(out["1x"][n]["peak_rss_mib"], 1e-9), 2
+        )
+        for n in DEDUP_SCALE_QUERIES
+    }
+    return {
+        "metric": f"dedup_scale_{factor}x",
+        "unit": "sec",
+        "factor": factor,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "per_scale": out,
+        "wall_ratio": ratios,
+        "peak_rss_ratio": mem_ratios,
+        "buckets": {l: auto_buckets(n) for l, n in n_docs.items()},
+        "rows_per_bucket_bound": DEFAULT_ROWS_PER_BUCKET,
+    }
+
+
 def _warmup_dir(sf_dir: str) -> str:
     """Smallest sibling sf dir: warms the same code paths at ~1/100 the
     data (worker processes, numpy/pandas imports in every worker, regex
@@ -163,6 +360,14 @@ def main() -> None:
     args = sys.argv[1:]
     if "--scaling" in args:
         print(json.dumps(run_scaling(sf_dir)))
+        return
+    if "--dedup-scale" in args:
+        factor = int(os.environ.get("DEDUP_SCALE_FACTOR", "10"))
+        print(json.dumps(run_dedup_scale(sf_dir, num_cpus, factor)))
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
         return
     names = BENCH_QUERIES
     if "--queries" in args:

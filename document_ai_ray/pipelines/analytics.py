@@ -1119,3 +1119,51 @@ def retention_cohorts(sf_dir: str):
     return partial_group_agg(
         bucketed, ["cohort", "days_since"], {"n_active": "n_active"}
     ).select_columns(["cohort", "days_since", "n_active"])
+
+
+@register(
+    "grouping_sets_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_pricing(sf_dir: str):
+    """GROUPING SETS aggregate (arbitrary level list — the general form
+    of ROLLUP/CUBE): one leaf combiner scan of the facts, every
+    requested grouping set re-aggregated FROM THE LEAVES in the tiny
+    final task.  Same scan-once discipline as `rollup_pricing` /
+    `cube_pricing`; the level list here is the two single-dim sets,
+    which neither ROLLUP nor CUBE emits alone."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    leaf = partial_group_agg(
+        ds, ["l_returnflag", "l_linestatus"], {"l_quantity": "sum_qty"}, count_alias="n"
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        by_flag = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum")
+        )
+        by_flag["l_linestatus"] = None
+        by_status = df.groupby("l_linestatus", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum")
+        )
+        by_status["l_returnflag"] = None
+        out = pd.concat([by_flag, by_status], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+        ]
+        sq = out["sum_qty"].to_numpy()
+        out["sum_qty"] = np.copysign(np.floor(np.abs(sq) * 100 + 0.5), sq) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return leaf.repartition(1).map_batches(expand, batch_format="pyarrow", batch_size=1 << 30)

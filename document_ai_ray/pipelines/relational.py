@@ -1574,3 +1574,78 @@ def q5_local_supplier_revenue(sf_dir: str):
     return agg.map_batches(lambda t: round_cols(t, {"revenue": 2}), batch_format="pyarrow").select_columns(
         ["n_name", "revenue", "n_items"]
     )
+
+
+@register(
+    "q3_shipping_priority",
+    # ordering uses the ROUNDED revenue on BOTH sides (plus full
+    # tiebreaks) so the top-10 cut cannot flip on a last-ulp difference
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority), the classic
+    filter -> semi-join -> fact-fact join -> grouped-agg -> top-k
+    pipeline in the engine's planning idiom: the segment predicate
+    reduces customer to a key set (semi join picks broadcast vs Bloom
+    by cardinality), both date predicates push into the parquet reads
+    (row-group pruning), the two fact tables meet in one
+    hash-partitioned join, revenue pre-aggregates per order inside
+    map_batches, and the top 10 comes from the streaming top-k — no
+    global sort anywhere."""
+    import datetime
+
+    orders = semi_anti_join_auto(
+        read_table(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            filter=(pc.field("o_orderdate") < datetime.datetime(1997, 6, 1)),
+        ),
+        read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+            filter=(pc.field("c_mktsegment") == "BUILDING"),
+        ).select_columns(["c_custkey"]),
+        "o_custkey",
+        "c_custkey",
+        anti=False,
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    def rev(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t.column("l_orderkey"), pa.array(price * (1 - disc), pa.float64())],
+            names=["l_orderkey", "rev"],
+        )
+
+    # revenue pre-aggregates PER ORDER before the shuffle (o_orderdate /
+    # o_orderpriority are functionally dependent on the order key, so
+    # the group-by collapses to the join): the join moves one row per
+    # order instead of one per line item
+    li_rev = partial_group_agg(
+        read_table(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pc.field("l_shipdate") > datetime.datetime(1997, 6, 1)),
+        ).map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev": "revenue"},
+    )
+    joined = large_join(li_rev, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    agg = joined.map_batches(lambda t: round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    return topk(
+        agg,
+        keys=[("revenue", True), ("o_orderdate", False), ("l_orderkey", False)],
+        k=10,
+    ).select_columns(["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])

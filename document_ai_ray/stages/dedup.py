@@ -249,7 +249,8 @@ def exact_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     dense_vocab_max: int = 1 << 16,
-    dense_bytes_max: int = 1 << 28,
+    dense_bytes_max: int = 1 << 31,
+    max_candidates: int = 1 << 26,
     grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """All pairs with n-gram Jaccard >= threshold — EXACT, with a
@@ -265,6 +266,12 @@ def exact_jaccard_pairs(
       but pure BLAS, no shuffle, no candidate explosion.  Both gates
       matter: a small vocabulary alone does NOT bound the matrix (1 M
       docs x 65 536 grams = 260 GB), so large corpora fall through.
+      The byte gate is per NODE, not per worker: ray.put stores ONE
+      plasma object that same-node workers map zero-copy, so 2 GB is
+      the honest budget (measured r4: the old 256 MB gate pushed a
+      931-gram/5000-doc template corpus scaled 4x onto the PPJoin
+      path, whose 66M true-candidate rows x ~1 KB gram lists spilled
+      >60 GB — dense corpora are exactly what this path is for).
     - otherwise: the AllPairs/PPJoin prefix filter (Bayardo et al.,
       WWW'07; Xiao et al., WWW'08): per doc, order grams by ascending
       (DF, hash) and index only the PREFIX of size
@@ -399,10 +406,11 @@ def exact_jaccard_pairs(
         rank = df.groupby("id").cumcount()
         keep = rank < sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
         out = df.loc[keep, ["id", "gh"]].copy()
+        out["sz"] = sizes[keep].to_numpy(dtype=np.int64)  # for the length filter
         out["bucket"] = (out["gh"].to_numpy(dtype=np.uint64) % np.uint64(join_buckets)).astype(np.int32)
         return out
 
-    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
 
     prefix = bucket_map_groups(
         with_df.map_batches(id_bucket, batch_format="pyarrow", batch_size=1 << 18),
@@ -410,13 +418,54 @@ def exact_jaccard_pairs(
         prefix_in_bucket,
         join_buckets,
         batch_format="pandas",
-    )
+    ).materialize()
 
-    pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=[])
+    # -- candidate-volume guard: sum C(prefix_df, 2) over grams BEFORE
+    # generating candidates.  On a dense corpus (tiny vocabulary, every
+    # gram corpus-common) the prefix filter cannot prune and the true
+    # candidate set is ~quadratic — generating it would silently spill
+    # candidates x gram-list bytes to disk (measured >60 GB at 20k docs
+    # of a 931-gram template corpus).  Refuse loudly with the LSH
+    # referral instead; this matches the module contract ("exact
+    # all-pairs at dense similarity belongs to minhash_lsh_pairs").
+    def cand_partial(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False)
+        _, c = np.unique(g, return_counts=True)
+        # per-block partial of sum C(c,2); cross-block pairs of the same
+        # gram are NOT counted here, so scale by a bucketed exact pass
+        # only if the cheap bound is inconclusive — in practice prefix
+        # rows for one gram co-locate per bucket block, making this
+        # exact for bucket_map_groups output (one block per bucket)
+        v = int((c.astype(np.int64) * (c - 1) // 2).sum())
+        return pa.table({"k": pa.array([0], pa.int8()), "v": pa.array([v], pa.int64())})
+
+    est = merge_partials(
+        prefix.map_batches(cand_partial, batch_format="pyarrow", batch_size=None),
+        keys=["k"], agg_funcs={"v": "sum"},
+    ).take_all()
+    n_cand_bound = est[0]["v"] if est else 0
+    if n_cand_bound > max_candidates:
+        raise ValueError(
+            f"exact_jaccard_pairs: ~{n_cand_bound:,} candidate pairs survive the "
+            f"prefix filter (> {max_candidates:,}) — this corpus is too dense for "
+            "exact all-pairs (tiny shared vocabulary); use minhash_lsh_pairs, or "
+            "raise max_candidates if the spill volume is acceptable"
+        )
+
+    pair_fn = _pairs_by_selfmerge(["gh"], carry_cols=["sz"])
+
+    def cand_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = pair_fn(df)
+        # PPJoin length filter: J >= t forces t*|a| <= |b| (both ways)
+        keep = (m["sz_b"].to_numpy() >= threshold * m["sz_a"].to_numpy()) & (
+            m["sz_a"].to_numpy() >= threshold * m["sz_b"].to_numpy()
+        )
+        return m.loc[keep, ["id_a", "id_b"]].drop_duplicates()
+
     cands = bucket_map_groups(
         prefix,
         "bucket",
-        lambda df: pair_fn(df)[["id_a", "id_b"]].drop_duplicates(),
+        cand_in_bucket,
         join_buckets,
         batch_format="pandas",
     )

@@ -267,3 +267,41 @@ def test_simhash_query_emits_recall_floor(sf_tiny):
     assert "recall" in out.columns and len(out) > 0
     assert out["recall"].nunique() == 1          # one corpus-level estimate
     assert float(out["recall"].iloc[0]) >= 0.9   # documented floor
+
+
+def test_exact_jaccard_dense_corpus_guard(sf_tiny):
+    """r4: forcing a dense template corpus onto the PPJoin path must
+    refuse LOUDLY (candidate volume ~quadratic) instead of silently
+    spilling candidates x gram-list bytes — with the LSH referral in
+    the message."""
+    import pytest
+
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.dedup import exact_jaccard_pairs
+
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"])
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        exact_jaccard_pairs(
+            docs, threshold=0.5, dense_vocab_max=0, max_candidates=100
+        ).materialize()
+
+
+def test_exact_jaccard_ppjoin_guard_allows_sparse(sf_tiny):
+    """The guard must NOT trip when the candidate volume is genuinely
+    small: same corpus, PPJoin path, generous budget — results match
+    the dense path exactly (length filter loses nothing)."""
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.dedup import exact_jaccard_pairs
+
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"])
+    dense = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(docs, threshold=0.5).take_all()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(
+            docs, threshold=0.5, dense_vocab_max=0, max_candidates=1 << 30
+        ).take_all()
+    }
+    assert sparse == dense

@@ -50,6 +50,8 @@ SUBSET = [
     "full_outer_join_sides",   # bucketed per-side census (r4 rewrite)
     "orders_sample_random",    # md5-threshold Bernoulli sample (r4 oracle)
     "extract_flagship_full",   # flagship validator replay (r4 oracle)
+    "q3_shipping_priority",    # TPC-H Q3: semi join + fact join + topk (r4)
+    "grouping_sets_pricing",   # GROUPING SETS scan-once (r4)
 ]
 
 
