@@ -218,12 +218,62 @@ def anchor_text_per_host(sf_dir: str):
     )
 
 
-@register("pagerank_hosts")
+def _pagerank_oracle(iters: int = 10, d: float = 0.85, round_to: int = 6) -> str:
+    """Unrolled power-iteration PageRank as DuckDB SQL: one MATERIALIZED
+    CTE per iteration (plain CTEs are inlined, and each r_k references
+    r_{k-1} twice — contribution join + dangling-mass scalar — so
+    inlining would blow up 2^iters).  The iteration body mirrors
+    stages/links.py:pagerank_hosts exactly: rank' = (1-d)/n +
+    d*(sum_in w*rank/outdeg + dangling_mass/n), ranks rounded only at
+    the end (both sides accumulate in float64; the sum orders differ
+    but 10 damped iterations keep the drift ~1e-15, far under the 1e-6
+    rounding grid — verified exact at sf0.01)."""
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        its.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT h.host, h.outdeg,
+         {1.0 - d} / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.s, 0.0)
+                  + (SELECT COALESCE(SUM(rank), 0.0) FROM {prev} WHERE outdeg = 0.0)
+                    / (SELECT n FROM nn)) AS rank
+  FROM h
+  LEFT JOIN (SELECT e.dst AS host, SUM(e.w * r.rank / r.outdeg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.host GROUP BY 1) c
+  USING (host))""")
+        prev = cur
+    return f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT src, slug || '.example' AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM e0 WHERE slug <> '' GROUP BY 1, 2),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS host, SUM(w) AS outdeg FROM edges GROUP BY 1),
+h AS MATERIALIZED (
+  SELECT host, COALESCE(odeg.outdeg, 0.0) AS outdeg
+  FROM hosts LEFT JOIN odeg USING (host)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM h),
+r0 AS MATERIALIZED (SELECT host, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM h),
+{",".join(its)}
+SELECT host, ROUND(rank, {round_to}) AS rank FROM {prev}
+"""
+
+
+@register("pagerank_hosts", oracle=_pagerank_oracle())
 def pagerank_hosts_query(sf_dir: str):
-    """Host-graph PageRank (rows-only: iterative float fixpoint has no
-    SQL analogue here; the power iteration is numpy-equality-tested in
-    tests/test_links.py).  Edges come from the real extraction path:
-    page url host (the doc's source) -> each anchor's host."""
+    """Host-graph PageRank, oracle-checked: the derived edge table is
+    SQL-reconstructible (source host -> per-word slug host), so the
+    10-iteration power fixpoint is replayed in DuckDB as unrolled
+    MATERIALIZED CTEs (`_pagerank_oracle`) — the distributed sparse
+    contribute/merge loop is value-checked end to end (also
+    numpy-equality-tested in tests/test_links.py).  Edges come from the
+    real extraction path: page url host (the doc's source) -> each
+    anchor's host."""
     from document_ai_ray.stages.links import (
         href_host,
         page_outlinks,
