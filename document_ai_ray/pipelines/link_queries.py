@@ -294,6 +294,55 @@ def pagerank_hosts_query(sf_dir: str):
     return pagerank_hosts(edges, iters=10)
 
 
+def _bfs_oracle(max_hops: int = 8) -> str:
+    """Unrolled level-synchronous BFS as DuckDB SQL (MATERIALIZED CTEs —
+    same inlining hazard as `_pagerank_oracle`): f_k = hosts reachable
+    in exactly k steps (DISTINCT per level, so each CTE is host-sized);
+    dist = MIN(k) over the tagged union — exactly the BFS first-visit
+    level.  Edges are the consecutive-anchor slug pairs the Ray side
+    extracts from the real HTML parse; the seed is MIN(src), computed
+    not assumed."""
+    levels = []
+    prev = "f0"
+    for k in range(1, max_hops + 1):
+        cur = f"f{k}"
+        levels.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS host, {k} AS d
+  FROM edges e JOIN {prev} ON e.src = {prev}.host)""")
+        prev = cur
+    union = " UNION ALL ".join(f"SELECT host, d FROM f{k}" for k in range(max_hops + 1))
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+W AS (SELECT list_filter(
+        list_transform(ws[1:LEAST(len(ws), {_N_WORDS})],
+                       x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
+        s -> s <> '') AS sl FROM t),
+p AS (SELECT unnest(generate_series(1, len(sl) - 1)) AS i, sl FROM W WHERE len(sl) >= 2),
+edges AS MATERIALIZED (
+  SELECT DISTINCT sl[i] || '.example' AS src, sl[i + 1] || '.example' AS dst FROM p),
+f0 AS MATERIALIZED (SELECT MIN(src) AS host, 0 AS d FROM edges),
+{",".join(levels)}
+SELECT host, CAST(MIN(d) AS BIGINT) AS dist FROM ({union}) GROUP BY 1
+"""
+
+
+@register("bfs_host_distance", oracle=_bfs_oracle())
+def bfs_host_distance_query(sf_dir: str):
+    """Single-source shortest hop distance over the consecutive-anchor
+    host graph (the crawl-frontier "how far from the seed" question).
+    The REAL HTML parse produces adjacent-anchor (src, dst) host pairs;
+    distributed level-synchronous BFS runs over the materialized
+    distinct edge table; the oracle replays both the edge derivation
+    and the BFS (unrolled MATERIALIZED frontier CTEs + MIN over
+    levels)."""
+    from document_ai_ray.stages.links import bfs_host_distance, page_outlink_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = page_outlink_pairs(_link_pages(docs))
+    return bfs_host_distance(edges, max_hops=8)
+
+
 # ---------------------------------------------------------------------------
 # robots.txt URL gate + sitemap roundtrip (crawl-side discovery formats)
 # ---------------------------------------------------------------------------

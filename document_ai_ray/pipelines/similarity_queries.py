@@ -432,3 +432,65 @@ def knn_ivfpq_query(sf_dir: str):
         approx["query_id"].map(lambda q: per_q.get(q, 0.0)).to_numpy(), 6
     )
     return approx
+
+
+_NORM_ORACLE = """
+WITH n AS (SELECT label,
+                  sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+           FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(MIN(nm), 6) AS min_norm, ROUND(MAX(nm), 6) AS max_norm,
+       ROUND(AVG(nm), 4) AS avg_norm
+FROM n GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_ORACLE)
+def embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm statistics over the raw vector column — the
+    sanity profile run before any ANN build (catches unnormalized /
+    zero vectors).  One vectorized matrix pass per batch, combiner
+    merge; value-checked against DuckDB's list lambdas (norms rounded
+    at 6, the distributed-vs-sequential sum drift is ~1e-15)."""
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import merge_partials, round_cols
+    from document_ai_ray.stages.similarity import _to_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column("embedding")).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame({"label": labels, "nm": norms})
+        g = df.groupby("label").agg(
+            n_vecs=("nm", "size"), mn=("nm", "min"), mx=("nm", "max"), sm=("nm", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"],
+        {"n_vecs": "sum", "mn": "min", "mx": "max", "sm": "sum"},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avg = pc.divide(t.column("sm"), pc.cast(t.column("n_vecs"), pa.float64()))
+        out = pa.table(
+            {
+                "label": t.column("label"),
+                "n_vecs": t.column("n_vecs"),
+                "min_norm": t.column("mn"),
+                "max_norm": t.column("mx"),
+                "avg_norm": avg,
+            }
+        )
+        return round_cols(out, {"min_norm": 6, "max_norm": 6, "avg_norm": 4})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -1812,3 +1812,71 @@ def zipf_slope_vocab(sf_dir: str):
             "n_words": pa.array([n], pa.int64()),
         }
     )
+
+
+_JW_ORACLE = """
+WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+v AS (SELECT w FROM t WHERE w <> '')
+SELECT a.w AS w1, b.w AS w2,
+       ROUND(jaro_winkler_similarity(a.w, b.w), 4) AS jw
+FROM v a JOIN v b
+  ON a.w < b.w AND substr(a.w, 1, 1) = substr(b.w, 1, 1)
+WHERE jaro_winkler_similarity(a.w, b.w) >= 0.6
+"""
+
+
+@register("jaro_winkler_word_pairs", oracle=_JW_ORACLE)
+def jaro_winkler_word_pairs(sf_dir: str):
+    """Jaro-Winkler near-duplicate vocabulary pairs (the record-linkage
+    similarity, complementing the Levenshtein fuzzy join): distinct
+    corpus words via the shuffle-free distinct merge, then blocked
+    all-pairs JW (same-first-char blocks, declared in the oracle too —
+    JW's prefix weighting makes the first character the natural
+    blocking key).  The Python jaro_winkler is exact-float-equal to
+    DuckDB's (functions/strings.py differential note).  The pair scan
+    is distributed over the distinct-word dataset with the word list
+    broadcast once — vocabulary-bounded by construction (at corpus
+    scale, feed it `vocab_top_words`' top-K instead)."""
+    import ray
+
+    from document_ai_ray.functions.strings import jaro_winkler
+    from document_ai_ray.pipelines.ops import distinct_rows, get_broadcast
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for txt in t.column("text").to_pylist():
+            out.update((txt or "").split(" "))
+        out.discard("")
+        return pa.table({"w": pa.array(sorted(out), pa.string())})
+
+    vocab = distinct_rows(docs.map_batches(words, batch_format="pyarrow"), ["w"]).materialize()
+    # vocabulary-bounded collect (same bound as the BM25/TF-IDF DF maps)
+    all_words = sorted(
+        w
+        for ref in vocab.to_arrow_refs()
+        for w in ray.get(ref).column("w").to_pylist()
+    )
+    wref = (ray.put(all_words),)
+
+    def pairs(t: pa.Table, _ref=wref) -> pa.Table:
+        vs = get_broadcast(_ref, tag="jw_vocab")
+        w1s, w2s, sims = [], [], []
+        for a in t.column("w").to_pylist():
+            for b in vs:
+                if a < b and a[0] == b[0]:
+                    s = jaro_winkler(a, b)
+                    if s >= 0.6:
+                        w1s.append(a)
+                        w2s.append(b)
+                        sims.append(round(s, 4))
+        return pa.table(
+            {
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "jw": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return vocab.map_batches(pairs, batch_format="pyarrow")

@@ -244,6 +244,107 @@ def pagerank_hosts(
     return rd.from_arrow(round_cols(out, {"rank": round_to}))
 
 
+def page_outlink_pairs(
+    pages: rd.Dataset, url_col: str = "url", html_col: str = "html"
+) -> rd.Dataset:
+    """CONSECUTIVE-anchor host adjacency: one (src, dst) row per pair of
+    neighbouring <a href> anchors on a page (document order, via the
+    real HTML link collector).  The co-citation-style edge set used for
+    related-host graphs — unlike `page_outlinks` it preserves on-page
+    adjacency, so it must pair hrefs inside the per-row parse (row
+    order across batches is not a contract)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for h in t.column(html_col).to_pylist():
+            if h is None:
+                continue
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", "replace")
+            p = _LinkCollector()
+            try:
+                p.feed(h)
+                p.close()
+            except Exception:
+                pass
+            hosts = [href_host(x) for x in p.hrefs]
+            hosts = [x for x in hosts if x]
+            srcs.extend(hosts[:-1])
+            dsts.extend(hosts[1:])
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def bfs_host_distance(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: str | None = None,
+    max_hops: int = 8,
+) -> rd.Dataset:
+    """Single-source BFS over the host graph: (host, dist) for every
+    host within `max_hops` of `seed` (default: the lexicographically
+    smallest src — deterministic without assuming corpus content).
+
+    Level-synchronous frontier expansion: the DISTINCT edge table is
+    materialized ONCE (iterative fits always materialize their input —
+    the pagerank lineage lesson), then each level is one streaming pass
+    with the frontier broadcast via ray.put; new hosts come back
+    through the shuffle-free distinct merge.  Driver state is the
+    host-sized visited map — the same bound as host-level PageRank's
+    rank vector (~10^8 entries at web scale, acceptable)."""
+    wedges = distinct_rows(edges.select_columns([src_col, dst_col]), [src_col, dst_col]).materialize()
+
+    if seed is None:
+
+        def pmin(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({"__g": pa.array([0], pa.int8()), "m": [pc.min(t.column(src_col)).as_py()]})
+
+        seed_tbl = _collect(
+            merge_partials(wedges.map_batches(pmin, batch_format="pyarrow"), ["__g"], {"m": "min"})
+        )
+        if len(seed_tbl) == 0:
+            return rd.from_arrow(
+                pa.table({"host": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+            )
+        seed = seed_tbl.column("m")[0].as_py()
+
+    visited: dict[str, int] = {seed: 0}
+    frontier = {seed}
+    for level in range(1, max_hops + 1):
+        fref = (ray.put(frontier),)
+
+        def expand(t: pa.Table, _ref=fref) -> pa.Table:
+            fr = get_broadcast(_ref, tag="bfs_frontier")
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(t.column(src_col), value_set=pa.array(sorted(fr), pa.string()))
+            return pa.table({"h": t.filter(mask).column(dst_col)})
+
+        nxt = _collect(distinct_rows(wedges.map_batches(expand, batch_format="pyarrow"), ["h"]))
+        frontier = set(nxt.column("h").to_pylist()) - visited.keys() if len(nxt) else set()
+        if not frontier:
+            break
+        for h in frontier:
+            visited[h] = level
+
+    hosts = sorted(visited)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "dist": pa.array([visited[h] for h in hosts], pa.int64()),
+            }
+        )
+    )
+
+
 def _sparse_contrib(di: np.ndarray, w: np.ndarray) -> pa.Table:
     """Per-block PageRank partial as SPARSE (dst_idx, c) rows — one row
     per distinct destination index in the block, NEVER a dense
