@@ -113,5 +113,6 @@ def _load_all() -> None:
     from document_ai_ray.pipelines import link_queries  # noqa: F401
     from document_ai_ray.pipelines import curation_queries  # noqa: F401
     from document_ai_ray.pipelines import tpch_queries  # noqa: F401
+    from document_ai_ray.pipelines import tpch_queries2  # noqa: F401
 
     _LOADED = True
