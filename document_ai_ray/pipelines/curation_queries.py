@@ -855,3 +855,85 @@ def csv_roundtrip(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate (RefinedWeb/trafilatura-style site-template
+# stripping): `source` stands in for the host.  Both oracles evaluate
+# the threshold rule max(BOILER_MIN_DOCS, ceil(BOILER_MIN_FRAC*n_docs))
+# in SQL — no hardcoded answers.
+# ---------------------------------------------------------------------------
+
+from document_ai_ray.stages.curation import (  # noqa: E402
+    BOILER_MIN_DOCS,
+    BOILER_MIN_FRAC,
+    boilerplate_remove_docs,
+    boilerplate_stats_by_source,
+)
+
+# lines CTE carrying the source column (the shared _LINES_CTE drops it)
+_SRC_LINES_CTE = f"""
+w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+l AS (SELECT doc_id, source, CAST((t.i - 1) // {LINE_WORDS} AS BIGINT) AS ln,
+             array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i + {LINE_WORDS - 1} AS BIGINT)], ' ') AS line
+      FROM w, UNNEST(generate_series(1, len(ws), {LINE_WORDS})) AS t(i)),
+sd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM l GROUP BY source),
+b AS (SELECT per.source, per.line
+      FROM (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+            FROM l GROUP BY source, line) per
+      JOIN sd USING (source)
+      WHERE nd >= GREATEST({BOILER_MIN_DOCS},
+                           CAST(CEIL({BOILER_MIN_FRAC} * n_docs) AS BIGINT)))
+"""
+
+_BOILER_STATS_ORACLE = f"""
+WITH {_SRC_LINES_CTE},
+occ AS (SELECT l.source, l.doc_id
+        FROM l JOIN b ON l.source = b.source AND l.line = b.line)
+SELECT sd.source, sd.n_docs,
+       COALESCE(bc.n_boiler_lines, 0) AS n_boiler_lines,
+       COALESCE(oc.n_occ, 0) AS n_boiler_occurrences,
+       COALESCE(oc.n_aff, 0) AS n_docs_affected
+FROM sd
+LEFT JOIN (SELECT source, COUNT(*) AS n_boiler_lines FROM b GROUP BY source) bc
+       USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_occ,
+                  COUNT(DISTINCT doc_id) AS n_aff FROM occ GROUP BY source) oc
+       USING (source)
+"""
+
+
+@register("boilerplate_stats_by_source", oracle=_BOILER_STATS_ORACLE)
+def boilerplate_stats_query(sf_dir: str):
+    """Per-host boilerplate census: lines repeated across >= max(2,
+    ceil(5% * n_docs)) distinct documents of the same source are site
+    chrome.  One hash(source)-bucketed exchange of (md5, ids) triples;
+    per-host totals are bucket-local, output is host-sized."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return boilerplate_stats_by_source(docs)
+
+
+_BOILER_REMOVE_ORACLE = f"""
+WITH {_SRC_LINES_CTE},
+k AS (SELECT l.doc_id,
+             string_agg(l.line, chr(10) ORDER BY l.ln) AS clean_text,
+             COUNT(*) AS n_lines_kept
+      FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+      WHERE b.line IS NULL GROUP BY l.doc_id),
+n AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT n.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       n.n_lines,
+       COALESCE(k.n_lines_kept, 0) AS n_lines_kept
+FROM n LEFT JOIN k USING (doc_id)
+"""
+
+
+@register("boilerplate_remove_docs", oracle=_BOILER_REMOVE_ORACLE)
+def boilerplate_remove_query(sf_dir: str):
+    """Strip per-host boilerplate from every document (removal of ALL
+    occurrences — the dual of line_dedup_docs's keep-first).  Winner
+    election ships only (md5, doc_id, ln); the single corpus-sized
+    exchange is the shared reassembly join."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return boilerplate_remove_docs(docs)

@@ -441,6 +441,21 @@ def line_dedup_docs(
         return df.loc[dup, ["doc_id", "ln"]]
 
     losers = bucket_map_groups(occ, "bucket", losers_in_bucket, P, batch_format="pandas")
+    return _reassemble_without(docs, losers, id_col, text_col, P)
+
+
+def _reassemble_without(
+    docs: rd.Dataset,
+    losers: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    P: int,
+) -> rd.Dataset:
+    """Rebuild each document from its derived lines MINUS the loser
+    (doc_id, ln) occurrences: one bucketed hash join of the loser set
+    against the docs (the only corpus-sized exchange — the output IS
+    the corpus).  Shared by line_dedup_docs and boilerplate_remove_docs;
+    emits (doc_id, clean_text, n_lines, n_lines_kept)."""
 
     def losers_side(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -507,3 +522,134 @@ def line_dedup_docs(
         P,
         batch_format="pandas",
     )
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate line removal (RefinedWeb / trafilatura-style
+# site-template stripping): a line repeated across many documents of
+# the SAME host is chrome (nav, footer, cookie banner), not content.
+# The documents table's `source` column stands in for the host.
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 2      # a line must appear in >= this many distinct docs
+BOILER_MIN_FRAC = 0.05   # ... and in >= this fraction of the host's docs
+
+
+def _boiler_occurrences(
+    docs: rd.Dataset, id_col: str, text_col: str, src_col: str, P: int
+) -> rd.Dataset:
+    """(md5(line), source, doc_id, ln) occurrence scan, bucketed on
+    hash(source) so ONE bucket holds a host's full occurrence set (the
+    per-host doc total and per-line doc counts are then bucket-local —
+    no second exchange).  Only 16-byte hashes + ids ship, never line
+    text.  Partitioning assumption: a single host's occurrences fit one
+    task; a pathological mega-host would need key-salted counting with
+    a host-totals join — documented, not needed at any tested scale."""
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        keys, srcs, ids, lns, buckets = [], [], [], [], []
+        for i, src, txt in zip(
+            t.column(id_col).to_pylist(),
+            t.column(src_col).to_pylist(),
+            t.column(text_col).to_pylist(),
+        ):
+            b = zlib.crc32((src or "").encode("utf-8", "surrogatepass")) % P
+            for k, line in enumerate(derive_lines(txt or "")):
+                keys.append(hashlib.md5(line.encode("utf-8", "surrogatepass")).digest())
+                srcs.append(src)
+                ids.append(i)
+                lns.append(k)
+                buckets.append(b)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.binary(16)),
+                "src": pa.array(srcs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ln": pa.array(lns, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    return docs.map_batches(occurrences, batch_format="pyarrow")
+
+
+def _boiler_threshold(n_docs: int) -> int:
+    return max(BOILER_MIN_DOCS, int(np.ceil(BOILER_MIN_FRAC * n_docs)))
+
+
+def boilerplate_stats_by_source(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src_col: str = "source",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-host boilerplate census: for every source, how many distinct
+    derived lines cross the boilerplate threshold (appear in
+    >= max(BOILER_MIN_DOCS, ceil(BOILER_MIN_FRAC * n_docs)) distinct
+    docs of that source), how many occurrences they account for, and
+    how many docs carry at least one.  Output is host-sized."""
+    P = n_buckets or auto_buckets(docs.count())
+    occ = _boiler_occurrences(docs, id_col, text_col, src_col, P)
+
+    def census(df):
+        import pandas as pd
+
+        rows = []
+        for src, g in df.groupby("src", sort=False):
+            n_docs = g["doc_id"].nunique()
+            per = g.groupby("key")["doc_id"].nunique()
+            boiler = per[per >= _boiler_threshold(n_docs)]
+            hit = g[g["key"].isin(set(boiler.index))]
+            rows.append(
+                (src, n_docs, len(boiler), len(hit), hit["doc_id"].nunique())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "source",
+                "n_docs",
+                "n_boiler_lines",
+                "n_boiler_occurrences",
+                "n_docs_affected",
+            ],
+        ).astype(
+            {
+                "n_docs": "int64",
+                "n_boiler_lines": "int64",
+                "n_boiler_occurrences": "int64",
+                "n_docs_affected": "int64",
+            }
+        )
+
+    return bucket_map_groups(occ, "bucket", census, P, batch_format="pandas")
+
+
+def boilerplate_remove_docs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src_col: str = "source",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Strip per-host boilerplate lines from every document: unlike
+    line dedup (keep FIRST occurrence), a boilerplate line is removed
+    from ALL documents that carry it.  Same two-exchange shape as
+    line_dedup_docs: hash-narrow winner election, then the shared
+    `_reassemble_without` corpus join."""
+    P = n_buckets or auto_buckets(docs.count())
+    occ = _boiler_occurrences(docs, id_col, text_col, src_col, P)
+
+    def losers_in_bucket(df):
+        outs = []
+        for _, g in df.groupby("src", sort=False):
+            per = g.groupby("key")["doc_id"].nunique()
+            boiler = per[per >= _boiler_threshold(g["doc_id"].nunique())]
+            outs.append(g.loc[g["key"].isin(set(boiler.index)), ["doc_id", "ln"]])
+        import pandas as pd
+
+        if not outs:
+            return df[["doc_id", "ln"]]
+        return pd.concat(outs, ignore_index=True)
+
+    losers = bucket_map_groups(occ, "bucket", losers_in_bucket, P, batch_format="pandas")
+    return _reassemble_without(docs, losers, id_col, text_col, P)

@@ -468,3 +468,97 @@ def test_gopher_repetition_top_vs_dup_semantics():
     r = gopher_repetition_batch(t).to_pylist()[0]
     assert abs(r["top2gram_char_frac"] - 0.8) < 1e-9
     assert r["dup_5gram_char_frac"] == 0.0
+
+
+# ------------------------------------------------------- boilerplate
+
+
+def _src_tbl(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _mkline(word, n=LINE_WORDS):
+    return " ".join([word] * n)
+
+
+def test_boilerplate_removed_from_all_docs_same_host():
+    from document_ai_ray.stages.curation import (
+        boilerplate_remove_docs,
+        boilerplate_stats_by_source,
+    )
+
+    footer = _mkline("footer")
+    rows = [
+        (0, footer + " " + _mkline("alpha"), "hostA"),
+        (1, footer + " " + _mkline("beta"), "hostA"),
+        (2, footer + " " + _mkline("gamma"), "hostA"),
+        # same footer on hostB but only ONE doc there -> not boilerplate
+        (3, footer + " " + _mkline("delta"), "hostB"),
+    ]
+    ds = rd.from_arrow(_src_tbl(rows))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+        for r in boilerplate_remove_docs(ds, n_buckets=3).take_all()
+    }
+    assert got[0] == (_mkline("alpha"), 2, 1)
+    assert got[1] == (_mkline("beta"), 2, 1)
+    assert got[2] == (_mkline("gamma"), 2, 1)
+    # hostB keeps its copy: threshold is per-host
+    assert got[3] == (footer + "\n" + _mkline("delta"), 2, 2)
+
+    stats = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_boiler_lines"],
+            r["n_boiler_occurrences"],
+            r["n_docs_affected"],
+        )
+        for r in boilerplate_stats_by_source(ds, n_buckets=3).take_all()
+    }
+    assert stats["hostA"] == (3, 1, 3, 3)
+    assert stats["hostB"] == (1, 0, 0, 0)
+
+
+def test_boilerplate_frac_threshold_scales_with_host_size():
+    from document_ai_ray.stages.curation import (
+        _boiler_threshold,
+        boilerplate_stats_by_source,
+    )
+
+    # 100-doc host: threshold = max(2, ceil(0.05*100)) = 5
+    assert _boiler_threshold(100) == 5
+    assert _boiler_threshold(3) == 2
+    nav = _mkline("nav")
+    rows = [(i, nav + " " + _mkline(f"u{i}"), "big") for i in range(4)]
+    rows += [(100 + i, _mkline(f"v{i}"), "big") for i in range(96)]
+    ds = rd.from_arrow(_src_tbl(rows))
+    stats = {
+        r["source"]: r["n_boiler_lines"]
+        for r in boilerplate_stats_by_source(ds, n_buckets=4).take_all()
+    }
+    # nav appears in 4 docs < threshold 5 -> no boilerplate on this host
+    assert stats["big"] == 0
+
+
+def test_boilerplate_removes_all_occurrences_not_keep_first():
+    from document_ai_ray.stages.curation import boilerplate_remove_docs
+
+    dup = _mkline("chrome")
+    # the SAME doc carries the line twice; both occurrences must go
+    rows = [
+        (0, dup + " " + dup, "h"),
+        (1, dup + " " + _mkline("body"), "h"),
+    ]
+    ds = rd.from_arrow(_src_tbl(rows))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in boilerplate_remove_docs(ds, n_buckets=2).take_all()
+    }
+    assert got[0] == ("", 0)
+    assert got[1] == (_mkline("body"), 1)
