@@ -937,3 +937,105 @@ def boilerplate_remove_query(sf_dir: str):
     exchange is the shared reassembly join."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     return boilerplate_remove_docs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-snapshot content diff: added/removed/changed/unchanged census
+# between two corpus snapshots.  The snapshots are deterministic
+# derivations of the documents table (old drops doc_id%11==3, new drops
+# doc_id%13==5 and appends ' updated' to doc_id%7==2) — the ENGINE
+# treats them as two independent datasets and runs a real distributed
+# diff; only the oracle knows they share a parent.
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 2 THEN text || ' updated' ELSE text END AS text
+        FROM documents WHERE doc_id % 13 != 5)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+@register("snapshot_content_diff", oracle=_SNAPDIFF_ORACLE)
+def snapshot_content_diff(sf_dir: str):
+    """Two-snapshot corpus diff by content hash: each side ships only
+    (doc_id, md5(text)) through a hash(doc_id)-bucketed exchange —
+    never text — and each bucket classifies its disjoint key range in
+    one vectorized pandas pass (the deterministic census shape; Ray's
+    native full-outer join is avoided per the r3 verdict).  Output is
+    diff-listing-sized.  The oracle replays the diff with a FULL OUTER
+    JOIN comparing text directly (md5 equality == text equality at the
+    repo's documented 2^-64 collision assumption)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    def derive(side: int, P: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            txts = t.column("text").to_pylist()
+            if side == 0:
+                keep = ids % 11 != 3
+            else:
+                keep = ids % 13 != 5
+                txts = [
+                    (s or "") + " updated" if i % 7 == 2 else (s or "")
+                    for i, s in zip(ids, txts)
+                ]
+            ids_k = ids[keep]
+            h = [
+                hashlib.md5((s or "").encode("utf-8", "surrogatepass")).digest()
+                for s, m in zip(txts, keep) if m
+            ]
+            bk = (ids_k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids_k, pa.int64()),
+                    "h": pa.array(h, pa.binary(16)),
+                    "side": pa.array(np.full(len(ids_k), side, np.int8)),
+                    "bk": pa.array(bk.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    docs_cols = ["doc_id", "text"]
+    P = auto_buckets(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+    old = read_table(sf_dir, "documents", columns=docs_cols).map_batches(
+        derive(0, P), batch_format="pyarrow"
+    )
+    new = read_table(sf_dir, "documents", columns=docs_cols).map_batches(
+        derive(1, P), batch_format="pyarrow"
+    )
+
+    def classify(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "status": pd.Series(dtype="object")}
+            )
+        piv = df.pivot_table(
+            index="doc_id", columns="side", values="h", aggfunc="first"
+        )
+        o = piv[0] if 0 in piv.columns else pd.Series(index=piv.index, dtype=object)
+        n = piv[1] if 1 in piv.columns else pd.Series(index=piv.index, dtype=object)
+        status = np.where(
+            o.isna(), "added",
+            np.where(n.isna(), "removed", np.where(o == n, "unchanged", "changed")),
+        )
+        return pd.DataFrame(
+            {"doc_id": piv.index.astype("int64"), "status": status}
+        ).reset_index(drop=True)
+
+    return bucket_map_groups(old.union(new), "bk", classify, P, batch_format="pandas")

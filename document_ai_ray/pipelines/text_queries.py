@@ -1880,3 +1880,112 @@ def jaro_winkler_word_pairs(sf_dir: str):
         )
 
     return vocab.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable winnowing fingerprints (MOSS; Schleimer et al. 2003)
+# and lexical-diversity quality signals.
+# ---------------------------------------------------------------------------
+
+from document_ai_ray.stages.text_analysis import (  # noqa: E402
+    WINNOW_K,
+    WINNOW_W,
+    winnow_md5_batch,
+)
+
+_WINNOW_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+             substr(md5(array_to_string(
+                 ws[CAST(t.i AS BIGINT):CAST(t.i + {WINNOW_K - 1} AS BIGINT)], ' ')), 1, 16) AS h
+      FROM w, UNNEST(generate_series(1, GREATEST(len(ws) - {WINNOW_K - 1}, 1))) AS t(i)),
+c AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id),
+s AS (SELECT g.doc_id, g.pos, c.n_g,
+             MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+      FROM g JOIN c USING (doc_id))
+SELECT DISTINCT doc_id, m AS fp
+FROM s
+WHERE pos + {WINNOW_W} - 1 <= n_g OR (n_g <= {WINNOW_W} AND pos = 1)
+"""
+
+
+@register("winnow_fingerprints_docs", oracle=_WINNOW_ORACLE)
+def winnow_fingerprints_docs(sf_dir: str):
+    """Winnowing document fingerprints with an exact SQL replay: k-word
+    md5 grams -> sliding-window minima -> distinct per doc, exploded to
+    (doc_id, fp) rows.  Stateless vectorized map_batches (numpy
+    sliding_window_view for the window minima); the oracle rebuilds the
+    identical scheme with md5() + a ROWS-frame window MIN."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(winnow_md5_batch, batch_format="pyarrow")
+
+
+_LEXDIV_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wn AS (SELECT doc_id, len(ws) AS n_words,
+              len(list_distinct(ws)) AS n_distinct_words FROM w),
+ch AS (SELECT doc_id, substr(text, CAST(t.i AS BIGINT), 1) AS c
+       FROM documents, UNNEST(generate_series(1, len(text))) AS t(i)),
+cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, SUM(n) AS tot FROM cc GROUP BY doc_id),
+ent AS (SELECT cc.doc_id,
+               -SUM((n / tot) * log2(n / tot)) AS e
+        FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+SELECT wn.doc_id, wn.n_words, wn.n_distinct_words,
+       ROUND(CAST(wn.n_distinct_words AS DOUBLE) / wn.n_words, 6) AS ttr,
+       ROUND(COALESCE(ent.e, 0), 6) AS char_entropy
+FROM wn LEFT JOIN ent USING (doc_id)
+"""
+
+
+@register("lexical_diversity_docs", oracle=_LEXDIV_ORACLE)
+def lexical_diversity_docs(sf_dir: str):
+    """Per-document lexical-diversity quality signals: type-token ratio
+    (distinct words / words — a standard feature in quality
+    classifiers) and Shannon character entropy (low-entropy pages are
+    repetitive chrome or encoded junk).  Stateless vectorized
+    map_batches; the oracle recomputes both from scratch (entropy's
+    ~60-term float sum agrees under ROUND(...,6))."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, nw, ndw, ttr, ent = [], [], [], [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            s = s or ""
+            ws = s.split(" ")
+            ids.append(i)
+            nw.append(len(ws))
+            ndw.append(len(set(ws)))
+            ttr.append(len(set(ws)) / len(ws))
+            if s:
+                cnt = np.array(list(Counter(s).values()), np.float64)
+                p = cnt / cnt.sum()
+                # fixed ascending-p sum order; divergence vs DuckDB's
+                # order is ~1e-16, absorbed by ROUND 6
+                e = float(-(np.sort(p * np.log2(p)).sum()))
+            else:
+                e = 0.0
+            ent.append(e)
+
+        def r6(xs):
+            import numpy as _np
+
+            a = _np.asarray(xs, _np.float64)
+            return _np.copysign(_np.floor(_np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_distinct_words": pa.array(ndw, pa.int64()),
+                "ttr": pa.array(r6(ttr), pa.float64()),
+                "char_entropy": pa.array(r6(ent), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow")

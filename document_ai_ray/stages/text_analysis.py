@@ -150,6 +150,56 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("simhash", pa.array(shs, pa.uint64()))
 
 
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 5  # winnowing window (grams)
+
+
+def winnow_md5_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> pa.Table:
+    """SQL-checkable winnowing (Schleimer et al., SIGMOD '03): k-word
+    grams hashed with md5 (first 16 hex chars = upper 64 bits), then a
+    per-window minimum selection; a document's fingerprint is the
+    DISTINCT set of window minima, emitted as exploded (doc_id, fp_hex)
+    rows.  Unlike `fingerprint_batch` (blake2b + polynomial rolling
+    hash), every step here has an exact DuckDB analogue: md5() + a
+    ROWS-frame window MIN — so the oracle replays the whole scheme.
+    Fewer grams than one window -> the single global minimum (the SQL
+    side keeps only pos=1 in that case).  Hex-string comparison is
+    numeric comparison (fixed-width lowercase hex)."""
+    import hashlib
+
+    ids_out: list[int] = []
+    fps_out: list[str] = []
+    for i, t in zip(
+        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        ws = (t or "").split(" ")
+        n_grams = max(len(ws) - k + 1, 1)
+        fps = np.empty(n_grams, np.uint64)
+        for g in range(n_grams):
+            hx = hashlib.md5(" ".join(ws[g : g + k]).encode("utf-8")).hexdigest()
+            fps[g] = np.uint64(int(hx[:16], 16))
+        if n_grams <= w:
+            sel = {int(fps.min())}
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(fps, w)
+            sel = set(wins.min(axis=1).tolist())
+        for v in sorted(sel):
+            ids_out.append(i)
+            fps_out.append(f"{v:016x}")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "fp": pa.array(fps_out, pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate distinct counting (KMV sketch) — the mergeable-sketch
 # aggregate for cardinalities where exact COUNT(DISTINCT) would shuffle

@@ -432,3 +432,55 @@ def test_window_pair_counts_vs_reference():
                 for j in range(i + 1, min(i + W, len(ws) - 1) + 1):
                     ref[(ws[i], ws[j])] += 1
         assert got == dict(ref), f"window={W}"
+
+
+# ------------------------------------------------- md5 winnowing
+
+
+def test_winnow_md5_short_doc_single_global_min():
+    import hashlib
+
+    import pyarrow as pa
+
+    from document_ai_ray.stages.text_analysis import WINNOW_K, winnow_md5_batch
+
+    # fewer words than k -> ONE gram (whole text), one fingerprint
+    t = pa.table({"doc_id": pa.array([7], pa.int64()), "text": ["a b"]})
+    out = winnow_md5_batch(t)
+    assert out.num_rows == 1
+    expect = hashlib.md5(b"a b").hexdigest()[:16]
+    assert out.column("fp").to_pylist() == [expect]
+    # exactly k words -> still one gram
+    t2 = pa.table(
+        {"doc_id": pa.array([8], pa.int64()), "text": [" ".join("wxyz")[: 2 * WINNOW_K - 1]]}
+    )
+    assert winnow_md5_batch(t2).num_rows == 1
+
+
+def test_winnow_md5_matches_bruteforce():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.stages.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_md5_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    vocab = ["red", "blue", "green", "ash", "oak", "elm"]
+    text = " ".join(vocab[j] for j in rng.randint(0, len(vocab), 40))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+    got = set(winnow_md5_batch(t).column("fp").to_pylist())
+    ws = text.split(" ")
+    grams = [
+        int(hashlib.md5(" ".join(ws[i : i + WINNOW_K]).encode()).hexdigest()[:16], 16)
+        for i in range(len(ws) - WINNOW_K + 1)
+    ]
+    want = {
+        f"{min(grams[s : s + WINNOW_W]):016x}"
+        for s in range(len(grams) - WINNOW_W + 1)
+    }
+    assert got == want
