@@ -1039,3 +1039,101 @@ def snapshot_content_diff(sf_dir: str):
         ).reset_index(drop=True)
 
     return bucket_map_groups(old.union(new), "bk", classify, P, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build + partitioned-sink roundtrip: the posting-list
+# structure under every search engine, built with one word-hash
+# exchange, persisted as parquet, and read back (sink+source parity —
+# a real index build would be resumed/partition-pruned from this
+# layout).
+# ---------------------------------------------------------------------------
+
+_INVIDX_ORACLE = """
+WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+d AS (SELECT DISTINCT word, doc_id FROM w)
+SELECT word, COUNT(*) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM d GROUP BY word
+"""
+
+
+@register("inverted_index_roundtrip", oracle=_INVIDX_ORACLE)
+def inverted_index_roundtrip(sf_dir: str):
+    """Build posting lists (word -> sorted distinct doc_ids) through a
+    hash(word)-bucketed exchange — (word, doc_id) pairs are deduped
+    per-batch BEFORE the exchange, so the shuffle carries per-doc
+    vocabulary, not token occurrences — write the index as parquet,
+    read it back.  Posting lists serialize as comma-joined strings so
+    the SQL oracle (string_agg ORDER BY doc_id) compares them exactly."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def postings(t: pa.Table) -> pa.Table:
+        words, ids, buckets = [], [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            for w in set((s or "").split(" ")):
+                words.append(w)
+                ids.append(i)
+                buckets.append(zlib.crc32(w.encode("utf-8", "surrogatepass")) % P)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def build(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "doc_ids": pd.Series(dtype="object"),
+                }
+            )
+        df = df.drop_duplicates(["word", "doc_id"]).sort_values(
+            ["word", "doc_id"], kind="mergesort"
+        )
+        g = df.groupby("word", sort=False)["doc_id"]
+        out = pd.DataFrame(
+            {
+                "n_docs": g.nunique().astype("int64"),
+                "doc_ids": g.apply(lambda s: ",".join(map(str, s))),
+            }
+        ).reset_index()
+        return out[["word", "n_docs", "doc_ids"]]
+
+    idx = bucket_map_groups(
+        docs.map_batches(postings, batch_format="pyarrow"),
+        "bucket",
+        build,
+        P,
+        batch_format="pandas",
+    )
+    out_dir = scratch_dir("invidx")
+    idx.write_parquet(out_dir)
+    back = rd.read_parquet(out_dir)
+    return back.map_batches(
+        lambda t: pa.table(
+            {
+                "word": t.column("word").cast(pa.string()),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "doc_ids": t.column("doc_ids").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

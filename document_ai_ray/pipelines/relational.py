@@ -1649,3 +1649,103 @@ def q3_shipping_priority(sf_dir: str):
         keys=[("revenue", True), ("o_orderdate", False), ("l_orderkey", False)],
         k=10,
     ).select_columns(["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) history build: collapse an
+# observation stream into validity intervals per key — the classic
+# islands-and-gaps problem.  Each customer's order stream is the change
+# feed; consecutive same-priority observations collapse into one
+# version row [valid_from, valid_to), the current version's valid_to is
+# NULL.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                  LAG(o_orderpriority) OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+g AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM s),
+i AS (SELECT o_custkey AS custkey, island, o_orderpriority AS priority,
+             MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+      FROM g GROUP BY 1, 2, 3)
+SELECT custkey, CAST(island AS BIGINT) AS version, priority,
+       valid_from,
+       LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY island) AS valid_to,
+       n_obs
+FROM i
+"""
+
+
+@register("scd2_priority_history", oracle=_SCD2_ORACLE)
+def scd2_priority_history(sf_dir: str):
+    """SCD2 dimension-history build from the orders change feed: per
+    customer, runs of equal o_orderpriority (ordered by date, orderkey)
+    collapse into version rows with [valid_from, valid_to) intervals —
+    valid_to = next version's valid_from, NULL while current.  One
+    hash(custkey)-bucketed exchange; each bucket resolves its disjoint
+    customers in a single vectorized pandas pass (shift/cumsum islands,
+    groupby-first interval bounds)."""
+    import numpy as np
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    P = auto_buckets(orders.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (k * np.uint64(2654435761)) % np.uint64(P)
+        return t.append_column("bk", pa.array(bk.astype(np.int64)))
+
+    def scd2(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "custkey": pd.Series(dtype="int64"),
+                    "version": pd.Series(dtype="int64"),
+                    "priority": pd.Series(dtype="object"),
+                    "valid_from": pd.Series(dtype="datetime64[us]"),
+                    "valid_to": pd.Series(dtype="datetime64[us]"),
+                    "n_obs": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        start = (df["o_custkey"] != df["o_custkey"].shift()) | (
+            df["o_orderpriority"] != df["o_orderpriority"].shift()
+        )
+        island = start.cumsum()
+        g = df.groupby(island, sort=False)
+        out = pd.DataFrame(
+            {
+                "custkey": g["o_custkey"].first().astype("int64"),
+                "priority": g["o_orderpriority"].first(),
+                "valid_from": g["o_orderdate"].first(),
+                "n_obs": g.size().astype("int64"),
+            }
+        ).reset_index(drop=True)
+        out["version"] = (out.groupby("custkey").cumcount() + 1).astype("int64")
+        out["valid_to"] = out.groupby("custkey")["valid_from"].shift(-1)
+        return out[["custkey", "version", "priority", "valid_from", "valid_to", "n_obs"]]
+
+    return bucket_map_groups(
+        orders.map_batches(add_bucket, batch_format="pyarrow"),
+        "bk",
+        scd2,
+        P,
+        batch_format="pandas",
+    )
