@@ -1137,3 +1137,91 @@ def inverted_index_roundtrip(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling: downsample every source to the SMALLEST source's
+# token budget (uniform source mixture) with deterministic
+# md5-threshold Bernoulli keeps — the data-mixing step before training.
+# Thresholds are exact integer arithmetic (t_min * 2^32 // t_s) so both
+# engines compare identical values; the min source keeps rate 1 via the
+# explicit saturation branch (DuckDB lpad TRUNCATES 0x100000000).
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = "mix-r4"
+
+_MIX_ORACLE = f"""
+WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+             FROM documents),
+st AS (SELECT source, SUM(n_tok) AS t_s FROM tok GROUP BY source),
+mn AS (SELECT MIN(t_s) AS t_min FROM st)
+SELECT d.doc_id, d.source, d.n_tok
+FROM tok d JOIN st USING (source), mn
+WHERE st.t_s = mn.t_min
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || '-{_MIX_SEED}'), 1, 8)
+      < lpad(lower(to_hex(mn.t_min * 4294967296 // st.t_s)), 8, '0')
+"""
+
+
+@register("mixture_downsample_uniform", oracle=_MIX_ORACLE)
+def mixture_downsample_uniform(sf_dir: str):
+    """Uniform-source mixture construction: per-source token totals via
+    the combiner aggregate (source-cardinality result, bounded), keep
+    rates t_min/t_s broadcast as exact integer thresholds, then one
+    stateless Bernoulli-filter pass (u = md5(doc_id||seed)[:8] < rate).
+    At 100 TB the rate table is host/source-sized and broadcast once;
+    the corpus never shuffles."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast, partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len((s or "").split(" ")) for s in t.column("text").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tok": n,
+            }
+        )
+
+    tok = docs.map_batches(toks, batch_format="pyarrow")
+    totals = partial_group_agg(
+        tok.select_columns(["source", "n_tok"]), ["source"], {"n_tok": "t_s"}
+    ).to_pandas()  # bounded: one row per source
+    t_min = int(totals["t_s"].min())
+    thresh = {
+        s: (None if int(ts) == t_min else t_min * 4294967296 // int(ts))
+        for s, ts in zip(totals["source"], totals["t_s"])
+    }
+    ref = (ray.put(thresh),)
+
+    def keep(t: pa.Table, _ref=ref) -> pa.Table:
+        thr = get_broadcast(_ref, tag="mix_thresh")
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        u = np.array(
+            [
+                int(hashlib.md5(f"{i}-{_MIX_SEED}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        mask = np.array(
+            [
+                thr[s] is None or int(ui) < thr[s]
+                for s, ui in zip(srcs, u)
+            ]
+        )
+        return t.filter(pa.array(mask))
+
+    return tok.map_batches(keep, batch_format="pyarrow")

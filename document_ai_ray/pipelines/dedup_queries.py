@@ -319,3 +319,82 @@ def snapshot_incremental_new(sf_dir: str):
     prev = docs.map_batches(keyed(0), batch_format="pyarrow")
     out = semi_anti_join_auto(new, prev, "k", "k", anti=True)
     return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus near-dup decontamination: find training documents whose
+# content near-duplicates an EVAL-set snippet (fuzzy decontamination —
+# exact n-gram membership misses paraphrased/truncated leakage).  The
+# eval set is a deterministic derivation: every doc_id % 17 == 1
+# contributes its first ceil(0.6 * n_words) words (eval benchmarks are
+# excerpts of crawl pages), offset into a disjoint id space.
+# ---------------------------------------------------------------------------
+
+_XCORPUS_BASE = 1_000_000
+
+_XDECON_ORACLE = f"""
+WITH ev AS (SELECT doc_id + {_XCORPUS_BASE} AS doc_id,
+                   array_to_string(ws[1:CAST((3 * len(ws) + 4) // 5 AS BIGINT)], ' ') AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            WHERE doc_id % 17 = 1),
+u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ev),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM u),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a AS train_id, id_b - {_XCORPUS_BASE} AS eval_id,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+  AND id_a < {_XCORPUS_BASE} AND id_b >= {_XCORPUS_BASE}
+"""
+
+
+@register("cross_corpus_decontaminate", oracle=_XDECON_ORACLE)
+def cross_corpus_decontaminate(sf_dir: str):
+    """Near-dup decontamination of the training corpus against an eval
+    set: union the two corpora in disjoint id spaces, run the COMPLETE
+    inverted-index exact-Jaccard detector, and keep only cross-corpus
+    pairs.  Exact (not LSH) because eval excerpts sit near the 0.5
+    threshold (J ~ 0.6), where banding recall is < 1 — at 100 TB the
+    drop-in scale path is minhash_lsh_pairs with band parameters tuned
+    to the target J, verified by the same verify_pairs join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_eval(t: pa.Table) -> pa.Table:
+        ids, txts = [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if i % 17 != 1:
+                continue
+            ws = (s or "").split(" ")
+            k = (3 * len(ws) + 4) // 5
+            ids.append(i + _XCORPUS_BASE)
+            txts.append(" ".join(ws[:k]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txts, pa.string())}
+        )
+
+    union = docs.union(docs.map_batches(make_eval, batch_format="pyarrow"))
+    pairs = exact_jaccard_pairs(union, n=2, threshold=0.5)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t.column("id_a"), pa.scalar(_XCORPUS_BASE)),
+            pc.greater_equal(t.column("id_b"), pa.scalar(_XCORPUS_BASE)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "train_id": t.column("id_a"),
+                "eval_id": pc.subtract(t.column("id_b"), pa.scalar(_XCORPUS_BASE)),
+                "jaccard": t.column("jaccard"),
+            }
+        )
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")
