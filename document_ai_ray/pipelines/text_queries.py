@@ -1989,3 +1989,191 @@ def lexical_diversity_docs(sf_dir: str):
         )
 
     return docs.map_batches(feats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram scoring: the production n-gram-LM smoother
+# (KenLM's default).  Unlike the interpolated model above, the backoff
+# weight is the CONTINUATION count (how many distinct contexts a word
+# follows) — "francisco" is frequent but follows only "san", so KN
+# scores it low in novel contexts where raw-frequency interpolation
+# overrates it.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+uc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1),
+b AS (SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM w WHERE len(ws) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM b GROUP BY 1, 2),
+nf AS (SELECT w1, COUNT(*) AS k FROM bc GROUP BY 1),
+nbk AS (SELECT w2, COUNT(*) AS k FROM bc GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bc),
+sc AS (SELECT b.doc_id,
+              ln(GREATEST(bc.nb - {_KN_D}, 0) / u1.n
+                 + ({_KN_D} * nf.k / u1.n) * (nbk.k / nt.t)) AS lp
+       FROM b JOIN bc USING (w1, w2)
+              JOIN uc u1 ON u1.word = b.w1
+              JOIN nf ON nf.w1 = b.w1
+              JOIN nbk ON nbk.w2 = b.w2
+              CROSS JOIN nt),
+d AS (SELECT doc_id, AVG(lp) AS a, COUNT(*) AS n_bigram FROM sc GROUP BY 1)
+SELECT doc_id, ROUND(a, 6) AS avg_logprob_kn, n_bigram FROM d
+"""
+
+
+@register("kneser_ney_logprob_docs", oracle=_KN_ORACLE)
+def kneser_ney_logprob_docs(sf_dir: str):
+    """Absolute-discounting Kneser-Ney bigram document scores:
+    p(w2|w1) = max(c(w1w2)−D, 0)/c(w1) + (D·N1+(w1·)/c(w1)) ·
+    (N1+(·w2)/N1+(··)), D = 0.75.  Same distributed shape as
+    `bigram_logprob_docs` (combiner count partials through the manual
+    exchange, model broadcast once, one streaming score pass); the
+    continuation counts N1+ are DERIVED from the bigram-type table
+    driver-side (vocab-sized, never corpus-sized).  Probability
+    expressions keep identical associativity on both sides so ln()
+    sees bit-identical doubles."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, get_broadcast
+    from document_ai_ray.stages.text_analysis import (
+        PAIR_SEP,
+        bigram_value_counts,
+        doc_word_pairs,
+        word_value_counts,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def _collect(counts_fn, key_name: str) -> dict[str, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            g = counts_fn(t.column("text"))
+            bucket = pa.array(
+                [crc_bucket(k, P) for k in g.column(key_name).to_pylist()], pa.int32()
+            )
+            return g.append_column("bucket", bucket)
+
+        def bucket_sum(df):
+            return df.groupby(key_name, as_index=False)["n"].sum()
+
+        merged = bucket_map_groups(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            "bucket",
+            bucket_sum,
+            P,
+            batch_format="pandas",
+        )
+        out: dict[str, int] = {}
+        for b in merged.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b.column(key_name).to_pylist(), b.column("n").to_pylist()))
+        return out
+
+    uni = _collect(word_value_counts, "word")
+    big = _collect(bigram_value_counts, "pair")
+    # continuation counts from the bigram-TYPE table (vocab-sized)
+    nf: dict[str, int] = {}
+    nb: dict[str, int] = {}
+    for pair in big:
+        w1, w2 = pair.split(PAIR_SEP)
+        nf[w1] = nf.get(w1, 0) + 1
+        nb[w2] = nb.get(w2, 0) + 1
+    ntypes = float(len(big))
+    D = _KN_D
+    model = {}
+    for pair, nbp in big.items():
+        w1, w2 = pair.split(PAIR_SEP)
+        model[pair] = math.log(
+            max(nbp - D, 0) / uni[w1] + (D * nf[w1] / uni[w1]) * (nb[w2] / ntypes)
+        )
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp: dict = get_broadcast((ref,), tag="kn_lm")
+        rows, w1, w2 = doc_word_pairs(t.column("text"))
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "avg_logprob_kn": pa.array([], pa.float64()),
+                    "n_bigram": pa.array([], pa.int64()),
+                }
+            )
+        keys = pc.binary_join_element_wise(w1, w2, PAIR_SEP).to_pandas()
+        df = pd.DataFrame({"i": rows, "v": keys.map(lp).to_numpy(dtype=np.float64)})
+        agg = df.groupby("i")["v"].agg(["mean", "size"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[agg.index.to_numpy()]
+        a = agg["mean"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "avg_logprob_kn": pa.array(
+                    np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6, pa.float64()
+                ),
+                "n_bigram": pa.array(agg["size"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance (key word in context): every occurrence of a target
+# word with its ±2-word context — the corpus-linguistics inspection
+# primitive behind "show me how the corpus uses X".
+# ---------------------------------------------------------------------------
+
+_KWIC_WORD = "spark"
+_KWIC_CTX = 2
+
+_KWIC_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       COALESCE(array_to_string(ws[GREATEST(i - {_KWIC_CTX}, 1):i - 1], ' '), '') AS left_ctx,
+       COALESCE(array_to_string(ws[i + 1:LEAST(i + {_KWIC_CTX}, len(ws))], ' '), '') AS right_ctx
+FROM p WHERE ws[CAST(i AS BIGINT)] = '{_KWIC_WORD}'
+"""
+
+
+@register("kwic_concordance", oracle=_KWIC_ORACLE)
+def kwic_concordance(sf_dir: str):
+    """KWIC concordance lines for one target word: (doc_id, 1-based
+    position, ±2-word contexts) per occurrence.  Stateless per-batch
+    pass — at scale this is a streaming map feeding an interactive
+    sampler, never a shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        ids, poss, lefts, rights = [], [], [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            ws = (s or "").split(" ")
+            for j, wd in enumerate(ws):
+                if wd != _KWIC_WORD:
+                    continue
+                ids.append(i)
+                poss.append(j + 1)
+                lefts.append(" ".join(ws[max(j - _KWIC_CTX, 0) : j]))
+                rights.append(" ".join(ws[j + 1 : j + 1 + _KWIC_CTX]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "left_ctx": pa.array(lefts, pa.string()),
+                "right_ctx": pa.array(rights, pa.string()),
+            }
+        )
+
+    return docs.map_batches(kwic, batch_format="pyarrow")
