@@ -1167,3 +1167,214 @@ def grouping_sets_pricing(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return leaf.repartition(1).map_batches(expand, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# EWMA time-decayed per-user aggregate: the recency-weighted mean that
+# feature stores compute per entity (half-life smoothing of a metric
+# stream).  Weight = exp(-lambda * hours-before-the-user's-last-event).
+# ---------------------------------------------------------------------------
+
+_EWMA_LAMBDA = 0.1  # per hour
+_US_PER_HOUR = 3600000000.0
+
+_EWMA_ORACLE = f"""
+WITH m AS (SELECT user_id, MAX(ts) AS tmax FROM events GROUP BY 1),
+s AS (SELECT e.user_id,
+             SUM(e.value * exp(-{_EWMA_LAMBDA} *
+                 (epoch_us(m.tmax) - epoch_us(e.ts)) / {_US_PER_HOUR})) AS num,
+             SUM(exp(-{_EWMA_LAMBDA} *
+                 (epoch_us(m.tmax) - epoch_us(e.ts)) / {_US_PER_HOUR})) AS den,
+             COUNT(*) AS n_events
+      FROM events e JOIN m USING (user_id) GROUP BY 1)
+SELECT user_id, ROUND(num / den, 6) AS ewma_value, n_events FROM s
+"""
+
+
+@register("events_ewma_user", oracle=_EWMA_ORACLE)
+def events_ewma_user(sf_dir: str):
+    """Exponentially-decayed per-user value average, anchored at each
+    user's LAST event (lambda = 0.1/hour).  One hash(user)-bucketed
+    exchange; each bucket computes its disjoint users' anchors and
+    decayed sums in a single vectorized pass — the weight expression
+    keeps identical associativity with the oracle so exp() sees
+    bit-identical doubles (the ~n-term sum's order difference is
+    absorbed by ROUND 6)."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    P = auto_buckets(ev.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (u * np.uint64(2654435761)) % np.uint64(P)
+        return t.append_column("bk", pa.array(bk.astype(np.int64)))
+
+    def ewma(df):
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "ewma_value": pd.Series(dtype="float64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        ts_us = df["ts"].astype("int64").to_numpy()  # epoch microseconds
+        tmax = df.groupby("user_id")["ts"].transform("max").astype("int64").to_numpy()
+        wt = np.exp(-_EWMA_LAMBDA * (tmax - ts_us).astype(np.float64) / _US_PER_HOUR)
+        tmp = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "num": df["value"].to_numpy() * wt,
+                "den": wt,
+            }
+        )
+        g = tmp.groupby("user_id", as_index=False).agg(
+            num=("num", "sum"), den=("den", "sum"), n_events=("den", "size")
+        )
+        v = (g["num"] / g["den"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "ewma_value": np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6,
+                "n_events": g["n_events"].astype("int64"),
+            }
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(add_bucket, batch_format="pyarrow"), "bk", ewma, P,
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM user scoring: recency / frequency / monetary quintiles — the
+# classic customer-analytics segmentation, here as three NTILE(5)
+# passes on the exact-rank substrate merged in one user-hash exchange.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH agg AS (SELECT user_id, COUNT(*) AS freq, SUM(value) AS mon, MAX(ts) AS tmax
+             FROM events GROUP BY 1),
+g AS (SELECT MAX(ts) AS gmax FROM events),
+base AS (SELECT user_id, freq, mon,
+                epoch_us(g.gmax) - epoch_us(tmax) AS rec
+         FROM agg, g)
+SELECT user_id,
+       NTILE(5) OVER (ORDER BY rec DESC, user_id) AS r_score,
+       NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
+       NTILE(5) OVER (ORDER BY mon, user_id) AS m_score
+FROM base
+"""
+
+
+@register("rfm_user_scores", oracle=_RFM_ORACLE)
+def rfm_user_scores(sf_dir: str):
+    """RFM segmentation: per-user recency (µs before the corpus's last
+    event), frequency and monetary totals, each cut into NTILE(5)
+    quintile scores (5 = best).  Per-user aggregates ride the combiner;
+    each metric's quintile comes from one `with_group_ranks`
+    distributed sort (constant group, user_id tiebreaker — SQL's
+    first-tiles-are-larger NTILE rule reproduced exactly); the three
+    score streams merge in a single hash(user) exchange.  Monetary
+    ordering compares engine-summed doubles with DuckDB-summed doubles
+    — safe because adjacent user totals differ by O(1) while cross-
+    engine sum error is O(1e-12)."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        merge_partials,
+        with_group_ranks,
+    )
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [("ts", "max"), ("value", "sum"), ([], "count_all")]
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("user_id"),
+                g.column("ts_max").cast(pa.int64()),
+                g.column("value_sum"),
+                g.column("count_all"),
+            ],
+            names=["user_id", "tmax", "mon", "freq"],
+        )
+
+    per_user = merge_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"tmax": "max", "mon": "sum", "freq": "sum"},
+    ).materialize()  # three rank passes re-read it; never recompute lineage
+
+    gmax = per_user.max("tmax")
+
+    def with_metrics(t: pa.Table) -> pa.Table:
+        rec = pc.subtract(pa.scalar(int(gmax), pa.int64()), t.column("tmax"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "neg_rec": pc.negate(rec),  # ascending == recency DESC
+                "freq": t.column("freq"),
+                "mon": t.column("mon"),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    base = per_user.map_batches(with_metrics, batch_format="pyarrow").materialize()
+    n_users = base.count()
+    P = auto_buckets(n_users)
+
+    def ntile5(ranked, kind: int):
+        def tile(t: pa.Table) -> pa.Table:
+            r = t.column("__rank").to_numpy(zero_copy_only=False)
+            n = t.column("__gn").to_numpy(zero_copy_only=False)
+            size, rem = n // 5, n % 5
+            big = rem * (size + 1)
+            sc = np.where(r < big, r // (size + 1), rem + (r - big) // np.maximum(size, 1))
+            u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            bk = (u * np.uint64(2654435761)) % np.uint64(P)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "kind": pa.array(np.full(len(t), kind, np.int8)),
+                    "score": pa.array((sc + 1).astype(np.int64)),
+                    "bk": pa.array(bk.astype(np.int64)),
+                }
+            )
+
+        return ranked.map_batches(tile, batch_format="pyarrow")
+
+    scores = (
+        ntile5(with_group_ranks(base, "__g", ["neg_rec", "user_id"]), 0)
+        .union(ntile5(with_group_ranks(base, "__g", ["freq", "user_id"]), 1))
+        .union(ntile5(with_group_ranks(base, "__g", ["mon", "user_id"]), 2))
+    )
+
+    def pivot(df):
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "r_score": pd.Series(dtype="int64"),
+                    "f_score": pd.Series(dtype="int64"),
+                    "m_score": pd.Series(dtype="int64"),
+                }
+            )
+        p = df.pivot_table(index="user_id", columns="kind", values="score", aggfunc="first")
+        return pd.DataFrame(
+            {
+                "user_id": p.index.astype("int64"),
+                "r_score": p[0].astype("int64").to_numpy(),
+                "f_score": p[1].astype("int64").to_numpy(),
+                "m_score": p[2].astype("int64").to_numpy(),
+            }
+        ).reset_index(drop=True)
+
+    return bucket_map_groups(scores, "bk", pivot, P, batch_format="pandas")
+
