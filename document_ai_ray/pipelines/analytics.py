@@ -1378,3 +1378,55 @@ def rfm_user_scores(sf_dir: str):
 
     return bucket_map_groups(scores, "bk", pivot, P, batch_format="pandas")
 
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows: 1-hour windows advancing every 15 minutes —
+# the overlapping-window aggregate tumbling windows can't express.  Each
+# event explodes into exactly width/hop = 4 window rows (vectorized),
+# then the combiner aggregate; the oracle replays the same explode with
+# generate_series.
+# ---------------------------------------------------------------------------
+
+_HOP_ORACLE = """
+SELECT event_type,
+       time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
+@register("events_hopping_counts", oracle=_HOP_ORACLE)
+def events_hopping_counts(sf_dir: str):
+    """Hopping-window counts/sums per event_type (width 60 min, hop
+    15 min): every event lands in the 4 windows whose start lies in
+    (ts − 60 min, ts].  The explode is one vectorized repeat per batch
+    (no per-row loop, output exactly 4× input rows), and the aggregate
+    rides the combiner partial — at 100 TB the 4× fan-out happens
+    inside the map, never materializing an exploded corpus."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column("ts"), multiple=15, unit="minute").to_numpy(
+            zero_copy_only=False
+        )
+        n = len(t)
+        idx = np.repeat(np.arange(n), 4)
+        k = np.tile(np.arange(4), n)
+        ws = base[idx] - k * np.timedelta64(15, "m")
+        return pa.table(
+            {
+                "event_type": t.column("event_type").take(pa.array(idx)),
+                "window_start": pa.array(ws.astype("datetime64[us]")),
+                "value": t.column("value").take(pa.array(idx)),
+            }
+        )
+
+    agg = partial_group_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"value": "sum_value"},
+        count_alias="n_events",
+    )
+    return agg.map_batches(lambda t: round_cols(t, {"sum_value": 2}), batch_format="pyarrow")

@@ -398,3 +398,56 @@ def cross_corpus_decontaminate(sf_dir: str):
         )
 
     return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
+_CLUSTER_HIST_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u",
+    """, lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+cs AS (SELECT cluster_id, COUNT(*) AS csize FROM lab GROUP BY cluster_id)
+SELECT csize AS cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY csize""",
+)
+
+
+@register("dup_cluster_size_hist", oracle=_CLUSTER_HIST_ORACLE)
+def dup_cluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup DIAGNOSTIC every
+    corpus report ships (how much of the corpus sits in 2-doc pairs vs
+    giant template families).  Composes the exact near-dup components
+    with a bucketed per-cluster count (cluster ids are high-cardinality)
+    and a tiny combiner final over the count-of-counts (cluster SIZES
+    are few).  Singletons included: the histogram's size-1 bar is the
+    unduplicated mass, the number a dedup report leads with."""
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucketed_group_agg, partial_group_agg
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = connected_components(pairs)
+    docs2 = read_table(sf_dir, "documents", columns=["doc_id"])
+    assigned = assign_clusters(docs2, comps)
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cluster_id", as_index=False).agg(csize=("doc_id", "size"))
+
+    sizes = bucketed_group_agg(
+        assigned,
+        keys=["cluster_id"],
+        agg_fn=count_in_bucket,
+        n_buckets=auto_buckets(docs2.count()),
+    )
+
+    def to_hist_key(t):
+        import pyarrow as pa
+
+        return pa.table({"cluster_size": t.column("csize").cast(pa.int64())})
+
+    hist = partial_group_agg(
+        sizes.map_batches(to_hist_key, batch_format="pyarrow"),
+        ["cluster_size"],
+        {},
+        count_alias="n_clusters",
+    )
+    return hist

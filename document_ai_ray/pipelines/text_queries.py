@@ -2177,3 +2177,153 @@ def kwic_concordance(sf_dir: str):
         )
 
     return docs.map_batches(kwic, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: take documents in quality order until a
+# global token budget (25% of the corpus) is exhausted — the "best K
+# tokens" cut every pre-training data mix performs after scoring.
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.25  # of total whitespace tokens
+
+_BUDGET_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+t AS (SELECT doc_id,
+             CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+             END AS n_ws_tokens
+      FROM documents),
+s AS (SELECT q.doc_id, q.quality_score, t.n_ws_tokens,
+             CAST(COALESCE(SUM(t.n_ws_tokens) OVER (
+                 ORDER BY q.quality_score DESC, q.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+      FROM q JOIN t USING (doc_id)),
+tot AS (SELECT SUM(n_ws_tokens) AS total FROM t)
+SELECT doc_id, quality_score, n_ws_tokens, cum_tokens
+FROM s, tot WHERE cum_tokens < {_BUDGET_FRAC} * total
+"""
+
+
+@register("select_quality_token_budget", oracle=_BUDGET_ORACLE)
+def select_quality_token_budget(sf_dir: str):
+    """TOKEN-BUDGET corpus selection: keep documents in descending
+    quality order until their exclusive running token total reaches 25%
+    of the corpus's tokens (the first doc crossing the budget is kept —
+    its exclusive prefix is still under budget, SQL's `cum < frac*total`
+    rule on both sides).  Quality is ROUNDed to 6 digits BEFORE the sort
+    on both sides so the order is engine-independent (doc_id breaks
+    ties); the running total is the distributed exclusive prefix sum
+    from `with_group_ranks(value_col=...)` — integer-exact, and no task
+    ever holds the corpus."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import round_cols, with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = token_count_batch(quality_batch(t))
+        t = round_cols(t, {"quality_score": 6})
+        negq = np.negative(t.column("quality_score").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "quality_score": t.column("quality_score"),
+                "n_ws_tokens": t.column("n_ws_tokens"),
+                "__negq": pa.array(negq, pa.float64()),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    total = scored.sum("n_ws_tokens")
+    budget = _BUDGET_FRAC * float(total)  # exact: total/4 in binary
+
+    ranked = with_group_ranks(
+        scored, "__g", ["__negq", "doc_id"], value_col="n_ws_tokens"
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        cum = t.column("__cum").to_numpy(zero_copy_only=False)
+        m = pa.array(cum < budget)
+        out = t.filter(m)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "quality_score": out.column("quality_score"),
+                "n_ws_tokens": out.column("n_ws_tokens"),
+                "cum_tokens": out.column("__cum"),
+            }
+        )
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability scoring: the classic surface-form
+# readability filter (word/sentence/syllable ratios), each count
+# replayed exactly in SQL (ASCII word regex + vowel-group syllable
+# heuristic with a 1-syllable-per-word floor).
+# ---------------------------------------------------------------------------
+
+_FLESCH_ORACLE = r"""
+WITH wd AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w
+            FROM documents),
+sy AS (SELECT doc_id, COUNT(*) AS n_words,
+              SUM(GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)) AS n_syll
+       FROM wd GROUP BY doc_id),
+se AS (SELECT doc_id, GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+       FROM documents)
+SELECT s.doc_id, s.n_words, se.n_sents, s.n_syll,
+       ROUND(206.835 - 1.015 * (s.n_words / CAST(se.n_sents AS DOUBLE))
+                     - 84.6 * (s.n_syll / CAST(s.n_words AS DOUBLE)), 6) AS flesch
+FROM sy s JOIN se USING (doc_id)
+WHERE s.n_words > 0
+"""
+
+
+@register("flesch_readability_docs", oracle=_FLESCH_ORACLE)
+def flesch_readability_docs(sf_dir: str):
+    """Flesch reading-ease per document: 206.835 − 1.015·(words/sents)
+    − 84.6·(syllables/words), with syllables = vowel-group runs per
+    ASCII word (≥1) and sentences = [.!?]+ runs (≥1).  Stateless
+    per-batch map with module-compiled regexes; the oracle replays every
+    count with the identical regexes and the identical left-associative
+    arithmetic so ROUND(…,6) agrees bit-for-bit."""
+    import re
+
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import round_cols
+
+    rx_word = re.compile(r"[A-Za-z]+")
+    rx_vowel = re.compile(r"[aeiouy]+")
+    rx_sent = re.compile(r"[.!?]+")
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flesch(t: pa.Table) -> pa.Table:
+        ids, nw, ns, sy = [], [], [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            words = rx_word.findall(s or "")
+            if not words:
+                continue
+            ids.append(i)
+            nw.append(len(words))
+            ns.append(max(len(rx_sent.findall(s or "")), 1))
+            sy.append(sum(max(len(rx_vowel.findall(w.lower())), 1) for w in words))
+        w = np.asarray(nw, np.float64)
+        f = 206.835 - 1.015 * (w / np.asarray(ns, np.float64)) - 84.6 * (np.asarray(sy, np.float64) / w)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_sents": pa.array(ns, pa.int64()),
+                "n_syll": pa.array(sy, pa.int64()),
+                "flesch": pa.array(f, pa.float64()),
+            }
+        )
+        return round_cols(out, {"flesch": 6})
+
+    return docs.map_batches(flesch, batch_format="pyarrow")

