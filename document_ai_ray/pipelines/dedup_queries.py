@@ -451,3 +451,32 @@ def dup_cluster_size_hist(sf_dir: str):
         count_alias="n_clusters",
     )
     return hist
+
+
+_CONTAINMENT_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+"""
+
+
+@register("containment_dup_pairs", oracle=_CONTAINMENT_ORACLE)
+def containment_dup_pairs(sf_dir: str):
+    """Exact all-pairs n-gram OVERLAP COEFFICIENT (containment) at
+    threshold 0.8 — catches a small document quoted/embedded inside a
+    big one, which symmetric Jaccard structurally under-scores
+    (J = |small|/|large| for full containment).  AllPairs
+    probe-prefix-vs-full-index candidates + the shared distributed
+    verification (`verify_pairs(metric="overlap")`); the oracle is the
+    same gram CTE battery with a LEAST() denominator."""
+    from document_ai_ray.stages.dedup import containment_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(docs, n=2, threshold=0.8)

@@ -661,3 +661,76 @@ def clustering_coeff_graph(sf_dir: str):
         return pa.table({"a": pa.array(xs), "b": pa.array(ys)})
 
     return clustering_coefficient(docs.map_batches(derive, batch_format="pyarrow"))
+
+
+def _hits_oracle(iters: int = 10, round_to: int = 6) -> str:
+    """Unrolled HITS as DuckDB SQL, one pair of MATERIALIZED CTEs per
+    half-iteration (raw contribution + L2-normalized), mirroring
+    stages/links.py:hits_hosts exactly: authority_k(d) = Σ w·hub_{k-1}(s)
+    then /sqrt(Σv²); hub_k(s) = Σ w·authority_k(d) then /sqrt(Σv²).
+    Both sides accumulate in float64; sum-order drift stays ~1e-15 over
+    10 rounds, far under the 1e-6 rounding grid (the `_pagerank_oracle`
+    precedent, plus one sqrt per half-round)."""
+    its = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+a{k}r AS MATERIALIZED (
+  SELECT h.host, COALESCE(s.v, 0.0) AS v
+  FROM h LEFT JOIN (SELECT e.dst AS host, SUM(e.w * p.v) AS v
+                    FROM edges e JOIN {prev_h} p ON e.src = p.host GROUP BY 1) s
+  USING (host)),
+a{k} AS MATERIALIZED (
+  SELECT host, v / (SELECT sqrt(SUM(v * v)) FROM a{k}r) AS v FROM a{k}r),
+h{k}r AS MATERIALIZED (
+  SELECT h.host, COALESCE(s.v, 0.0) AS v
+  FROM h LEFT JOIN (SELECT e.src AS host, SUM(e.w * a.v) AS v
+                    FROM edges e JOIN a{k} a ON e.dst = a.host GROUP BY 1) s
+  USING (host)),
+h{k} AS MATERIALIZED (
+  SELECT host, v / (SELECT sqrt(SUM(v * v)) FROM h{k}r) AS v FROM h{k}r)""")
+        prev_h = f"h{k}"
+    return f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT src, slug || '.example' AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM e0 WHERE slug <> '' GROUP BY 1, 2),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+h AS MATERIALIZED (SELECT host FROM hosts),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM h),
+h0 AS MATERIALIZED (SELECT host, 1.0 / sqrt((SELECT n FROM nn)) AS v FROM h),
+{",".join(its)}
+SELECT h{iters}.host, ROUND(h{iters}.v, {round_to}) AS hub,
+       ROUND(a{iters}.v, {round_to}) AS authority
+FROM h{iters} JOIN a{iters} USING (host)
+"""
+
+
+@register("hits_hosts", oracle=_hits_oracle())
+def hits_hosts_query(sf_dir: str):
+    """HITS hubs/authorities over the same real-HTML-extracted host
+    graph as `pagerank_hosts` — the other classic link-quality prior a
+    crawl frontier consumes.  The 10-round L2-normalized fixpoint is
+    replayed in DuckDB as unrolled MATERIALIZED CTEs; the distributed
+    sparse contribute/merge halves are value-checked end to end."""
+    from document_ai_ray.stages.links import (
+        hits_hosts,
+        href_host,
+        page_outlinks,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    return hits_hosts(edges, iters=10)

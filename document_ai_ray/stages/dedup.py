@@ -659,8 +659,9 @@ def verify_pairs(
     n: int = 2,
     n_buckets: int | None = None,
     grams: rd.Dataset | None = None,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
-    """Verify candidate (id_a, id_b) pairs with TRUE n-gram Jaccard,
+    """Verify candidate (id_a, id_b) pairs with TRUE n-gram similarity,
     fully distributed: two bucketed hash joins of the pairs against the
     docs dataset (re-shingled in-task).  Join 1 buckets on id_a and
     attaches grams_a; join 2 re-buckets on id_b, attaches grams_b and
@@ -669,6 +670,12 @@ def verify_pairs(
     the driver (the 10^12-doc shape the module docstring promises).
     Duplicate candidates are deduped in join 1 (same id_a -> same
     bucket), so callers need not pre-distinct.
+
+    `metric`: "jaccard" = |∩|/|∪| (symmetric near-dup), "overlap" =
+    |∩|/min(|a|,|b|) (Szymkiewicz–Simpson overlap coefficient — the
+    CONTAINMENT score that catches a small document embedded in a big
+    one, which Jaccard structurally under-scores).  The output column
+    is named after the metric.
 
     n_buckets=None sizes the join buckets from the doc count: grams
     rows are ~1 KB each, so the per-bucket target is lower than the
@@ -764,7 +771,10 @@ def verify_pairs(
             if not gb:
                 continue
             inter = len(set(ga).intersection(gb))
-            j = inter / (len(ga) + len(gb) - inter)
+            if metric == "overlap":
+                j = inter / min(len(ga), len(gb))
+            else:
+                j = inter / (len(ga) + len(gb) - inter)
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -775,7 +785,7 @@ def verify_pairs(
                 pa.array(out_b, pa.int64()),
                 pa.array(out_j, pa.float64()),
             ],
-            names=["id_a", "id_b", "jaccard"],
+            names=["id_a", "id_b", metric],
         )
 
     return bucket_map_groups(level2, "__jb", score_b, n_buckets)
@@ -932,3 +942,220 @@ def simhash_pairs(
     from document_ai_ray.pipelines.ops import merge_partials
 
     return merge_partials(cands, ["id_a", "id_b"], {"hamming": "min"})
+
+
+def containment_pairs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.8,
+    max_candidates: int = 1 << 26,
+    grams: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """All pairs with n-gram OVERLAP COEFFICIENT |∩|/min(|a|,|b|) >=
+    threshold — EXACT containment detection (a small doc quoted or
+    embedded inside a large one scores ~1 here while its Jaccard is
+    ~|small|/|large| and slips under any Jaccard threshold).
+
+    Candidate generation is AllPairs probe-prefix-vs-full-index
+    (Bayardo et al., WWW'07, adapted to the overlap bound): under the
+    global ascending (DF, hash) gram order, any pair with overlap >= t
+    must share a gram inside the SMALLER doc's prefix of size
+    |g| - ceil(t*|g|) + 1 (if none of those is in the other doc, the
+    intersection is <= |g| - prefix = ceil(t|g|)-1 < t*min — the
+    prefix-filter contradiction).  Unlike the Jaccard case there is NO
+    length filter (a 10-gram doc may be contained in a 10^4-gram one),
+    so prefixes probe the FULL inverted index: candidate volume is
+    sum over prefix rows of (DF-1), computed exactly BEFORE generation
+    and refused loudly above `max_candidates` (dense template corpora
+    belong to minhash_lsh_pairs, same contract as exact_jaccard_pairs).
+    Verification reuses `verify_pairs(metric="overlap")` — the same
+    two bucketed doc-id joins, nothing corpus-sized on the driver."""
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        bucketed_group_agg,
+        merge_partials,
+    )
+
+    n_docs = docs.count()
+    join_buckets = auto_buckets(n_docs * _GRAMS_PER_DOC_EST)
+    if grams is None:
+        grams = compute_doc_grams(docs, id_col, text_col, n).materialize()
+
+    def explode_all(t: pa.Table) -> pa.Table:
+        ids, vals, offs = _grams_arrays(t)
+        counts = np.diff(offs)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(ids.astype(np.int64), counts)),
+                pa.array(vals[offs[0] : offs[-1]] if len(offs) else vals[:0]),
+            ],
+            names=["id", "gh"],
+        )
+
+    exploded = grams.map_batches(explode_all, batch_format="pyarrow").materialize()
+
+    def df_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gh", as_index=False).agg(df=("id", "size"))
+
+    df_ds = bucketed_group_agg(
+        exploded.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("gh").cast(pa.int64(), safe=False), t.column("id")],
+                names=["gh", "id"],
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["gh"],
+        agg_fn=df_per_bucket,
+        n_buckets=join_buckets,
+    ).materialize()
+
+    # attach DF to the exploded rows (bucketed hash join on gram hash,
+    # same shape as exact_jaccard_pairs pass 2)
+    def df_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("gh"), pa.nulls(len(t), pa.int64()), t.column("df").cast(pa.int64())],
+            names=["gh", "id", "df"],
+        )
+
+    def exploded_side(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("gh").cast(pa.int64(), safe=False), t.column("id"), pa.nulls(len(t), pa.int64())],
+            names=["gh", "id", "df"],
+        )
+
+    def gh_bucket(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (g * np.uint64(2654435761)) % np.uint64(join_buckets)
+        return t.append_column("__jb", pa.array(b.astype(np.int32)))
+
+    union = (
+        df_ds.map_batches(df_side, batch_format="pyarrow")
+        .union(exploded.map_batches(exploded_side, batch_format="pyarrow"))
+        .map_batches(gh_bucket, batch_format="pyarrow", batch_size=1 << 18)
+    )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        is_df = pc.is_null(g.column("id"))
+        dft = g.filter(is_df)
+        ext = g.filter(pc.invert(is_df))
+        d = pd.DataFrame(
+            {
+                "gh": dft.column("gh").to_numpy(zero_copy_only=False),
+                "df": dft.column("df").to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        e = pd.DataFrame(
+            {
+                "id": ext.column("id").to_numpy(zero_copy_only=False),
+                "gh": ext.column("gh").to_numpy(zero_copy_only=False),
+            }
+        )
+        m = e.merge(d, on="gh", how="left")
+        return pa.Table.from_arrays(
+            [
+                pa.array(m["id"].to_numpy(dtype=np.int64)),
+                pa.array(m["gh"].to_numpy(dtype=np.int64)),
+                pa.array(m["df"].fillna(0.0).to_numpy(dtype=np.int64)),
+            ],
+            names=["id", "gh", "df"],
+        )
+
+    with_df = bucket_map_groups(union, "__jb", attach_df, join_buckets)
+
+    # per-doc prefix under the global (df, gh) ascending order — prefix
+    # rows KEEP df for the exact candidate-volume pre-pass
+    def id_bucket(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (i * np.uint64(2654435761)) % np.uint64(join_buckets)
+        return t.append_column("__ib", pa.array(b.astype(np.int32)))
+
+    def prefix_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["id", "df", "gh"], kind="mergesort")
+        sizes = df.groupby("id")["gh"].transform("size")
+        rank = df.groupby("id").cumcount()
+        keep = rank < sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        out = df.loc[keep, ["id", "gh", "df"]].copy()
+        out["bucket"] = (
+            out["gh"].to_numpy(dtype=np.uint64) % np.uint64(join_buckets)
+        ).astype(np.int32)
+        return out
+
+    prefix = bucket_map_groups(
+        with_df.map_batches(id_bucket, batch_format="pyarrow", batch_size=1 << 18),
+        "__ib",
+        prefix_in_bucket,
+        join_buckets,
+        batch_format="pandas",
+    ).materialize()
+
+    # EXACT candidate volume = sum over prefix rows of (DF - 1): each
+    # prefix row probes its gram's full posting list minus itself
+    def cand_partial(t: pa.Table) -> pa.Table:
+        d = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"k": pa.array([0], pa.int8()), "v": pa.array([int((d - 1).sum())], pa.int64())}
+        )
+
+    est = merge_partials(
+        prefix.map_batches(cand_partial, batch_format="pyarrow", batch_size=None),
+        keys=["k"],
+        agg_funcs={"v": "sum"},
+    ).take_all()
+    n_cand = est[0]["v"] if est else 0
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"containment_pairs: {n_cand:,} probe-index candidates (> "
+            f"{max_candidates:,}) — corpus too dense for exact containment "
+            "all-pairs; use minhash_lsh_pairs or raise max_candidates"
+        )
+
+    # probe: prefix rows x FULL postings, bucketed on gram hash
+    def full_side(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "gh": t.column("gh").cast(pa.int64(), safe=False),
+                "fid": t.column("id"),
+                "pid": pa.nulls(len(t), pa.int64()),
+                "bucket": pa.array((g % np.uint64(join_buckets)).astype(np.int32)),
+            }
+        )
+
+    def prefix_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gh": t.column("gh"),
+                "fid": pa.nulls(len(t), pa.int64()),
+                "pid": t.column("id"),
+                "bucket": t.column("bucket"),
+            }
+        )
+
+    probe_union = (
+        exploded.map_batches(full_side, batch_format="pyarrow")
+        .union(prefix.map_batches(prefix_side, batch_format="pyarrow"))
+    )
+
+    def cand_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["pid"].notna(), ["gh", "pid"]]
+        f = df.loc[df["fid"].notna(), ["gh", "fid"]]
+        m = p.merge(f, on="gh")
+        m = m[m["pid"] != m["fid"]]
+        a = np.minimum(m["pid"].to_numpy(dtype=np.int64), m["fid"].to_numpy(dtype=np.int64))
+        b = np.maximum(m["pid"].to_numpy(dtype=np.int64), m["fid"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+
+    cands = bucket_map_groups(
+        probe_union,
+        "bucket",
+        cand_in_bucket,
+        join_buckets,
+        batch_format="pandas",
+    )
+    return verify_pairs(
+        cands, docs, threshold, id_col=id_col, text_col=text_col, n=n,
+        grams=grams, metric="overlap",
+    )

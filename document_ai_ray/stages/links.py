@@ -358,3 +358,92 @@ def _sparse_contrib(di: np.ndarray, w: np.ndarray) -> pa.Table:
     return pa.table(
         {"dst_idx": pa.array(uniq.astype(np.int64)), "c": pa.array(sums, pa.float64())}
     )
+
+
+def hits_hosts(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg '99) over the weighted host
+    multigraph — the complement to PageRank for crawl seeding: a good
+    HUB links to many good authorities, a good AUTHORITY is linked by
+    many good hubs.  L2-normalized mutual recursion, `iters` full
+    (authority, hub) rounds.
+
+    Same scale shape as `pagerank_hosts`: the edge stream is collapsed
+    ONCE to a weighted host-pair table (materialized — iterative fits
+    never re-run lineage), each half-iteration is one streaming pass
+    over the host-pair rows emitting SPARSE (idx, contrib) partials
+    through the shuffle-free combiner, and only host-sized vectors ever
+    reach the driver."""
+    import pandas as pd
+
+    wedges = partial_group_agg(
+        edges.select_columns([src_col, dst_col]), keys=[src_col, dst_col], count_alias="w"
+    ).materialize()
+
+    src_tbl = _collect(distinct_rows(wedges.select_columns([src_col]), [src_col]))
+    dst_tbl = _collect(distinct_rows(wedges.select_columns([dst_col]), [dst_col]))
+    hosts = sorted(
+        set(src_tbl.column(src_col).to_pylist()) | set(dst_tbl.column(dst_col).to_pylist())
+    )
+    n = len(hosts)
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+    host_idx = pd.Index(hosts)
+    static_ref = (ray.put(host_idx),)
+
+    def _half(vec: np.ndarray, out_side: str) -> np.ndarray:
+        """One half-iteration: contribute w*vec[other side] into
+        `out_side` indices, sparse partials, combiner merge, L2 norm."""
+        vec_ref = (ray.put(vec),)
+
+        def contrib(t: pa.Table, _vref=vec_ref) -> pa.Table:
+            idx = get_broadcast(static_ref, tag="hits_static")
+            v = get_broadcast(_vref, tag="hits_vec")
+            si = idx.get_indexer(t.column(src_col).to_pylist())
+            di = idx.get_indexer(t.column(dst_col).to_pylist())
+            ew = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+            if out_side == "dst":
+                return _sparse_contrib(di, ew * v[si])
+            return _sparse_contrib(si, ew * v[di])
+
+        merged = _collect(
+            merge_partials(
+                wedges.map_batches(contrib, batch_format="pyarrow"),
+                keys=["dst_idx"],
+                agg_funcs={"c": "sum"},
+            )
+        )
+        out = np.zeros(n, np.float64)
+        out[merged.column("dst_idx").to_numpy(zero_copy_only=False)] = merged.column(
+            "c"
+        ).to_numpy(zero_copy_only=False)
+        nrm = np.sqrt((out * out).sum())
+        return out / nrm if nrm > 0 else out
+
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = _half(hub, "dst")   # authority(d) = sum w * hub(s)
+        hub = _half(auth, "src")   # hub(s)       = sum w * authority(d)
+
+    out = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "hub": pa.array(hub),
+            "authority": pa.array(auth),
+        }
+    )
+    return rd.from_arrow(round_cols(out, {"hub": round_to, "authority": round_to}))

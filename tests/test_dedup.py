@@ -305,3 +305,59 @@ def test_exact_jaccard_ppjoin_guard_allows_sparse(sf_tiny):
         ).take_all()
     }
     assert sparse == dense
+
+
+def _brute_force_overlap(texts: dict[int, str], n=2, threshold=0.8):
+    G = {i: word_ngrams(t, n) for i, t in texts.items()}
+    ids = sorted(G)
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not G[a] or not G[b]:
+                continue
+            inter = len(G[a] & G[b])
+            if inter / min(len(G[a]), len(G[b])) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_containment_matches_brute_force(sf_tiny, docs_texts):
+    from document_ai_ray.stages.dedup import containment_pairs
+
+    docs = rd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in containment_pairs(docs, threshold=0.8).take_all()}
+    assert got == _brute_force_overlap(docs_texts)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses():
+    """A 20-gram doc fully embedded in a 200-gram doc: overlap = 1.0,
+    Jaccard ~ 0.1 — the structural case the operator exists for."""
+    from document_ai_ray.stages.dedup import containment_pairs
+
+    small = " ".join(f"needle{i}" for i in range(21))
+    big = small + " " + " ".join(f"hay{i}" for i in range(200))
+    other = " ".join(f"other{i}" for i in range(50))
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": small},
+            {"doc_id": 2, "text": big},
+            {"doc_id": 3, "text": other},
+        ]
+    )
+    pairs = containment_pairs(docs, threshold=0.8).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["overlap"] == 1.0
+    jac = exact_jaccard_pairs(docs, threshold=0.5).take_all()
+    assert not jac  # Jaccard at 0.5 misses the embedded doc
+
+
+def test_containment_dense_guard_raises():
+    """Every doc sharing one tiny gram set -> candidate volume is
+    quadratic; the pre-generation guard must refuse loudly."""
+    base = " ".join(f"w{i}" for i in range(12))
+    docs = rd.from_items([{"doc_id": i, "text": base} for i in range(60)])
+    with pytest.raises(ValueError, match="containment_pairs"):
+        from document_ai_ray.stages.dedup import containment_pairs
+
+        containment_pairs(docs, threshold=0.8, max_candidates=100)

@@ -235,3 +235,57 @@ def test_pagerank_partials_are_sparse():
     # empty block -> empty partial with the same schema
     e = _sparse_contrib(np.array([], dtype=np.int64), np.array([]))
     assert len(e) == 0 and e.schema == t.schema
+
+
+def _ref_hits(edges, iters):
+    import numpy as np
+
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t in edges:
+        W[idx[s], idx[t]] += 1.0
+    h = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(iters):
+        a = W.T @ h
+        a /= np.sqrt((a * a).sum())
+        h = W @ a
+        h /= np.sqrt((h * h).sum())
+    return {x: (h[idx[x]], a[idx[x]]) for x in hosts}
+
+
+def test_hits_matches_dense_reference():
+    from document_ai_ray.stages.links import hits_hosts
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("a", "b"),          # parallel edge = weight 2
+        ("e", "sink"),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+    got = {r["host"]: (r["hub"], r["authority"]) for r in hits_hosts(ds, iters=12).take_all()}
+    ref = _ref_hits(edges, iters=12)
+    assert set(got) == set(ref)
+    for h in ref:
+        assert abs(got[h][0] - ref[h][0]) < 1e-6, ("hub", h)
+        assert abs(got[h][1] - ref[h][1]) < 1e-6, ("auth", h)
+
+
+def test_hits_direction():
+    """Star: one page linked by many -> it is the authority, the
+    linkers are the hubs."""
+    from document_ai_ray.stages.links import hits_hosts
+
+    edges = [("s%d" % i, "center") for i in range(5)]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+    got = {r["host"]: r for r in hits_hosts(ds, iters=8).take_all()}
+    assert got["center"]["authority"] > 0.99
+    assert got["center"]["hub"] == 0.0
+    for i in range(5):
+        assert got["s%d" % i]["hub"] > 0.4
+        assert got["s%d" % i]["authority"] == 0.0
