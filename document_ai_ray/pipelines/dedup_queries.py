@@ -480,3 +480,93 @@ def containment_dup_pairs(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return containment_pairs(docs, n=2, threshold=0.8)
+
+
+_KEEP_BEST_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u",
+    """, lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+j AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+      FROM lab l JOIN documents d USING (doc_id)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+SELECT doc_id, cluster_id, n_chars FROM r WHERE rn = 1""",
+)
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(sf_dir: str):
+    """Near-dup dedup keeping the LONGEST document per cluster (doc_id
+    tiebreak) — the RefinedWeb/Falcon survivor rule, vs
+    `dedup_keep_canonical`'s min-id rule.  Cluster labels and doc
+    lengths meet in one doc-hash bucketed join, then a cluster-hash
+    bucketed argmax (clusters are bucket-disjoint, so the per-bucket
+    pandas head(1) is exact) — nothing corpus-sized on the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = connected_components(pairs)
+    meta = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    assigned = assign_clusters(meta.select_columns(["doc_id"]), comps)
+    P = auto_buckets(meta.count())
+
+    def tag_assigned(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "n_chars": pa.nulls(len(t), pa.int64()),
+                "bk": pa.array(((d * np.uint64(2654435761)) % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def tag_meta(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.nulls(len(t), pa.int64()),
+                "n_chars": t.column("n_chars"),
+                "bk": pa.array(((d * np.uint64(2654435761)) % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["cluster_id"].notna(), ["doc_id", "cluster_id"]]
+        met = df.loc[df["n_chars"].notna(), ["doc_id", "n_chars"]]
+        m = lab.merge(met, on="doc_id")
+        cl = m["cluster_id"].to_numpy(dtype=np.uint64)
+        m["bk2"] = ((cl * np.uint64(2654435761)) % np.uint64(P)).astype(np.int64)
+        return m
+
+    joined = bucket_map_groups(
+        assigned.map_batches(tag_assigned, batch_format="pyarrow").union(
+            meta.map_batches(tag_meta, batch_format="pyarrow")
+        ),
+        "bk",
+        join_in_bucket,
+        P,
+        batch_format="pandas",
+    )
+
+    def best_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        out = df.groupby("cluster_id", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "cluster_id": out["cluster_id"].astype("int64"),
+                "n_chars": out["n_chars"].astype("int64"),
+            }
+        )
+
+    return bucket_map_groups(joined, "bk2", best_in_bucket, P, batch_format="pandas")

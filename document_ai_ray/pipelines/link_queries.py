@@ -734,3 +734,103 @@ def hits_hosts_query(sf_dir: str):
 
     edges = links.map_batches(to_edges, batch_format="pyarrow")
     return hits_hosts(edges, iters=10)
+
+
+_RECIPROCITY_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> ''),
+r AS (SELECT e.src, CASE WHEN EXISTS (SELECT 1 FROM edges x
+                                      WHERE x.src = e.dst AND x.dst = e.src)
+                         THEN 1 ELSE 0 END AS rec
+      FROM edges e)
+SELECT src AS host, COUNT(*) AS n_out, CAST(SUM(rec) AS BIGINT) AS n_reciprocal,
+       ROUND(SUM(rec) / CAST(COUNT(*) AS DOUBLE), 6) AS reciprocity
+FROM r GROUP BY src
+"""
+
+
+@register("host_reciprocity", oracle=_RECIPROCITY_ORACLE)
+def host_reciprocity(sf_dir: str):
+    """Per-host link reciprocity over the DISTINCT directed host graph:
+    fraction of a host's out-edges whose reverse edge exists (self-loops
+    count as reciprocal — EXISTS finds the edge itself, both sides).
+    Both directions of an unordered pair hash to the SAME bucket, so
+    the reverse-existence probe is one vectorized per-bucket merge; the
+    per-host rollup rides the combiner."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        distinct_rows,
+        partial_group_agg,
+        round_cols,
+    )
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = distinct_rows(
+        links.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"]
+    )
+    P = auto_buckets(edges.count())
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        srcs = t.column("src").to_pylist()
+        dsts = t.column("dst").to_pylist()
+        bk = [
+            stable64("|".join(sorted((s, d)))) % P for s, d in zip(srcs, dsts)
+        ]
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    def rec_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]
+        m = df[["src", "dst"]].merge(
+            rev.drop_duplicates(), on=["src", "dst"], how="left", indicator=True
+        )
+        return pd.DataFrame(
+            {
+                "src": m["src"],
+                "rec": (m["_merge"] == "both").to_numpy().astype(np.int64),
+            }
+        )
+
+    per_edge = bucket_map_groups(
+        edges.map_batches(pair_bucket, batch_format="pyarrow"),
+        "bk",
+        rec_in_bucket,
+        P,
+        batch_format="pandas",
+    )
+    agg = partial_group_agg(
+        per_edge, ["src"], {"rec": "n_reciprocal"}, count_alias="n_out"
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = t.column("n_reciprocal").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_out").to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "host": t.column("src"),
+                "n_out": t.column("n_out"),
+                "n_reciprocal": t.column("n_reciprocal"),
+                "reciprocity": pa.array(r / n, pa.float64()),
+            }
+        )
+        return round_cols(out, {"reciprocity": 6})
+
+    return agg.map_batches(ratio, batch_format="pyarrow")

@@ -2327,3 +2327,114 @@ def flesch_readability_docs(sf_dir: str):
         return round_cols(out, {"flesch": 6})
 
     return docs.map_batches(flesch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition report: per-language doc counts, token totals and
+# corpus share — the data-mix summary every pre-training run records.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = r"""
+WITH t AS (SELECT doc_id, lang,
+                  CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                  END AS n_ws_tokens
+           FROM documents),
+g AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_ws_tokens) AS n_tokens FROM t GROUP BY lang),
+tot AS (SELECT SUM(n_tokens) AS total FROM g)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens / CAST(total AS DOUBLE), 6) AS token_share
+FROM g, tot
+"""
+
+
+@register("corpus_mix_report", oracle=_MIX_ORACLE)
+def corpus_mix_report(sf_dir: str):
+    """Per-language corpus composition (docs, tokens, token share).
+    Combiner aggregate to language cardinality, then shares computed in
+    ONE final task over the lang-sized table (`repartition(1)` — the
+    two-level-merge rule from ops.py)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import round_cols
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        t = token_count_batch(t)
+        return t.select(["lang", "n_ws_tokens"])
+
+    agg = partial_group_agg(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["lang"],
+        {"n_ws_tokens": "n_tokens"},
+        count_alias="n_docs",
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs"),
+                "n_tokens": t.column("n_tokens"),
+                "token_share": pa.array(n / n.sum(), pa.float64()),
+            }
+        )
+        return round_cols(out, {"token_share": 6})
+
+    return agg.repartition(1).map_batches(share, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: low-entropy documents are repeated
+# boilerplate / padding; the Shannon entropy over codepoint frequencies
+# is a classic cheap filter feature.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = r"""
+WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+f AS (SELECT doc_id, ch, COUNT(*) AS k FROM c GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(k) AS n FROM f GROUP BY 1)
+SELECT f.doc_id, CAST(ANY_VALUE(n.n) AS BIGINT) AS n_cp,
+       ROUND(-SUM((k / CAST(n.n AS DOUBLE)) * ln(k / CAST(n.n AS DOUBLE))), 6) AS char_entropy
+FROM f JOIN n ON f.doc_id = n.doc_id
+GROUP BY f.doc_id
+"""
+
+
+@register("char_entropy_docs", oracle=_ENTROPY_ORACLE)
+def char_entropy_docs(sf_dir: str):
+    """Shannon entropy (nats) of each document's codepoint distribution,
+    newline excluded to mirror RE2's '.' (the oracle's
+    regexp_extract_all(text, '.')).  Per-batch numpy unique-count —
+    stateless, streaming; the sum order differs between engines but the
+    ~1e-15 drift sits far under ROUND(…,6)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import round_cols
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def entropy(t: pa.Table) -> pa.Table:
+        ids, ns, hs = [], [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32)
+            cp = cp[cp != 10]  # RE2 '.' skips \n
+            if len(cp) == 0:
+                continue
+            _, k = np.unique(cp, return_counts=True)
+            p = k / len(cp)
+            ids.append(i)
+            ns.append(len(cp))
+            hs.append(float(-(p * np.log(p)).sum()))
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_cp": pa.array(ns, pa.int64()),
+                "char_entropy": pa.array(hs, pa.float64()),
+            }
+        )
+        return round_cols(out, {"char_entropy": 6})
+
+    return docs.map_batches(entropy, batch_format="pyarrow")
