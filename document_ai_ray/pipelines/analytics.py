@@ -1430,3 +1430,131 @@ def events_hopping_counts(sf_dir: str):
         count_alias="n_events",
     )
     return agg.map_batches(lambda t: round_cols(t, {"sum_value": 2}), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov test between event-type value
+# distributions — the drift-monitoring statistic a production pipeline
+# computes between yesterday's and today's feature distribution.
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "click", "purchase"
+
+_KS_ORACLE = f"""
+WITH ab AS (SELECT value,
+                   SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+            GROUP BY value),
+t AS (SELECT value,
+             SUM(ca) OVER (ORDER BY value) AS cuma,
+             SUM(cb) OVER (ORDER BY value) AS cumb
+      FROM ab),
+n AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM ab)
+SELECT ROUND(MAX(ABS(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE))), 6) AS ks_stat,
+       CAST(ANY_VALUE(na) AS BIGINT) AS n_a, CAST(ANY_VALUE(nb) AS BIGINT) AS n_b
+FROM t, n
+"""
+
+
+@register("events_ks_test", oracle=_KS_ORACLE)
+def events_ks_test(sf_dir: str):
+    """Exact two-sample KS statistic between the 'click' and 'purchase'
+    value distributions: sup over the pooled support of |F_a − F_b|, with
+    the tie-correct CDF (per DISTINCT value, counts merged first).
+    Shape: per-batch partial counts → one bucketed merge on the value's
+    bit pattern (distinct values are corpus-cardinality) → the
+    multi-value-column exact-rank substrate gives BOTH inclusive CDF
+    numerators in one distributed sort → a combiner max.  Nothing
+    corpus-sized on the driver."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucketed_group_agg,
+        merge_partials,
+        with_group_ranks,
+    )
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ev = ev.filter(
+        expr=f"event_type == '{_KS_A}' or event_type == '{_KS_B}'"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_a = pc.equal(t.column("event_type"), pa.scalar(_KS_A))
+        t2 = pa.table(
+            {
+                "value": t.column("value"),
+                "ca": pc.cast(is_a, pa.int64()),
+                "cb": pc.cast(pc.invert(is_a), pa.int64()),
+            }
+        )
+        g = t2.group_by(["value"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vbits": pa.array(v.view(np.uint64).astype(np.int64)),
+                "value": g.column("value"),
+                "ca": g.column("ca_sum"),
+                "cb": g.column("cb_sum"),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    P = auto_buckets(ev.count())
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("vbits", as_index=False).agg(
+            value=("value", "first"), ca=("ca", "sum"), cb=("cb", "sum")
+        )
+
+    merged = bucketed_group_agg(parts, keys=["vbits"], agg_fn=merge_bucket, n_buckets=P)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value": t.column("value"),
+                "ca": t.column("ca").cast(pa.int64()),
+                "cb": t.column("cb").cast(pa.int64()),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    base = merged.map_batches(prep, batch_format="pyarrow").materialize()
+    na = base.sum("ca")
+    nb = base.sum("cb")
+
+    ranked = with_group_ranks(
+        base, "__g", ["value"], value_col=["ca", "cb"], cum_col=["xca", "xcb"]
+    )
+
+    def diff_max(t: pa.Table) -> pa.Table:
+        fa = (
+            t.column("xca").to_numpy(zero_copy_only=False)
+            + t.column("ca").to_numpy(zero_copy_only=False)
+        ) / float(na)
+        fb = (
+            t.column("xcb").to_numpy(zero_copy_only=False)
+            + t.column("cb").to_numpy(zero_copy_only=False)
+        ) / float(nb)
+        d = float(np.abs(fa - fb).max()) if len(t) else 0.0
+        return pa.table({"k": pa.array([0], pa.int8()), "d": pa.array([d], pa.float64())})
+
+    top = merge_partials(
+        ranked.map_batches(diff_max, batch_format="pyarrow"),
+        keys=["k"],
+        agg_funcs={"d": "max"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        ks = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        return pa.table(
+            {
+                "ks_stat": pa.array(ks, pa.float64()),
+                "n_a": pa.array([na] * len(t), pa.int64()),
+                "n_b": pa.array([nb] * len(t), pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

@@ -682,8 +682,8 @@ def with_group_ranks(
     sort_cols: list[str],
     rank_col: str = "__rank",
     total_col: str = "__gn",
-    value_col: str | None = None,
-    cum_col: str = "__cum",
+    value_col: str | list[str] | None = None,
+    cum_col: str | list[str] = "__cum",
 ) -> rd.Dataset:
     """Attach each row's EXACT global rank within its group (0-based,
     under ascending `sort_cols` order) plus the group's total size —
@@ -717,38 +717,61 @@ def with_group_ranks(
     i.e. SUM(value) OVER (PARTITION BY group ORDER BY sort_cols ROWS
     UNBOUNDED PRECEDING AND 1 PRECEDING), 0 for each group's first row.
     Same shape: per-block (count, value-sum) dicts, prefix-merged on
-    the driver, per-block vectorized attach.
+    the driver, per-block vectorized attach.  A LIST of value columns
+    attaches one prefix-sum column per entry (pass a matching `cum_col`
+    list, or get ``__cum_<name>`` defaults) — still one sort, one
+    offset merge.
     """
+    if value_col is None:
+        vcols: list[str] = []
+        ccols: list[str] = []
+    elif isinstance(value_col, str):
+        vcols = [value_col]
+        ccols = [cum_col if isinstance(cum_col, str) else cum_col[0]]
+    else:
+        vcols = list(value_col)
+        ccols = (
+            list(cum_col)
+            if isinstance(cum_col, list)
+            else [f"__cum_{c}" for c in vcols]
+        )
+        if len(ccols) != len(vcols):
+            raise ValueError("cum_col list must match value_col list length")
+    zeros = (0,) * (1 + len(vcols))
+
     sorted_ds = ds.sort([group_col] + sort_cols).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
     def counts_of(t: pa.Table) -> dict:
-        aggs = [([], "count_all")] + ([(value_col, "sum")] if value_col else [])
+        aggs = [([], "count_all")] + [(c, "sum") for c in vcols]
         g = t.group_by([group_col]).aggregate(aggs)
         ns = g.column("count_all").to_pylist()
-        vs = g.column(f"{value_col}_sum").to_pylist() if value_col else [0] * len(ns)
-        return {k: (n, v) for k, n, v in zip(g.column(group_col).to_pylist(), ns, vs)}
+        vs = [g.column(f"{c}_sum").to_pylist() for c in vcols]
+        return {
+            k: (n, *(v[j] for v in vs))
+            for j, (k, n) in enumerate(zip(g.column(group_col).to_pylist(), ns))
+        }
 
     per_block = ray.get([counts_of.remote(r) for r in refs])
     running: dict = {}
     offsets: list[dict] = []
     for c in per_block:
-        offsets.append({k: running.get(k, (0, 0)) for k in c})
-        for k, (n, v) in c.items():
-            rn, rv = running.get(k, (0, 0))
-            running[k] = (rn + n, rv + v)
+        offsets.append({k: running.get(k, zeros) for k in c})
+        for k, tup in c.items():
+            prev = running.get(k, zeros)
+            running[k] = tuple(a + b for a, b in zip(prev, tup))
         if len(running) > MAX_RANK_GROUPS:
             raise ValueError(
                 f"with_group_ranks: >{MAX_RANK_GROUPS} distinct '{group_col}' groups — "
                 "the driver-held offset metadata is O(n_blocks x n_groups); "
                 "use bucket_map_groups with a per-bucket rank for high-cardinality keys"
             )
-    totals = {k: n for k, (n, _) in running.items()}
+    totals = {k: tup[0] for k, tup in running.items()}
 
     @ray.remote
     def attach(t: pa.Table, offs: dict, tot: dict) -> pa.Table:
-        df = t.select([group_col] + ([value_col] if value_col else [])).to_pandas()
+        df = t.select([group_col] + vcols).to_pandas()
         gb = df.groupby(group_col, sort=False)
         cc = gb.cumcount().to_numpy()
         keys = df[group_col]
@@ -757,13 +780,13 @@ def with_group_ranks(
         out = t.append_column(rank_col, pa.array(rank, pa.int64())).append_column(
             total_col, pa.array(gn, pa.int64())
         )
-        if value_col:
-            v = df[value_col].to_numpy(dtype=np.int64)
-            incl = gb[value_col].cumsum().to_numpy(dtype=np.int64)
-            cum = (incl - v) + keys.map({k: o[1] for k, o in offs.items()}).to_numpy(
+        for j, (vc, oc) in enumerate(zip(vcols, ccols), start=1):
+            v = df[vc].to_numpy(dtype=np.int64)
+            incl = gb[vc].cumsum().to_numpy(dtype=np.int64)
+            cum = (incl - v) + keys.map({k: o[j] for k, o in offs.items()}).to_numpy(
                 dtype=np.int64
             )
-            out = out.append_column(cum_col, pa.array(cum, pa.int64()))
+            out = out.append_column(oc, pa.array(cum, pa.int64()))
         return out
 
     return rd.from_arrow_refs(

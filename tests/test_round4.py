@@ -239,3 +239,49 @@ def test_host_reciprocity_bounds(sf_tiny):
     assert (df["n_reciprocal"] <= df["n_out"]).all()
     assert ((df["reciprocity"] >= 0) & (df["reciprocity"] <= 1)).all()
     assert len(df) > 0
+
+
+def test_ks_test_matches_scipy_free_reference(sf_tiny):
+    """KS recomputed driver-side from the raw rows (tie-correct CDF)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_ks_test"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_type", "value"]).to_pandas()
+    a = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev["event_type"] == "purchase", "value"].to_numpy())
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, pooled, side="right") / len(a)
+    fb = np.searchsorted(b, pooled, side="right") / len(b)
+    want = np.abs(fa - fb).max()
+    assert abs(out["ks_stat"].iloc[0] - want) < 1e-6
+    assert out["n_a"].iloc[0] == len(a) and out["n_b"].iloc[0] == len(b)
+
+
+def test_with_group_ranks_multi_value_cols(sf_tiny):
+    """The value-col LIST extension: two prefix sums in one sort match
+    two single-col calls."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    t = pa.table(
+        {
+            "g": [0, 0, 0, 1, 1, 0, 1, 0],
+            "k": [3, 1, 2, 5, 4, 0, 6, 7],
+            "x": [10, 20, 30, 40, 50, 60, 70, 80],
+            "y": [1, 2, 3, 4, 5, 6, 7, 8],
+        }
+    )
+    ds = rd.from_arrow(t)
+    both = with_group_ranks(
+        ds, "g", ["k"], value_col=["x", "y"], cum_col=["cx", "cy"]
+    ).to_pandas().sort_values(["g", "k"])
+    only_x = with_group_ranks(ds, "g", ["k"], value_col="x").to_pandas().sort_values(["g", "k"])
+    only_y = with_group_ranks(ds, "g", ["k"], value_col="y").to_pandas().sort_values(["g", "k"])
+    assert both["cx"].to_list() == only_x["__cum"].to_list()
+    assert both["cy"].to_list() == only_y["__cum"].to_list()
+    assert both["__rank"].to_list() == only_x["__rank"].to_list()
