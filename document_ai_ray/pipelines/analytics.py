@@ -1558,3 +1558,85 @@ def events_ks_test(sf_dir: str):
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark / late-arrival accounting: the streaming-system
+# semantics (Flink/Beam watermarks) over an at-rest event log — an
+# event is LATE if it arrives (event_id order) after the watermark
+# (running max event time over all PRIOR arrivals) has passed its own
+# timestamp by more than the allowed lateness.
+# ---------------------------------------------------------------------------
+
+_LATE_ALLOW_MIN = 10
+
+_WATERMARK_ORACLE = f"""
+WITH j AS (SELECT event_id, ts,
+                  epoch_us(ts) + ((event_id * 2654435761) % 1800 - 900) * 1000000 AS arr
+           FROM events),
+o AS (SELECT event_id, ts,
+             MAX(ts) OVER (ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM j)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < wm - INTERVAL {_LATE_ALLOW_MIN} MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM o GROUP BY 1
+"""
+
+
+@register("events_watermark_late", oracle=_WATERMARK_ORACLE)
+def events_watermark_late(sf_dir: str):
+    """Late-arrival accounting per hourly event-time window under a
+    10-minute allowed lateness: watermark = EXCLUSIVE running max of
+    event time in ARRIVAL order, via the `ops.with_prefix_max`
+    substrate (distributed sort + per-block max offset merge — the same
+    shape as the exact-rank substrate, so no task holds the log).
+    Arrival order = event time plus a deterministic ±15-minute
+    out-of-order jitter (integer arithmetic on event_id, replayed
+    exactly in SQL) — the disorder a real ingest stream exhibits; the
+    event_id order of THIS corpus never regresses, which would make the
+    operator vacuous.  The per-window rollup rides the combiner."""
+    from document_ai_ray.pipelines.ops import with_prefix_max
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arr = ts_us + ((eid * 2654435761) % 1800 - 900) * 1_000_000
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "arr": pa.array(arr, pa.int64()),
+            }
+        )
+
+    marked = with_prefix_max(
+        ev.map_batches(to_us, batch_format="pyarrow"), ["arr", "event_id"], "ts_us", out_col="wm"
+    )
+    allow_us = _LATE_ALLOW_MIN * 60_000_000
+    lo = np.iinfo(np.int64).min
+
+    def flag(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts_us").to_numpy(zero_copy_only=False)
+        wm = t.column("wm").to_numpy(zero_copy_only=False)
+        late = (wm != lo) & (ts_us < wm - allow_us)
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "window_start": w,
+                "late": pa.array(late.astype(np.int64)),
+            }
+        )
+
+    return partial_group_agg(
+        marked.map_batches(flag, batch_format="pyarrow"),
+        ["window_start"],
+        {"late": "n_late"},
+        count_alias="n_events",
+    )

@@ -893,3 +893,48 @@ def bucket_map_groups(
 
 # n_blocks x n_buckets ref-inventory cap for the manual exchange
 _EXCHANGE_MAX_REFS = 1 << 20
+
+
+def with_prefix_max(
+    ds: rd.Dataset,
+    sort_cols: list[str],
+    value_col: str,
+    out_col: str = "__pmax",
+) -> rd.Dataset:
+    """Attach each row's EXCLUSIVE running maximum of `value_col`
+    (int64) under ascending `sort_cols` order — the WATERMARK primitive
+    for event-time streaming semantics (MAX(v) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING); int64-min for the first
+    row, standing in for SQL's NULL).
+
+    Same scale shape as `with_group_ranks`: one distributed sort, a
+    per-block max pre-pass (driver holds one int per block), exclusive
+    prefix-merge of block maxima, then a per-block vectorized attach
+    (shifted cummax ⊔ block offset).  No task holds more than one
+    sorted block."""
+    sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    lo = np.iinfo(np.int64).min
+
+    @ray.remote
+    def block_max(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return lo
+        return int(t.column(value_col).to_numpy(zero_copy_only=False).max())
+
+    maxima = ray.get([block_max.remote(r) for r in refs])
+    offsets = []
+    run = lo
+    for m in maxima:
+        offsets.append(run)
+        run = max(run, m)
+
+    @ray.remote
+    def attach(t: pa.Table, off: int) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shifted = np.concatenate(([lo], np.maximum.accumulate(v)[:-1])) if len(v) else v
+        return t.append_column(out_col, pa.array(np.maximum(shifted, off), pa.int64()))
+
+    return rd.from_arrow_refs(
+        [attach.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    )

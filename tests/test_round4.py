@@ -285,3 +285,28 @@ def test_with_group_ranks_multi_value_cols(sf_tiny):
     assert both["cx"].to_list() == only_x["__cum"].to_list()
     assert both["cy"].to_list() == only_y["__cum"].to_list()
     assert both["__rank"].to_list() == only_x["__rank"].to_list()
+
+
+def test_with_prefix_max_matches_numpy(sf_tiny):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.pipelines.ops import with_prefix_max
+
+    rng = np.arange(200)
+    vals = ((rng * 7919) % 1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": rng, "v": vals})).repartition(7)
+    got = with_prefix_max(ds, ["k"], "v", out_col="pm").to_pandas().sort_values("k")
+    lo = np.iinfo(np.int64).min
+    want = np.concatenate(([lo], np.maximum.accumulate(vals)[:-1]))
+    assert (got["pm"].to_numpy() == want).all()
+
+
+def test_watermark_late_fraction_nonzero_and_bounded(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    df = registry.queries()["events_watermark_late"](sf_tiny).to_pandas()
+    assert (df["n_late"] <= df["n_events"]).all()
+    assert df["n_late"].sum() > 0          # the jitter creates real disorder
+    assert df["n_late"].sum() < df["n_events"].sum()
