@@ -1640,3 +1640,90 @@ def events_watermark_late(sf_dir: str):
         {"late": "n_late"},
         count_alias="n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level corpus stats: bounce rate + mean session length — the
+# rollup every product-analytics pipeline derives from sessionization.
+# ---------------------------------------------------------------------------
+
+_SESSION_STATS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events,
+       ROUND(SUM(dur_us) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_dur_s
+FROM sess
+"""
+
+
+@register("session_stats", oracle=_SESSION_STATS_ORACLE)
+def session_stats(sf_dir: str):
+    """Corpus-level session rollup (bounce rate, mean events, mean
+    duration) composed on top of the sessionize operator's output —
+    per-session rows reduce through one combiner pass; the averages'
+    divisions keep the oracle's exact association (sum/count, then
+    /1e6)."""
+    from document_ai_ray.pipelines.relational import events_sessionize
+
+    sessions = events_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = (
+            t.column("session_end").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            - t.column("session_start").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int8()),
+                "n_sessions": pa.array([len(t)], pa.int64()),
+                "n_bounce": pa.array([int((ne == 1).sum())], pa.int64()),
+                "sum_events": pa.array([int(ne.sum())], pa.int64()),
+                "sum_dur_us": pa.array([int(dur.sum())], pa.int64()),
+            }
+        )
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    merged = merge_partials(
+        sessions.map_batches(partial, batch_format="pyarrow"),
+        keys=["k"],
+        agg_funcs={
+            "n_sessions": "sum",
+            "n_bounce": "sum",
+            "sum_events": "sum",
+            "sum_dur_us": "sum",
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_sessions").to_numpy(zero_copy_only=False).astype(np.float64)
+        ae = t.column("sum_events").to_numpy(zero_copy_only=False) / ns
+        ad = t.column("sum_dur_us").to_numpy(zero_copy_only=False) / ns / 1_000_000.0
+        out = pa.table(
+            {
+                "n_sessions": t.column("n_sessions"),
+                "n_bounce": t.column("n_bounce"),
+                "avg_events": pa.array(ae, pa.float64()),
+                "avg_dur_s": pa.array(ad, pa.float64()),
+            }
+        )
+        return round_cols(out, {"avg_events": 6, "avg_dur_s": 6})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -834,3 +834,97 @@ def host_reciprocity(sf_dir: str):
         return round_cols(out, {"reciprocity": 6})
 
     return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+_FRONTIER_CAP = 5
+
+_FRONTIER_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_PATH_CASE_SQL} AS path FROM documents),
+c AS (SELECT DISTINCT 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS host,
+             'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com' || path AS url,
+             path
+      FROM u),
+rules(pat, is_allow, plen) AS (VALUES
+  ('/private/%', false, 9),
+  ('/private/public/%', true, 16),
+  ('%.pdf', false, 7),
+  ('/tmp/open/%', true, 10),
+  ('/tmp/%', false, 5)),
+m AS (SELECT c.url, r.is_allow,
+             ROW_NUMBER() OVER (PARTITION BY c.url
+                                ORDER BY r.plen DESC, r.is_allow DESC) AS rn
+      FROM c JOIN rules r ON c.path LIKE r.pat),
+a AS (SELECT c.host, c.url, c.path
+      FROM c LEFT JOIN m ON m.url = c.url AND m.rn = 1
+      WHERE COALESCE(m.is_allow, true)),
+r2 AS (SELECT host, url,
+              ROW_NUMBER() OVER (PARTITION BY host ORDER BY path, url) AS rn
+       FROM a)
+SELECT host, url FROM r2 WHERE rn <= {_FRONTIER_CAP}
+"""
+
+
+@register("build_crawl_frontier", oracle=_FRONTIER_ORACLE)
+def build_crawl_frontier(sf_dir: str):
+    """The crawl-side FLAGSHIP composition — the pipeline a crawler runs
+    between "seen URLs" and "fetch queue": three raw spellings per
+    candidate URL (case/port/fragment, www+trailing-slash, utm params)
+    → `canonicalize_url` → exact canonical dedup (shuffle-free distinct)
+    → robots.txt gate (RFC 9309 longest-match, rules parsed ONCE on the
+    driver) → per-host politeness cap (bucketed grouped top-k, K=5,
+    path order).  Every stage is a proven component; the oracle
+    composes their specs into one CTE chain, so the whole frontier is
+    value-checked end to end."""
+    from urllib.parse import urlsplit
+
+    from document_ai_ray.functions.robots import parse_robots, robots_allowed
+    from document_ai_ray.functions.urls import canonicalize_url
+    from document_ai_ray.pipelines.ops import distinct_rows, grouped_topk
+
+    rules = parse_robots(_ROBOTS_TXT, agent="graftbot")
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        raw = []
+        for i in t.column("doc_id").to_pylist():
+            h = i % 50
+            p = _doc_path(i)
+            raw.append(f"HTTP://WWW.Example{h}.COM:80{p}#frag")
+            raw.append(f"http://www.example{h}.com{p}/")
+            raw.append(f"http://example{h}.com{p}?utm_source=feed")
+        return pa.table({"raw": pa.array(raw, pa.string())})
+
+    def canon(t: pa.Table) -> pa.Table:
+        urls, hosts, paths = [], [], []
+        for raw in t.column("raw").to_pylist():
+            cu = canonicalize_url(raw)
+            sp = urlsplit(cu)
+            urls.append(cu)
+            hosts.append(sp.hostname or "")
+            paths.append(sp.path)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    cand = distinct_rows(
+        docs.map_batches(variants, batch_format="pyarrow").map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["host", "url", "path"],
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        ok = pa.array([robots_allowed(rules, p) for p in t.column("path").to_pylist()])
+        return t.filter(ok)
+
+    allowed = cand.map_batches(gate, batch_format="pyarrow")
+    capped = grouped_topk(
+        allowed, keys=["host"], sort_cols=[("path", True), ("url", True)], k=_FRONTIER_CAP
+    )
+    return capped.map_batches(
+        lambda t: t.select(["host", "url"]), batch_format="pyarrow"
+    )

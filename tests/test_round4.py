@@ -310,3 +310,33 @@ def test_watermark_late_fraction_nonzero_and_bounded(sf_tiny):
     assert (df["n_late"] <= df["n_events"]).all()
     assert df["n_late"].sum() > 0          # the jitter creates real disorder
     assert df["n_late"].sum() < df["n_events"].sum()
+
+
+def test_crawl_frontier_respects_robots_and_cap(sf_tiny):
+    """No disallowed path survives; no host exceeds the politeness cap;
+    every url is canonical (no www/port/fragment/utm)."""
+    from document_ai_ray.pipelines import registry
+
+    df = registry.queries()["build_crawl_frontier"](sf_tiny).to_pandas()
+    assert len(df) > 0
+    assert df.groupby("host").size().max() <= 5
+    for u in df["url"]:
+        assert "www." not in u and ":80" not in u and "#" not in u and "utm_" not in u
+        path = u.split(".com", 1)[1]
+        # disallowed classes: /private/p* (not /private/public/), *.pdf,
+        # /tmp/p* (not /tmp/open/)
+        assert not (
+            path.startswith("/private/p") and not path.startswith("/private/public/")
+        )
+        assert not path.endswith(".pdf")
+        assert not (path.startswith("/tmp/p") and not path.startswith("/tmp/open/"))
+
+
+def test_session_stats_consistent_with_sessionize(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    st = registry.queries()["session_stats"](sf_tiny).to_pandas().iloc[0]
+    sess = registry.queries()["events_sessionize"](sf_tiny).to_pandas()
+    assert st["n_sessions"] == len(sess)
+    assert st["n_bounce"] == (sess["n_events"] == 1).sum()
+    assert abs(st["avg_events"] - sess["n_events"].mean()) < 1e-5
