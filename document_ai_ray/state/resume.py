@@ -128,8 +128,11 @@ def _clean_stale_layout(out_dir: str, num_shards: int) -> None:
         # "__shard=" staging dirs are partial writes from a crashed run:
         # write_parquet APPENDS into an existing dir, so leaving them
         # would mix old+new files when the dir is promoted and the
-        # manifest would certify duplicated rows.  Always remove.
-        if d.startswith("__shard="):
+        # manifest would certify duplicated rows.  "__compact=" dirs are
+        # a crashed compaction's staging (its shard is already
+        # de-manifested, so it rebuilds via the normal pending path).
+        # Always remove both.
+        if d.startswith("__shard=") or d.startswith("__compact="):
             shutil.rmtree(os.path.join(out_dir, d))
             continue
         if not d.startswith("shard="):
@@ -232,3 +235,97 @@ def read_output(out_dir: str) -> rd.Dataset:
     if len(layouts) > 1:
         raise ValueError(f"mixed shard layouts in {out_dir}: {sorted(layouts)}")
     return rd.read_parquet(files)
+
+
+def _plan_groups(sizes: list[int], target_bytes: int) -> list[list[int]]:
+    """Greedy first-fit file grouping: consecutive files accumulate
+    until the group reaches target_bytes."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    acc = 0
+    for i, s in enumerate(sizes):
+        cur.append(i)
+        acc += s
+        if acc >= target_bytes:
+            groups.append(cur)
+            cur, acc = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_shards(
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    fail_inside: int | None = None,
+) -> dict[int, tuple[int, int]]:
+    """SMALL-FILE COMPACTION over a resumable run's output: rewrite each
+    manifested shard's many small parquet files into ~target_bytes files
+    (the maintenance pass a 100 TB partitioned lake needs — resumable
+    writes at high task parallelism leave one file per write task, and
+    footer/open overhead then dominates reads).
+
+    Crash-safe by the SAME contract as the writer, in this order per
+    shard: (1) compacted files are built in a `__compact=` staging dir
+    (one Ray task per shard — shards compact in parallel, each task
+    holds one group of files at a time); (2) the shard's MANIFEST is
+    deleted — from here the shard reads as incomplete, so ANY crash
+    degrades to "rebuild this shard" (run_resumable's normal pending
+    path + _clean_stale_layout sweeping the staging dir), never to a
+    manifest pointing at missing files; (3) the old dir is swapped out
+    and (4) the manifest re-committed from the parquet footers actually
+    on disk.  Shards already at one file are skipped.
+
+    `fail_inside=k` crashes after step (2) of the k-th compacted shard
+    (test hook for the crash-window contract).  Returns
+    {shard: (files_before, files_after)} for the shards rewritten."""
+    import ray
+
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    shards = []
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("shard-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        if m.get("complete") and len(m["files"]) > 1:
+            shards.append(m)
+    if not shards:
+        return {}
+
+    @ray.remote
+    def build(shard_dir: str, files: list[str], staging: str) -> list[str]:
+        os.makedirs(staging, exist_ok=True)
+        sizes = [os.path.getsize(os.path.join(shard_dir, f)) for f in files]
+        out_files = []
+        for gi, grp in enumerate(_plan_groups(sizes, target_bytes)):
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(shard_dir, files[i])) for i in grp]
+            )
+            name = f"compact-{gi:04d}.parquet"
+            pq.write_table(tbl, os.path.join(staging, name))
+            out_files.append(name)
+        return out_files
+
+    staged = {
+        m["shard"]: build.remote(
+            os.path.join(out_dir, f"shard={m['shard']:05d}"),
+            m["files"],
+            os.path.join(out_dir, f"__compact={m['shard']:05d}"),
+        )
+        for m in shards
+    }
+    stats: dict[int, tuple[int, int]] = {}
+    for k, m in enumerate(shards, start=1):
+        s = m["shard"]
+        new_files = ray.get(staged[s])
+        shard_dir = os.path.join(out_dir, f"shard={s:05d}")
+        staging = os.path.join(out_dir, f"__compact={s:05d}")
+        os.remove(_manifest_path(out_dir, s))          # (2) shard -> incomplete
+        if fail_inside is not None and k == fail_inside:
+            raise RuntimeError(f"injected failure inside compaction of shard {s}")
+        shutil.rmtree(shard_dir)                        # (3) swap
+        os.replace(staging, shard_dir)
+        write_manifest(out_dir, s, m["num_shards"], shard_dir)  # (4) recommit
+        stats[s] = (len(m["files"]), len(new_files))
+    return stats

@@ -206,3 +206,62 @@ def test_split_batch_by_bytes_property():
                 assert sum(szs) <= budget
             else:
                 assert len(szs) == 1 and (szs[0] <= budget or True)
+
+
+def _fragment_shards(out: str):
+    """Split every shard's parquet into per-row-group single-row files
+    to simulate a high-parallelism write, and re-manifest from disk."""
+    import pyarrow.parquet as pq
+
+    for s in range(SHARDS):
+        sd = os.path.join(out, f"shard={s:05d}")
+        files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
+        tbl = pa.concat_tables([pq.read_table(os.path.join(sd, f)) for f in files])
+        for f in files:
+            os.remove(os.path.join(sd, f))
+        for i in range(tbl.num_rows):
+            pq.write_table(tbl.slice(i, 1), os.path.join(sd, f"tiny-{i:05d}.parquet"))
+        write_manifest(out, s, SHARDS, sd)
+
+
+def test_compact_shards_preserves_rows_and_reduces_files(tmp_path):
+    from document_ai_ray.state.resume import compact_shards
+
+    out = str(tmp_path / "compact")
+    run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    before = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
+    _fragment_shards(out)
+    assert read_output(out).count() == len(before)
+
+    stats = compact_shards(out, target_bytes=1 << 30)  # everything -> 1 file/shard
+    assert set(stats) == set(range(SHARDS))
+    for s, (nb, na) in stats.items():
+        assert nb > na == 1
+    after = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert after.equals(before)
+    # manifests re-certify the compacted files on disk
+    for s in range(SHARDS):
+        with open(os.path.join(out, "_manifest", f"shard-{s:05d}.json")) as f:
+            m = json.load(f)
+        assert m["complete"] and m["files"] == ["compact-0000.parquet"]
+
+
+def test_compact_crash_window_degrades_to_rebuild(tmp_path):
+    """A crash between manifest delete and dir swap must leave the shard
+    INCOMPLETE (not corrupt): read_output skips it, run_resumable
+    rebuilds it, and no rows are lost or duplicated at the end."""
+    from document_ai_ray.state.resume import compact_shards
+
+    out = str(tmp_path / "compact-crash")
+    run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    want = sorted(read_output(out).to_pandas()["url"])
+    _fragment_shards(out)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact_shards(out, target_bytes=1 << 30, fail_inside=2)
+    done = completed_shards(out, SHARDS)
+    assert len(done) == SHARDS - 1          # exactly one shard de-manifested
+    # recovery is the normal resumable path
+    processed = run_resumable(_make_pages, extract_pipeline, out, num_shards=SHARDS)
+    assert len(processed) == 1
+    assert sorted(read_output(out).to_pandas()["url"]) == want
