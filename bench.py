@@ -152,6 +152,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
 DEDUP_SCALE_QUERIES = [
     "lsh_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "containment_dup_pairs",
     "semantic_dedup_keep",
     "embedding_near_dup_pairs",
 ]

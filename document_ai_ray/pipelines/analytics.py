@@ -1727,3 +1727,78 @@ def session_stats(sf_dir: str):
         return round_cols(out, {"avg_events": 6, "avg_dur_s": 6})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization: clamp each event's value into its type's
+# [p01, p99] — the outlier-capping transform feature pipelines apply
+# before scaling; thresholds are EXACT PERCENTILE_CONT quantiles from
+# the distributed rank substrate.
+# ---------------------------------------------------------------------------
+
+_WINS_ORACLE = """
+WITH b AS (SELECT event_type,
+                  quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_wins
+FROM events e JOIN b USING (event_type)
+"""
+
+
+@register("events_value_winsorized", oracle=_WINS_ORACLE)
+def events_value_winsorized(sf_dir: str):
+    """Winsorize event values at their type's exact [p01, p99]
+    (PERCENTILE_CONT interpolation, same boundary-row technique as
+    `price_quantiles_by_priority`: each block keeps only global-rank
+    quantile boundaries, so the collect is <= 4 rows per type).  The
+    type->threshold map (group-cardinality) broadcasts into a stateless
+    clip pass — two streaming scans, no corpus-sized state anywhere."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ranked = with_group_ranks(ds, "event_type", ["value"])
+    qs = (0.01, 0.99)
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for q in qs:
+            h = (n - 1) * q
+            keep |= (r == np.floor(h)) | (r == np.ceil(h))
+        return t.filter(pa.array(keep))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()  # <=4/type
+    by_g: dict[str, dict[int, tuple[float, int]]] = {}
+    for r0 in rows:
+        by_g.setdefault(r0["event_type"], {})[r0["__rank"]] = (r0["value"], r0["__gn"])
+    bounds: dict[str, tuple[float, float]] = {}
+    for g, rankmap in by_g.items():
+        n = next(iter(rankmap.values()))[1]
+        th = []
+        for q in qs:
+            h = (n - 1) * q
+            lo_v = rankmap[int(np.floor(h))][0]
+            hi_v = rankmap[int(np.ceil(h))][0]
+            th.append(lo_v + (h - np.floor(h)) * (hi_v - lo_v))
+        bounds[g] = (th[0], th[1])
+
+    def clip(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        lo = np.array([bounds[x][0] for x in types])
+        hi = np.array([bounds[x][1] for x in types])
+        w = np.minimum(np.maximum(v, lo), hi)
+        out = pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value_wins": pa.array(w, pa.float64()),
+            }
+        )
+        return round_cols(out, {"value_wins": 6})
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -84,12 +84,10 @@ def doc_length_hist(sf_dir: str):
     return partial_group_agg(ds.map_batches(derive, batch_format="pyarrow"), ["bucket"], count_alias="n")
 
 
-@register(
-    "langid_docs",
-    # the stopword-hit argmax IS SQL-expressible: per-language inlined
-    # hit counts, GREATEST + first-in-sorted-order tie-break (exactly
-    # the `hits > best_hits` loop over sorted languages), 'und' at 0
-    oracle=r"""
+# the stopword-hit argmax IS SQL-expressible: per-language inlined
+# hit counts, GREATEST + first-in-sorted-order tie-break (exactly
+# the `hits > best_hits` loop over sorted languages), 'und' at 0
+_LANGID_PRED_CTE = r"""
     WITH w AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '\p{L}+'))) AS w FROM documents),
     st AS (SELECT doc_id,
                   SUM(CASE WHEN w IN ('am','auf','bei','das','dem','den','der','des','die','ein','eine','einen','für','im','ist','mit','nach','sind','und','von','wo','während','zu','über') THEN 1 ELSE 0 END) AS h_de,
@@ -102,6 +100,13 @@ def doc_length_hist(sf_dir: str):
     p AS (SELECT doc_id,
                  CASE WHEN g = 0 THEN 'und' WHEN h_de = g THEN 'de' WHEN h_en = g THEN 'en' WHEN h_es = g THEN 'es' WHEN h_fr = g THEN 'fr' ELSE 'it' END AS pred_lang
           FROM g)
+"""
+
+
+@register(
+    "langid_docs",
+    oracle=_LANGID_PRED_CTE
+    + """
     SELECT d.doc_id, COALESCE(p.pred_lang, 'und') AS pred_lang,
            COALESCE(p.pred_lang, 'und') = d.lang AS agrees
     FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
@@ -2438,3 +2443,96 @@ def char_entropy_docs(sf_dir: str):
         return round_cols(out, {"char_entropy": 6})
 
     return docs.map_batches(entropy, batch_format="pyarrow")
+
+
+@register(
+    "langid_confusion",
+    oracle=_LANGID_PRED_CTE
+    + """
+    SELECT d.lang, COALESCE(p.pred_lang, 'und') AS pred_lang, COUNT(*) AS n
+    FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+""",
+)
+def langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (declared lang × predicted lang
+    counts) — the error-analysis rollup a langid deployment reports.
+    Per-batch prediction then the combiner aggregate over the
+    lang²-cardinality key; the oracle shares `langid_docs`' prediction
+    CTE so both queries certify the same spec."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = langid_batch(t)
+        return t.select(["lang", "pred_lang"])
+
+    return partial_group_agg(
+        ds.map_batches(project, batch_format="pyarrow"), ["lang", "pred_lang"], count_alias="n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURT canonical URL keys + per-host CDX ordering — the CommonCrawl
+# index format: host labels reversed so one host's (and one domain
+# tree's) URLs are a contiguous key range.
+# ---------------------------------------------------------------------------
+
+_SURT_ORACLE = """
+WITH u AS (SELECT doc_id, source || '.example' AS host,
+                  'http://' || source || '.example/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+s AS (SELECT doc_id, host, url,
+             array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')/' || CAST(doc_id AS VARCHAR) AS surt_key
+      FROM u)
+SELECT doc_id, url, surt_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY surt_key) AS BIGINT) AS cdx_pos
+FROM s
+"""
+
+
+@register("surt_doc_urls", oracle=_SURT_ORACLE)
+def surt_doc_urls(sf_dir: str):
+    """SURT keys (reversed host labels + ')/' + path — the CommonCrawl
+    CDX index ordering) for every document URL, plus each URL's 1-based
+    position within its host's key range (the range-scan offset a CDX
+    lookup uses).  Key derivation is a stateless batch map; the per-host
+    position rides the exact-rank substrate (hosts are the group key —
+    source cardinality, well under the substrate's contract)."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        hosts = [f"{s}.example" for s in srcs]
+        urls = [f"http://{h}/{i}" for h, i in zip(hosts, ids)]
+        surts = [
+            ",".join(reversed(h.split("."))) + f")/{i}" for h, i in zip(hosts, ids)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "surt_key": pa.array(surts, pa.string()),
+            }
+        )
+
+    ranked = with_group_ranks(
+        docs.map_batches(keys, batch_format="pyarrow"), "host", ["surt_key"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pos = pc.add(t.column("__rank"), pa.scalar(1, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": t.column("url"),
+                "surt_key": t.column("surt_key"),
+                "cdx_pos": pos,
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -164,14 +164,16 @@ def _jaccard_dense(
     grams: rd.Dataset,
     threshold: float,
     vocab: list[int],
+    metric: str = "jaccard",
 ) -> rd.Dataset:
-    """Dense-vocabulary exact Jaccard: broadcast the full doc x gram
+    """Dense-vocabulary exact similarity: broadcast the full doc x gram
     incidence matrix (float32, n_docs x |vocab| — caller guarantees the
     vocabulary is small), then score each batch's rows against it with
     one matmul.  Operates on precomputed (id, grams) rows
     (`compute_doc_grams`) — the corpus is tokenized exactly once.
     Each unordered pair is emitted exactly once (kept only where batch
-    id < other id)."""
+    id < other id).  `metric`: "jaccard" (|∩|/|∪|) or "overlap"
+    (|∩|/min — containment); the output column is named after it."""
     col_of = {gh: j for j, gh in enumerate(vocab)}
     V = len(vocab)
 
@@ -219,9 +221,12 @@ def _jaccard_dense(
         # DIVISION must be float64 or ROUND(…,6) digits flip vs SQL
         inter = (B @ MT).astype(np.float64)                   # (b, n_docs)
         bsz = B.sum(axis=1).astype(np.float64)
-        union = bsz[:, None] + sizes[None, :] - inter
+        if metric == "overlap":
+            denom = np.minimum(bsz[:, None], sizes[None, :])
+        else:
+            denom = bsz[:, None] + sizes[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
-            j = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+            j = np.where(denom > 0, inter / np.maximum(denom, 1e-9), 0.0)
         bid = np.asarray(b_ids, dtype=np.int64)
         keep = (j >= thr) & (bid[:, None] < ids_arr[None, :])
         r, c = np.nonzero(keep)
@@ -232,7 +237,7 @@ def _jaccard_dense(
                 pa.array(ids_arr[c], pa.int64()),
                 pa.array(jr.astype(np.float64), pa.float64()),
             ],
-            names=["id_a", "id_b", "jaccard"],
+            names=["id_a", "id_b", metric],
         )
 
     return grams.map_batches(
@@ -950,6 +955,8 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.8,
+    dense_vocab_max: int = 1 << 16,
+    dense_bytes_max: int = 1 << 31,
     max_candidates: int = 1 << 26,
     grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
@@ -957,6 +964,12 @@ def containment_pairs(
     threshold — EXACT containment detection (a small doc quoted or
     embedded inside a large one scores ~1 here while its Jaccard is
     ~|small|/|large| and slips under any Jaccard threshold).
+
+    Size-adaptive like `exact_jaccard_pairs`: a dense corpus (tiny
+    shared vocabulary, where NO prefix filter can prune — measured
+    301 s at 5 000 template docs on the sparse path) rides the blocked
+    BLAS incidence-matrix path under the same vocab/byte gates; sparse
+    web-text corpora ride the prefix filter below.
 
     Candidate generation is AllPairs probe-prefix-vs-full-index
     (Bayardo et al., WWW'07, adapted to the overlap bound): under the
@@ -1011,6 +1024,13 @@ def containment_pairs(
         agg_fn=df_per_bucket,
         n_buckets=join_buckets,
     ).materialize()
+
+    vocab_size = df_ds.count()
+    if vocab_size <= dense_vocab_max and n_docs * vocab_size * 4 <= dense_bytes_max:
+        vocab = sorted(
+            v for t in (df_ds.take_all(),) for r in t for v in [r["gh"] % (1 << 64)]
+        )
+        return _jaccard_dense(grams, threshold, vocab, metric="overlap")
 
     # attach DF to the exploded rows (bucketed hash join on gram hash,
     # same shape as exact_jaccard_pairs pass 2)

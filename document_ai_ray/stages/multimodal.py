@@ -8,6 +8,9 @@ Decode support is format-tiered:
 
 - REAL pure-Python/numpy decoders:
   BMP (uncompressed 24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
+  TIFF (baseline 6.0: II+MM byte orders, strips, none/PackBits/LZW
+  with the early-change width bump, Predictor 2, gray WhiteIsZero/
+  BlackIsZero + RGB — `functions/tiff.py`, encode AND decode),
   WAV (PCM 8/16-bit, stdlib `wave`), PNG (8/16-bit
   gray/RGB/palette/alpha, non-interlaced or Adam7 — stdlib zlib
   inflate + all five row un-filters, CRC-verified chunk walk), and GIF87a/89a (stdlib-only
@@ -645,6 +648,10 @@ class DecodeMedia:
             return _image_features(decode_gif(payload)[0], self.FEATURE_DIM)
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload), self.FEATURE_DIM)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from document_ai_ray.functions.tiff import decode_tiff
+
+            return _image_features(decode_tiff(payload), self.FEATURE_DIM)
         if payload[:2] in (b"P6", b"P5"):
             return _image_features(decode_ppm(payload), self.FEATURE_DIM)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

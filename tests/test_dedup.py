@@ -354,10 +354,29 @@ def test_containment_catches_embedded_doc_jaccard_misses():
 
 def test_containment_dense_guard_raises():
     """Every doc sharing one tiny gram set -> candidate volume is
-    quadratic; the pre-generation guard must refuse loudly."""
+    quadratic; with the dense path gated OFF the pre-generation guard
+    must refuse loudly (the dense path would otherwise absorb it)."""
     base = " ".join(f"w{i}" for i in range(12))
     docs = rd.from_items([{"doc_id": i, "text": base} for i in range(60)])
     with pytest.raises(ValueError, match="containment_pairs"):
         from document_ai_ray.stages.dedup import containment_pairs
 
-        containment_pairs(docs, threshold=0.8, max_candidates=100)
+        containment_pairs(docs, threshold=0.8, max_candidates=100, dense_vocab_max=0)
+
+
+def test_containment_dense_and_sparse_paths_agree(sf_tiny, docs_texts):
+    """The BLAS incidence path and the prefix-filter path are the same
+    operator: identical pair sets and scores on the same corpus."""
+    from document_ai_ray.stages.dedup import containment_pairs
+
+    docs = rd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    dense = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in containment_pairs(docs, threshold=0.8).take_all()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in containment_pairs(docs, threshold=0.8, dense_vocab_max=0).take_all()
+    }
+    assert dense == sparse
+    assert set(dense) == _brute_force_overlap(docs_texts)

@@ -496,3 +496,75 @@ def test_media_audio_dup_pairs_full_recall_zero_noise():
     assert len(df) == N_AUDIO_BASES * 6  # full recall: C(4,2) per base
     assert (df["id_a"] // 4).equals(df["id_b"] // 4)
     assert (df["overlap"] >= 0.75).all()
+
+
+def test_tiff_roundtrip_compressions_endians_and_predictor():
+    """Pixel-exact TIFF round-trips: none/PackBits/LZW, II and MM,
+    gray + RGB, horizontal predictor, multi-strip layout."""
+    import numpy as np
+
+    from document_ai_ray.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(11)
+    for shape in ((9, 23), (21, 16, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        want = np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+        for comp in (1, 5, 32773):
+            for be in (False, True):
+                got = decode_tiff(encode_tiff(img, compression=comp, big_endian=be))
+                assert (got == want).all(), (shape, comp, be)
+        got = decode_tiff(encode_tiff(img, compression=5, predictor=2))
+        assert (got == want).all(), (shape, "predictor2")
+
+
+def test_tiff_lzw_clear_reset_and_whitezero():
+    import numpy as np
+
+    from document_ai_ray.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    # > 4096 table entries forces the in-stream CLEAR reset
+    d = rng.bytes(300000)
+    assert lzw_decode(lzw_encode(d), len(d)) == d
+    # WhiteIsZero inversion (photometric 0): build by patching the
+    # encoder's photometric tag (262, value short at offset of tag)
+    img = rng.randint(0, 256, (7, 5)).astype(np.uint8)
+    b = bytearray(encode_tiff(img))
+    import struct
+
+    n_ent = struct.unpack_from("<H", b, 8)[0]
+    for k in range(n_ent):
+        off = 10 + k * 12
+        if struct.unpack_from("<H", b, off)[0] == 262:
+            struct.pack_into("<H", b, off + 8, 0)
+    got = decode_tiff(bytes(b))
+    assert (got == np.repeat((255 - img)[:, :, None], 3, axis=2)).all()
+
+
+def test_tiff_through_decode_stage():
+    """TIFF payloads flow through DecodeMedia with no error rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.functions.tiff import encode_tiff
+    from document_ai_ray.stages.multimodal import DecodeMedia
+
+    rng = np.random.RandomState(5)
+    payloads = [
+        encode_tiff(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8), compression=c)
+        for c in (1, 5, 32773)
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "media_type": pa.array(["image"] * 3, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = DecodeMedia()(t)
+    assert out.column("error").null_count == 3  # all decoded for real

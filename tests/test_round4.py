@@ -340,3 +340,36 @@ def test_session_stats_consistent_with_sessionize(sf_tiny):
     assert st["n_sessions"] == len(sess)
     assert st["n_bounce"] == (sess["n_events"] == 1).sum()
     assert abs(st["avg_events"] - sess["n_events"].mean()) < 1e-5
+
+
+def test_winsorized_bounds_and_identity_inside(sf_tiny):
+    """Clamped values stay inside [p01, p99]; ~98% of rows unchanged."""
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_value_winsorized"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_id", "value"]).to_pandas()
+    j = out.merge(ev, on="event_id")
+    changed = (np.round(j["value"], 6) != j["value_wins"]).mean()
+    assert changed <= 0.03                       # only the ~2% tails clip
+    for _, g in j.groupby("event_type"):
+        lo, hi = g["value"].quantile(0.01), g["value"].quantile(0.99)
+        assert g["value_wins"].min() >= round(lo, 6) - 1e-6
+        assert g["value_wins"].max() <= round(hi, 6) + 1e-6
+
+
+def test_langid_confusion_mass_and_diagonal(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    cm = registry.queries()["langid_confusion"](sf_tiny).to_pandas()
+    n_docs = read_table(sf_tiny, "documents", columns=["doc_id"]).count()
+    assert cm["n"].sum() == n_docs
+    diag = cm.loc[cm["lang"] == cm["pred_lang"], "n"].sum()
+    # the stopword heuristic covers 5 of the corpus's languages (no zh
+    # detector) and the synthetic text dilutes stopword mass — measured
+    # agreement is ~0.35-0.40, well above the ~0.2 marginal-chance level
+    assert diag / n_docs > 0.25
+    assert (cm.loc[cm["lang"] == "zh", "pred_lang"] != "zh").all()
