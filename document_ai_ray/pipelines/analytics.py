@@ -1802,3 +1802,242 @@ def events_value_winsorized(sf_dir: str):
         return round_cols(out, {"value_wins": 6})
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PSI (population stability index): decile-binned drift between the
+# 'click' (reference) and 'purchase' (current) value distributions —
+# the other standard drift monitor next to KS.
+# ---------------------------------------------------------------------------
+
+_PSI_EPS = 1e-6
+
+_PSI_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT quantile_cont(value, {q / 10.0}) AS edge FROM a" for q in range(1, 10)
+)
+
+_PSI_ORACLE = f"""
+WITH a AS (SELECT value FROM events WHERE event_type = '{_KS_A}'),
+b AS (SELECT value FROM events WHERE event_type = '{_KS_B}'),
+edges AS ({_PSI_EDGES_SQL}),
+bina AS (SELECT (SELECT COUNT(*) FROM edges WHERE a.value > edge) AS bin FROM a),
+binb AS (SELECT (SELECT COUNT(*) FROM edges WHERE b.value > edge) AS bin FROM b),
+ca AS (SELECT bin, COUNT(*) AS n FROM bina GROUP BY bin),
+cb AS (SELECT bin, COUNT(*) AS n FROM binb GROUP BY bin),
+g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+n AS (SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb),
+p AS (SELECT g.bin,
+             GREATEST(COALESCE(ca.n, 0) / CAST(n.na AS DOUBLE), {_PSI_EPS}) AS pa,
+             GREATEST(COALESCE(cb.n, 0) / CAST(n.nb AS DOUBLE), {_PSI_EPS}) AS pb
+      FROM g LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin), n)
+SELECT ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+       CAST(ANY_VALUE(n.na) AS BIGINT) AS n_a, CAST(ANY_VALUE(n.nb) AS BIGINT) AS n_b
+FROM p, n
+"""
+
+
+@register("events_psi_drift", oracle=_PSI_ORACLE)
+def events_psi_drift(sf_dir: str):
+    """Population stability index over the reference distribution's
+    exact deciles (PERCENTILE_CONT edges from the rank substrate's
+    boundary rows), eps-clamped at 1e-6 on both sides.  Edges broadcast
+    into one vectorized searchsorted binning pass; bin counts ride the
+    combiner.  Values exactly equal to an edge fall to the LOWER bin
+    (strict > on both sides)."""
+    from document_ai_ray.pipelines.ops import merge_partials, with_group_ranks
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"]).filter(
+        expr=f"event_type == '{_KS_A}' or event_type == '{_KS_B}'"
+    ).materialize()
+
+    ref = ev.filter(expr=f"event_type == '{_KS_A}'")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"value": t.column("value"), "__g": pa.array(np.zeros(len(t), np.int8))}
+        )
+
+    ranked = with_group_ranks(ref.map_batches(prep, batch_format="pyarrow"), "__g", ["value"])
+    qs = tuple(q / 10.0 for q in range(1, 10))
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for q in qs:
+            h = (n - 1) * q
+            keep |= (r == np.floor(h)) | (r == np.ceil(h))
+        return t.filter(pa.array(keep))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()  # <=18 rows
+    rankmap = {r["__rank"]: (r["value"], r["__gn"]) for r in rows}
+    n_ref = next(iter(rankmap.values()))[1]
+    edges = np.array(
+        [
+            (lambda h: rankmap[int(np.floor(h))][0]
+             + (h - np.floor(h)) * (rankmap[int(np.ceil(h))][0] - rankmap[int(np.floor(h))][0]))((n_ref - 1) * q)
+            for q in qs
+        ]
+    )
+
+    def bins(t: pa.Table) -> pa.Table:
+        is_a = pc.equal(t.column("event_type"), pa.scalar(_KS_A)).to_numpy(
+            zero_copy_only=False
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        # strict >: side="left" puts v == edge into the lower bin
+        b = np.searchsorted(edges, v, side="left")
+        ca = np.bincount(b[is_a], minlength=10).astype(np.int64)
+        cb = np.bincount(b[~is_a], minlength=10).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(10, dtype=np.int64)),
+                "ca": pa.array(ca),
+                "cb": pa.array(cb),
+            }
+        )
+
+    merged = merge_partials(
+        ev.map_batches(bins, batch_format="pyarrow"),
+        keys=["bin"],
+        agg_funcs={"ca": "sum", "cb": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        na, nb = ca.sum(), cb.sum()
+        pa_ = np.maximum(ca / na, _PSI_EPS)
+        pb_ = np.maximum(cb / nb, _PSI_EPS)
+        psi = ((pa_ - pb_) * np.log(pa_ / pb_)).sum()
+        out = pa.table(
+            {
+                "psi": pa.array([psi], pa.float64()),
+                "n_a": pa.array([int(na)], pa.int64()),
+                "n_b": pa.array([int(nb)], pa.int64()),
+            }
+        )
+        return round_cols(out, {"psi": 6})
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) between the same two event-type
+# value distributions — the rank-based location test; tie-corrected
+# average ranks, computed exactly on the distinct-value substrate.
+# Every term is an integer multiple of 0.5, so both engines' sums are
+# EXACT (no float drift at all).
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = f"""
+WITH ab AS (SELECT value,
+                   SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+            GROUP BY value),
+t AS (SELECT value, ca, cb,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM ab),
+n AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM ab)
+SELECT ROUND(SUM(ca * (cum + (ca + cb + 1) / 2.0)), 6) AS rank_sum_a,
+       ROUND(SUM(ca * (cum + (ca + cb + 1) / 2.0)) - ANY_VALUE(n.na) * (ANY_VALUE(n.na) + 1) / 2.0, 6) AS u_a,
+       CAST(ANY_VALUE(n.na) AS BIGINT) AS n_a, CAST(ANY_VALUE(n.nb) AS BIGINT) AS n_b
+FROM t, n
+"""
+
+
+@register("events_mannwhitney", oracle=_MWU_ORACLE)
+def events_mannwhitney(sf_dir: str):
+    """Exact Mann–Whitney U between the 'click' and 'purchase' value
+    distributions with tie-averaged ranks: per-distinct-value counts
+    (bucketed merge on the value's bit pattern) → one distributed sort
+    attaching the pooled exclusive prefix count → rank-sum terms summed
+    through the combiner."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucketed_group_agg,
+        merge_partials,
+        with_group_ranks,
+    )
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"]).filter(
+        expr=f"event_type == '{_KS_A}' or event_type == '{_KS_B}'"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_a = pc.equal(t.column("event_type"), pa.scalar(_KS_A))
+        t2 = pa.table(
+            {
+                "value": t.column("value"),
+                "ca": pc.cast(is_a, pa.int64()),
+                "cb": pc.cast(pc.invert(is_a), pa.int64()),
+            }
+        )
+        g = t2.group_by(["value"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vbits": pa.array(v.view(np.uint64).astype(np.int64)),
+                "value": g.column("value"),
+                "ca": g.column("ca_sum"),
+                "cb": g.column("cb_sum"),
+            }
+        )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("vbits", as_index=False).agg(
+            value=("value", "first"), ca=("ca", "sum"), cb=("cb", "sum")
+        )
+
+    merged = bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        keys=["vbits"],
+        agg_fn=merge_bucket,
+        n_buckets=auto_buckets(ev.count()),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = pc.add(t.column("ca").cast(pa.int64()), t.column("cb").cast(pa.int64()))
+        return pa.table(
+            {
+                "value": t.column("value"),
+                "ca": t.column("ca").cast(pa.int64()),
+                "cb": t.column("cb").cast(pa.int64()),
+                "g": g,
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    base = merged.map_batches(prep, batch_format="pyarrow").materialize()
+    na = base.sum("ca")
+    nb = base.sum("cb")
+    ranked = with_group_ranks(base, "__g", ["value"], value_col="g", cum_col="cum")
+
+    def terms(t: pa.Table) -> pa.Table:
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(np.float64)
+        cum = t.column("cum").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = float((ca * (cum + (g + 1) / 2.0)).sum())
+        return pa.table({"k": pa.array([0], pa.int8()), "s": pa.array([s], pa.float64())})
+
+    top = merge_partials(
+        ranked.map_batches(terms, batch_format="pyarrow"), keys=["k"], agg_funcs={"s": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "rank_sum_a": pa.array(s, pa.float64()),
+                "u_a": pa.array(s - na * (na + 1) / 2.0, pa.float64()),
+                "n_a": pa.array([na] * len(t), pa.int64()),
+                "n_b": pa.array([nb] * len(t), pa.int64()),
+            }
+        )
+        return round_cols(out, {"rank_sum_a": 6, "u_a": 6})
+
+    return top.map_batches(finish, batch_format="pyarrow")

@@ -373,3 +373,41 @@ def test_langid_confusion_mass_and_diagonal(sf_tiny):
     # agreement is ~0.35-0.40, well above the ~0.2 marginal-chance level
     assert diag / n_docs > 0.25
     assert (cm.loc[cm["lang"] == "zh", "pred_lang"] != "zh").all()
+
+
+def test_psi_identical_distributions_is_zero(sf_tiny):
+    """PSI of the reference against ITSELF must be 0; the registered
+    query's PSI must be small but nonzero (click vs purchase are drawn
+    from the same family)."""
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["events_psi_drift"](sf_tiny).to_pandas().iloc[0]
+    assert out["psi"] >= 0
+    assert out["psi"] < 0.5  # same-family distributions: tiny drift
+
+
+def test_mannwhitney_matches_scipy_free_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_mannwhitney"](sf_tiny).to_pandas().iloc[0]
+    ev = read_table(sf_tiny, "events", columns=["event_type", "value"]).to_pandas()
+    a = ev.loc[ev["event_type"] == "click", "value"].to_numpy()
+    b = ev.loc[ev["event_type"] == "purchase", "value"].to_numpy()
+    pooled = np.concatenate([a, b])
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    # tie-averaged ranks
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    rank_sum_a = ranks[: len(a)].sum()
+    assert abs(out["rank_sum_a"] - rank_sum_a) < 1e-6
+    assert abs(out["u_a"] - (rank_sum_a - len(a) * (len(a) + 1) / 2)) < 1e-6
