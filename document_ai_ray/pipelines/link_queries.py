@@ -928,3 +928,77 @@ def build_crawl_frontier(sf_dir: str):
     return capped.map_batches(
         lambda t: t.select(["host", "url"]), batch_format="pyarrow"
     )
+
+
+_DEGREE_HIST_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS (SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> ''),
+und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges
+        WHERE src <> dst
+        GROUP BY 1, 2),
+deg AS (SELECT host, COUNT(*) AS d
+        FROM (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+        GROUP BY host)
+SELECT d AS degree, COUNT(*) AS n_hosts FROM deg GROUP BY d
+"""
+
+
+@register("host_degree_hist", oracle=_DEGREE_HIST_ORACLE)
+def host_degree_hist(sf_dir: str):
+    """Undirected host-graph degree distribution — the first chart of
+    any web-graph study.  Distinct undirected edges (shuffle-free
+    two-level dedup), endpoint explode, then two combiner aggregates
+    (per-host degree, then count-of-counts)."""
+    import pyarrow.compute as pc
+
+    from document_ai_ray.pipelines.ops import distinct_rows, partial_group_agg
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_und(t: pa.Table) -> pa.Table:
+        src = pa.array([href_host(u) for u in t.column("url").to_pylist()], pa.string())
+        dst = pa.array([href_host(h) for h in t.column("href").to_pylist()], pa.string())
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        out = pa.table({"u": lo, "v": hi})
+        return out.filter(pc.invert(pc.equal(out.column("u"), out.column("v"))))
+
+    und = distinct_rows(links.map_batches(to_und, batch_format="pyarrow"), ["u", "v"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"host": t.column("u")}), pa.table({"host": t.column("v")})]
+        )
+
+    deg = partial_group_agg(
+        und.map_batches(endpoints, batch_format="pyarrow"), ["host"], count_alias="degree"
+    )
+    return partial_group_agg(
+        deg.select_columns(["degree"]), ["degree"], count_alias="n_hosts"
+    )
+
+
+@register("kcore_hosts")
+def kcore_hosts_query(sf_dir: str):
+    """3-core of the undirected host graph (rows-only: the peeling
+    fixpoint has no SQL analogue; pinned by a dense-reference equality
+    test in tests/test_links.py).  Every emitted member carries its
+    in-core degree — self-evidencing: all core_degree >= 3."""
+    from document_ai_ray.stages.links import href_host, kcore_hosts, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    return kcore_hosts(links.map_batches(to_edges, batch_format="pyarrow"), k=3)

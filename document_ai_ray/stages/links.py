@@ -447,3 +447,99 @@ def hits_hosts(
         }
     )
     return rd.from_arrow(round_cols(out, {"hub": round_to, "authority": round_to}))
+
+
+def kcore_hosts(
+    edges: rd.Dataset,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """The k-CORE of the UNDIRECTED host graph: the maximal subgraph
+    where every member has >= k neighbors inside it (the classic
+    graph-mining density filter for seed/host selection).  Iterative
+    peeling: drop all hosts with degree < k, recompute degrees over the
+    surviving subgraph, repeat to fixpoint.
+
+    Scale shape: the DISTINCT undirected edge table materializes ONCE
+    (iterative fits never re-run lineage); each round is one streaming
+    degree aggregate (combiner) plus a filter with the surviving host
+    set broadcast via ray.put — driver state is host-sized, the same
+    bound as PageRank's rank vector.  Returns (host, core_degree) for
+    the members.  Raises if the peeling hasn't converged in max_rounds
+    (same loud-failure contract as connected_components)."""
+
+    def undirect(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.column(src_col)
+        d = t.column(dst_col)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        out = pa.table({"u": lo, "v": hi})
+        return out.filter(pc.invert(pc.equal(out.column("u"), out.column("v"))))
+
+    und = distinct_rows(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            undirect, batch_format="pyarrow"
+        ),
+        ["u", "v"],
+    ).materialize()
+
+    alive: set | None = None  # None = all hosts
+    for _ in range(max_rounds):
+        aref = (ray.put(alive),)
+
+        def degrees(t: pa.Table, _ref=aref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            al = get_broadcast(_ref, tag="kcore_alive")
+            if al is not None:
+                vs = pa.array(sorted(al), pa.string())
+                m = pc.and_(
+                    pc.is_in(t.column("u"), value_set=vs),
+                    pc.is_in(t.column("v"), value_set=vs),
+                )
+                t = t.filter(m)
+            return pa.concat_tables(
+                [
+                    pa.table({"host": t.column("u")}),
+                    pa.table({"host": t.column("v")}),
+                ]
+            )
+
+        deg = _collect(
+            partial_group_agg(
+                und.map_batches(degrees, batch_format="pyarrow"),
+                keys=["host"],
+                count_alias="deg",
+            )
+        )
+        hosts = deg.column("host").to_pylist()
+        degs = deg.column("deg").to_pylist()
+        keep = {h for h, d in zip(hosts, degs) if d >= k}
+        if alive is not None and keep == alive:
+            final = {h: d for h, d in zip(hosts, degs) if h in keep}
+            out_hosts = sorted(final)
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "host": pa.array(out_hosts, pa.string()),
+                        "core_degree": pa.array(
+                            [final[h] for h in out_hosts], pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not keep:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "host": pa.array([], pa.string()),
+                        "core_degree": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        alive = keep
+    raise RuntimeError(f"kcore_hosts: no fixpoint within {max_rounds} rounds")

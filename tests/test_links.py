@@ -289,3 +289,46 @@ def test_hits_direction():
     for i in range(5):
         assert got["s%d" % i]["hub"] > 0.4
         assert got["s%d" % i]["authority"] == 0.0
+
+
+def _ref_kcore(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    alive = {x for e in und for x in e}
+    while True:
+        deg = {}
+        for u, v in und:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        keep = {h for h, d in deg.items() if d >= k}
+        if keep == alive:
+            return {h: deg[h] for h in keep}
+        alive = keep
+        if not alive:
+            return {}
+
+
+def test_kcore_matches_reference_peeling():
+    from document_ai_ray.stages.links import kcore_hosts
+
+    # a 3-clique core with pendant chains that must peel away
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d"),  # dense core
+        ("d", "e"), ("e", "f"),                                      # chain peels
+        ("c", "g"),                                                  # pendant peels
+    ]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+    got = {r["host"]: r["core_degree"] for r in kcore_hosts(ds, k=2).take_all()}
+    assert got == _ref_kcore(edges, 2)
+    assert set(got) == {"a", "b", "c", "d"}  # chains/pendants peeled
+    got3 = {r["host"]: r["core_degree"] for r in kcore_hosts(ds, k=4).take_all()}
+    assert got3 == {}
+
+
+def test_kcore_query_is_self_evidencing(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    df = registry.queries()["kcore_hosts"](sf_tiny).to_pandas()
+    assert (df["core_degree"] >= 3).all()
