@@ -2041,3 +2041,94 @@ def events_mannwhitney(sf_dir: str):
         return round_cols(out, {"rank_sum_a": 6, "u_a": 6})
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped COUNT(DISTINCT): the precise twin of the HLL sketch
+# query (approx_distinct_users_by_type) — distinct (type, user) pairs
+# through the shuffle-free two-level dedup, then a combiner count.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_USERS_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("distinct_users_by_type", oracle=_DISTINCT_USERS_ORACLE)
+def distinct_users_by_type(sf_dir: str):
+    """Exact per-type distinct-user counts.  (type, user) dedup rides
+    `ops.distinct_rows` (per-chunk dedup → one output-sized final),
+    then the combiner count — the exact path next to the mergeable-HLL
+    approximate one, the same exact/approx pairing as the quantile
+    family."""
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = distinct_rows(ev, ["event_type", "user_id"])
+    return partial_group_agg(pairs, ["event_type"], count_alias="n_users")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per user (trapezoidal integration over the
+# event timeline) — the "average sensor reading" semantics where a
+# value holds until the next observation.
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH o AS (SELECT user_id, ts, value,
+                  LAG(ts) OVER w AS pts, LAG(value) OVER w AS pv
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       ROUND(SUM((value + pv) / 2.0 * (epoch_us(ts) - epoch_us(pts)))
+             / SUM(epoch_us(ts) - epoch_us(pts)), 6) AS twa_value,
+       COUNT(*) AS n_segments
+FROM o WHERE pts IS NOT NULL GROUP BY user_id
+"""
+
+
+@register("events_time_weighted_avg", oracle=_TWA_ORACLE)
+def events_time_weighted_avg(sf_dir: str):
+    """Trapezoidal time-weighted mean value per user: each consecutive
+    event pair contributes its mean value weighted by its time gap.
+    One user-hash bucketed exchange, per-bucket vectorized shift (the
+    LAG shape); single-event users vanish on both sides."""
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift(1))
+        ts_us = g["ts"].astype("int64")
+        dt = (ts_us - ts_us.shift(1)).where(same)
+        mid = (g["value"] + g["value"].shift(1)) / 2.0
+        seg = pd.DataFrame(
+            {"user_id": g["user_id"], "num": mid * dt, "den": dt}
+        ).dropna()
+        if seg.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "twa_value": pd.Series(dtype="float64"),
+                    "n_segments": pd.Series(dtype="int64"),
+                }
+            )
+        a = seg.groupby("user_id", as_index=False).agg(
+            num=("num", "sum"), den=("den", "sum"), n_segments=("den", "size")
+        )
+        v = (a["num"] / a["den"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"].astype("int64"),
+                "twa_value": np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6,
+                "n_segments": a["n_segments"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: twa_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
+    )

@@ -196,3 +196,37 @@ def test_approx_distinct_users_by_type_error_bound(sf_tiny):
     assert len(t) >= 3
     bound = 3.0 / (2**HLL_P) ** 0.5
     assert (t["rel_err"] <= bound).all()
+
+
+def test_twa_single_user_closed_form(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_time_weighted_avg"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    uid = int(out["user_id"].iloc[0])
+    g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    ts = g["ts"].astype("int64").to_numpy()
+    v = g["value"].to_numpy()
+    dt = np.diff(ts)
+    want = ((v[1:] + v[:-1]) / 2 * dt).sum() / dt.sum()
+    got = float(out.loc[out["user_id"] == uid, "twa_value"].iloc[0])
+    assert abs(got - want) < 1e-5
+    assert int(out.loc[out["user_id"] == uid, "n_segments"].iloc[0]) == len(g) - 1
+
+
+def test_distinct_users_exact_matches_pandas(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    got = (
+        registry.queries()["distinct_users_by_type"](sf_tiny)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+        .to_dict()
+    )
+    ev = read_table(sf_tiny, "events", columns=["event_type", "user_id"]).to_pandas()
+    want = ev.groupby("event_type")["user_id"].nunique().to_dict()
+    assert got == want
