@@ -508,3 +508,79 @@ def extract_pdf_images(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         roundtrip, batch_format="pyarrow"
     )
+
+
+def _microdata_page_html(d: int, src: str) -> bytes:
+    """Page with one real Product microdata item + decoys: an itemprop
+    OUTSIDE any itemscope (must be ignored), a commented-out item with
+    wrong values, a script whose text looks like microdata, and a
+    SECOND itemscope after the real one (first-item-wins)."""
+    price = f"{(d % 900) + 100}.{d % 100:02d}"
+    html = (
+        "<!DOCTYPE html><html><head><title>t</title></head><body>"
+        '<span itemprop="name">orphan prop must be ignored</span>'
+        '<!-- <div itemscope itemtype="https://schema.org/Decoy">'
+        '<span itemprop="name">nope</span></div> -->'
+        "<script>var md = '<div itemscope itemtype=Decoy2>';</script>"
+        f'<div ItemScope itemtype="https://schema.org/Product">'
+        f'<h1><span itemprop="name">{src} item {d}</span></h1>'
+        f'<meta itemprop="price" content="{price}">'
+        f'<a itemprop="url" href="https://{src}.example/p/{d}">buy</a>'
+        f'<img itemprop="image" src="https://cdn.{src}.example/img/{d}.jpg">'
+        f'<time itemprop="releaseDate" datetime="2024-{1 + d % 12:02d}-01">spring</time>'
+        "</div>"
+        '<div itemscope itemtype="https://schema.org/Ignored">'
+        '<span itemprop="name">second item ignored</span></div>'
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+@register(
+    "microdata_extract",
+    oracle="""
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+           'https://schema.org/Product' AS item_type,
+           source || ' item ' || CAST(doc_id AS VARCHAR) AS name,
+           CAST((doc_id % 900) + 100 AS VARCHAR) || '.' ||
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS price,
+           'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS item_url,
+           'https://cdn.' || source || '.example/img/' || CAST(doc_id AS VARCHAR) || '.jpg' AS image,
+           '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-01' AS "releaseDate"
+    FROM documents
+    """,
+)
+def microdata_extract(sf_dir: str):
+    """Microdata (itemscope/itemprop) extraction — the third
+    structured-data vehicle next to head-meta and JSON-LD, through a
+    real HTMLParser walk with the spec's per-tag value rules
+    (meta→content, a→href, img→src, time→datetime, else text).  Decoys
+    exercised: an orphan itemprop outside any scope, a commented-out
+    item, script text that LOOKS like microdata, mixed attribute case,
+    and a second itemscope that first-item-wins must ignore.  Every
+    emitted field is oracle-rebuilt from the source columns."""
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_microdata
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        rows = [
+            {"url": f"doc://{d}", "html": _microdata_page_html(d, src)}
+            for d, src in zip(
+                t.column("doc_id").to_pylist(), t.column("source").to_pylist()
+            )
+        ]
+        return pa.Table.from_pylist(rows)
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return extract_microdata(
+        pages,
+        {
+            "name": "name",
+            "price": "price",
+            "item_url": "url",   # the item's own url prop, not the page url
+            "image": "image",
+            "releaseDate": "releaseDate",
+        },
+    )

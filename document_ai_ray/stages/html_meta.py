@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import html as html_mod
 import re
+from html.parser import HTMLParser
 
 import pyarrow as pa
 
@@ -175,5 +176,134 @@ def extract_jsonld(pages_ds, url_col: str = "url", html_col: str = "html"):
         for f in JSONLD_FIELDS:
             cols[f] = pa.array([r[f] for r in rows], pa.string())
         return pa.table(cols)
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Microdata (HTML spec §5: itemscope/itemtype/itemprop) — the third
+# structured-data vehicle next to head-meta and JSON-LD.  Flat items
+# (the overwhelmingly common e-commerce/article shape): the FIRST
+# itemscope+itemtype element opens the item; descendant itemprop
+# elements contribute values per the spec's per-tag value rules.
+# ---------------------------------------------------------------------------
+
+_MD_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_MD_URL_ATTR = {"a": "href", "link": "href", "area": "href"}
+_MD_SRC_ATTR = {
+    "img": "src", "audio": "src", "video": "src", "embed": "src",
+    "iframe": "src", "source": "src",
+}
+
+
+class _MicrodataCollector(HTMLParser):
+    """First flat microdata item: itemtype + {prop: value}.  Value per
+    spec: meta→content, a/link/area→href, img/...→src, time→datetime,
+    else the element's text content.  Comments are skipped by the
+    parser itself; itemprop outside the item is ignored."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.itemtype: str | None = None
+        self.props: dict[str, str] = {}
+        self._depth = 0
+        self._item_depth: int | None = None
+        self._done = False
+        self._cap_prop: str | None = None
+        self._cap_depth = 0
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        inside = self._item_depth is not None and not self._done
+        if (
+            self.itemtype is None
+            and "itemscope" in a
+            and a.get("itemtype")
+        ):
+            self.itemtype = a["itemtype"]
+            self._item_depth = self._depth
+        elif inside and "itemprop" in a and a["itemprop"] not in self.props:
+            prop = a["itemprop"]
+            if tag == "meta":
+                self.props[prop] = a.get("content", "")
+            elif tag in _MD_URL_ATTR:
+                self.props[prop] = a.get(_MD_URL_ATTR[tag], "")
+            elif tag in _MD_SRC_ATTR:
+                self.props[prop] = a.get(_MD_SRC_ATTR[tag], "")
+            elif tag == "time" and "datetime" in a:
+                self.props[prop] = a["datetime"]
+            elif tag not in _MD_VOID and self._cap_prop is None:
+                self._cap_prop = prop
+                self._cap_depth = self._depth
+                self._buf = []
+        if tag not in _MD_VOID:
+            self._depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _MD_VOID:
+            return
+        self._depth = max(0, self._depth - 1)
+        if self._cap_prop is not None and self._depth == self._cap_depth:
+            self.props[self._cap_prop] = "".join(self._buf).strip()
+            self._cap_prop = None
+        if (
+            self._item_depth is not None
+            and not self._done
+            and self._depth == self._item_depth
+        ):
+            self._done = True  # the item's element closed; later scopes ignored
+
+    def handle_data(self, data: str) -> None:
+        if self._cap_prop is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        if self._cap_prop is not None:  # unclosed element: flush at EOF
+            self.props[self._cap_prop] = "".join(self._buf).strip()
+            self._cap_prop = None
+
+
+def parse_microdata(payload: bytes | str) -> dict[str, str | None]:
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", "replace")
+    p = _MicrodataCollector()
+    try:
+        p.feed(payload)
+        p.close()
+    except Exception:
+        pass
+    return {"item_type": p.itemtype, "props": p.props}
+
+
+def extract_microdata(
+    pages_ds, props: dict[str, str], url_col: str = "url", html_col: str = "html"
+):
+    """(url, item_type, <props...>) — one row per page, first item.
+    `props` maps OUTPUT column name -> itemprop name (so an item's own
+    'url' prop can land in a column that doesn't collide with the page
+    url column)."""
+    if url_col in props or "item_type" in props:
+        raise ValueError("prop output column collides with url/item_type")
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        types: list = []
+        vals: dict[str, list] = {c: [] for c in props}
+        for h in t.column(html_col).to_pylist():
+            md = parse_microdata(h)
+            types.append(md["item_type"])
+            for c, pn in props.items():
+                vals[c].append(md["props"].get(pn))
+        return pa.table(
+            {
+                url_col: pa.array(urls, pa.string()),
+                "item_type": pa.array(types, pa.string()),
+                **{c: pa.array(vals[c], pa.string()) for c in props},
+            }
+        )
 
     return pages_ds.map_batches(batch, batch_format="pyarrow")

@@ -150,3 +150,43 @@ def test_parse_jsonld_decoys_and_recovery():
     # no ld block at all -> all-None row, never a raise
     empty = parse_jsonld("<html><head><title>t</title></head></html>")
     assert all(v is None for v in empty.values())
+
+
+def test_microdata_value_rules_and_decoys():
+    from document_ai_ray.stages.html_meta import parse_microdata
+
+    html = (
+        "<body>"
+        '<b itemprop="orphan">ignored</b>'
+        '<!-- <div itemscope itemtype="X"><i itemprop="name">no</i></div> -->'
+        '<div itemscope itemtype="https://schema.org/Book">'
+        '<h1 itemprop="name">The <em>Long</em> Title</h1>'
+        '<meta itemprop="isbn" content="978-3-16">'
+        '<a itemprop="url" href="/b/1">link text not value</a>'
+        '<img itemprop="cover" src="/c.jpg">'
+        '<time itemprop="pubDate" datetime="2020-01-02">Jan 2</time>'
+        "</div>"
+        '<div itemscope itemtype="https://schema.org/Movie">'
+        '<span itemprop="name">second ignored</span></div>'
+        "</body>"
+    )
+    md = parse_microdata(html)
+    assert md["item_type"] == "https://schema.org/Book"
+    p = md["props"]
+    assert p["name"] == "The Long Title"       # nested tag text concatenated
+    assert p["isbn"] == "978-3-16"             # meta -> content
+    assert p["url"] == "/b/1"                  # a -> href
+    assert p["cover"] == "/c.jpg"              # img -> src
+    assert p["pubDate"] == "2020-01-02"        # time -> datetime
+    assert "orphan" not in p                   # outside any itemscope
+
+
+def test_microdata_unclosed_and_no_item():
+    from document_ai_ray.stages.html_meta import parse_microdata
+
+    assert parse_microdata("<body><p>nothing structured</p>")["item_type"] is None
+    md = parse_microdata(
+        '<div itemscope itemtype="T"><span itemprop="a">val'  # never closed
+    )
+    assert md["item_type"] == "T"
+    assert md["props"] == {"a": "val"}  # unclosed capture flushed at EOF
