@@ -1002,3 +1002,72 @@ def kcore_hosts_query(sf_dir: str):
         )
 
     return kcore_hosts(links.map_batches(to_edges, batch_format="pyarrow"), k=3)
+
+
+_CRAWL_BUDGET = 1000
+
+_BUDGET_ALLOC_ORACLE = f"""
+WITH pr AS ({_pagerank_oracle()}),
+mr AS (SELECT host, CAST(ROUND(rank * 1000000, 0) AS BIGINT) AS m FROM pr),
+s AS (SELECT SUM(m) AS sm FROM mr),
+q AS (SELECT host, m,
+             ({_CRAWL_BUDGET} * m) // s.sm AS fl,
+             ({_CRAWL_BUDGET} * m) % s.sm AS rem
+      FROM mr, s),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rn,
+             (SELECT {_CRAWL_BUDGET} - SUM(fl) FROM q) AS leftover
+      FROM q)
+SELECT host, CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+"""
+
+
+@register("crawl_budget_alloc", oracle=_BUDGET_ALLOC_ORACLE)
+def crawl_budget_alloc(sf_dir: str):
+    """Per-host crawl-budget apportionment: 1000 fetches split across
+    hosts PROPORTIONAL TO PAGERANK by the largest-remainder method —
+    the politeness-aware scheduler step between link analysis and the
+    fetch queue.  All allocation arithmetic is INTEGER (micro-ranks
+    from the ROUND(rank,6) PageRank output, floor = B*m // Σm,
+    remainder seats by B*m % Σm DESC then host), so engine and oracle
+    agree bit-for-bit with no float-order risk; the oracle composes
+    the unrolled PageRank fixpoint CTE.  The rank table is
+    host-cardinality — the same driver bound PageRank itself accepts."""
+    import numpy as np
+
+    from document_ai_ray.stages.links import (
+        href_host,
+        page_outlinks,
+        pagerank_hosts,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    pr = pagerank_hosts(links.map_batches(to_edges, batch_format="pyarrow"), iters=10)
+    t = pr.to_pandas()  # host-cardinality (the PageRank driver bound)
+    m = np.floor(t["rank"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    sm = int(m.sum())
+    fl = (_CRAWL_BUDGET * m) // sm
+    rem = (_CRAWL_BUDGET * m) % sm
+    leftover = _CRAWL_BUDGET - int(fl.sum())
+    order = np.lexsort((t["host"].to_numpy(), -rem))  # rem DESC, host ASC
+    quota = fl.copy()
+    quota[order[:leftover]] += 1
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(t["host"].to_list(), pa.string()),
+                "quota": pa.array(quota, pa.int64()),
+            }
+        )
+    )

@@ -332,3 +332,17 @@ def test_kcore_query_is_self_evidencing(sf_tiny):
 
     df = registry.queries()["kcore_hosts"](sf_tiny).to_pandas()
     assert (df["core_degree"] >= 3).all()
+
+
+def test_crawl_budget_alloc_sums_and_monotone(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    q = registry.queries()["crawl_budget_alloc"](sf_tiny).to_pandas()
+    pr = registry.queries()["pagerank_hosts"](sf_tiny).to_pandas()
+    assert q["quota"].sum() == 1000
+    j = q.merge(pr, on="host")
+    # apportionment is monotone: a strictly higher rank never gets a
+    # smaller quota than a lower rank minus the 1-seat remainder slack
+    j = j.sort_values("rank", ascending=False).reset_index(drop=True)
+    assert (j["quota"].diff().dropna() <= 1).all()  # non-increasing up to +1 seat
+    assert j["quota"].iloc[0] == j["quota"].max()
