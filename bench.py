@@ -360,7 +360,9 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     args = sys.argv[1:]
     if "--scaling" in args:
-        print(json.dumps(run_scaling(sf_dir)))
+        lo = int(os.environ.get("SCALING_CPUS_LO", "4"))
+        hi = int(os.environ.get("SCALING_CPUS_HI", "16"))
+        print(json.dumps(run_scaling(sf_dir, lo, hi)))
         return
     if "--dedup-scale" in args:
         factor = int(os.environ.get("DEDUP_SCALE_FACTOR", "10"))

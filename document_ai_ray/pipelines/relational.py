@@ -1749,3 +1749,57 @@ def scd2_priority_history(sf_dir: str):
         P,
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-group-pruned range scan: the READ-side pruning lever partition
+# pruning can't give you — sort on the predicate column at write time,
+# bound row-group size, and let parquet min/max statistics skip every
+# row group outside the range.
+# ---------------------------------------------------------------------------
+
+_RG_PRUNE_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+"""
+
+
+@register("rowgroup_pruned_scan", oracle=_RG_PRUNE_ORACLE)
+def rowgroup_pruned_scan(sf_dir: str):
+    """Write `orders` SORTED by o_orderdate with bounded row groups
+    (2 048 rows), then read ONE year back through a pyarrow dataset
+    filter pushed into the fragment scan (`arrow_parquet_args`) — the
+    parquet min/max statistics prune the out-of-range row groups at the
+    read, so a 1-of-7-years query touches ~1/7 of the file (asserted
+    with footer statistics in tests/test_relational_extras.py).  The
+    write stays a distributed range-partitioned sort + streamed
+    per-block files; nothing driver-sized."""
+    import datetime
+
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out_dir = scratch_dir("rg-pruned-orders")
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    ds.sort("o_orderdate").write_parquet(out_dir, row_group_size=2048)
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1996, 1, 1)
+    flt = (pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)
+    back = rd.read_parquet(
+        out_dir,
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=flt,
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        # the pushed filter prunes row groups; re-apply row-exact at the
+        # range edges, then project
+        d = t.column("o_orderdate")
+        m = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_totalprice"])
+
+    return back.map_batches(exact, batch_format="pyarrow")

@@ -95,3 +95,42 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_rowgroup_pruning_statistics(sf_tiny):
+    """The sorted, bounded-row-group layout really enables pruning: the
+    fraction of row groups whose [min,max] o_orderdate range overlaps
+    the queried year is a strict minority of the file's row groups
+    (the whole point of sorting on the predicate column at write time),
+    and the query's rows match an unpruned recompute."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["rowgroup_pruned_scan"](sf_tiny).to_pandas()
+    d = scratch_dir("rg-pruned-orders", fresh=False)  # written by the query
+    lo, hi = datetime.datetime(1995, 1, 1), datetime.datetime(1996, 1, 1)
+    total = overlapping = 0
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(d, f))
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st.max >= lo and st.min < hi:
+                overlapping += 1
+    assert total >= 7                      # bounded row groups, several per file
+    assert overlapping < total / 2         # the year is a minority of the span
+    assert overlapping >= 1
+    # row-exactness vs a straight filter on the source table
+    from document_ai_ray.sources.tables import read_table
+
+    src = read_table(sf_tiny, "orders", columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    want = src[(src["o_orderdate"] >= lo) & (src["o_orderdate"] < hi)]["o_orderkey"]
+    assert sorted(out["o_orderkey"]) == sorted(want)
