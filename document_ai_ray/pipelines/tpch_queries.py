@@ -22,6 +22,7 @@ import datetime
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data as rd
 
 from document_ai_ray.pipelines.ops import (
     get_broadcast,
@@ -241,7 +242,19 @@ def q7_volume_shipping(sf_dir: str):
         ["supp_nation", "cust_nation", "l_year"],
         {"volume": "revenue"},
     )
-    return agg.map_batches(lambda t: round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    out = agg.map_batches(lambda t: round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    # tiny corpora can filter the join to ZERO rows before any task
+    # emits a block — union a schema-carrying empty block so the result
+    # keeps its columns instead of degrading to a schemaless empty
+    empty = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue", pa.float64()),
+        ]
+    ).empty_table()
+    return out.union(rd.from_arrow(empty))
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,14 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0:
+            # Ray's to_pandas drops columns for an all-empty Dataset even
+            # when the Dataset HAS a schema — recover it so zero-row
+            # results still schema-compare (hit by tiny-sf sweeps)
+            base = res.schema().base_schema
+            df = pa.schema(base).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
