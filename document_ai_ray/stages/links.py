@@ -494,9 +494,14 @@ def kcore_hosts(
         def degrees(t: pa.Table, _ref=aref) -> pa.Table:
             import pyarrow.compute as pc
 
-            al = get_broadcast(_ref, tag="kcore_alive")
-            if al is not None:
-                vs = pa.array(sorted(al), pa.string())
+            # value_set built ONCE per worker (get_broadcast caches the
+            # transformed set), not re-sorted per batch
+            vs = get_broadcast(
+                _ref,
+                build=lambda s: None if s is None else pa.array(sorted(s), pa.string()),
+                tag="kcore_alive",
+            )
+            if vs is not None:
                 m = pc.and_(
                     pc.is_in(t.column("u"), value_set=vs),
                     pc.is_in(t.column("v"), value_set=vs),
