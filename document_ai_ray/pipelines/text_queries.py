@@ -2536,3 +2536,102 @@ def surt_doc_urls(sf_dir: str):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: find the corpus's most frequent bigram
+# (exact, bucketed heavy-hitter), then return every occurrence with its
+# 1-based position — the positional-index intersection an IR engine
+# runs for quoted-phrase queries.
+# ---------------------------------------------------------------------------
+
+_PHRASE_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS n
+       FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+       GROUP BY 1),
+top AS (SELECT bigram FROM bg ORDER BY n DESC, bigram LIMIT 1),
+occ AS (SELECT doc_id, i AS pos
+        FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i), top
+        WHERE ws[i] || ' ' || ws[i+1] = top.bigram)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, (SELECT bigram FROM top) AS phrase
+FROM occ
+"""
+
+
+@register("phrase_search_top_bigram", oracle=_PHRASE_ORACLE)
+def phrase_search_top_bigram(sf_dir: str):
+    """Quoted-phrase search, end to end: pass 1 finds the corpus's most
+    frequent space-split bigram EXACTLY (per-batch combiner partials →
+    bucketed merge on the bigram's 64-bit hash → per-bucket winner →
+    tiny final, ties broken lexicographically on BOTH sides); pass 2
+    emits every (doc_id, 1-based position) occurrence of that phrase —
+    the positional-postings intersection, here as one vectorized
+    shifted-equality scan per batch.  The oracle recomputes the top
+    bigram and its occurrences from scratch in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count() * 64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            ws = (s or "").split(" ")
+            for a, b in zip(ws, ws[1:]):
+                g = a + " " + b
+                counts[g] = counts.get(g, 0) + 1
+        grams = list(counts)
+        return pa.table(
+            {
+                "bigram": pa.array(grams, pa.string()),
+                "n": pa.array([counts[g] for g in grams], pa.int64()),
+                "bk": pa.array(
+                    [stable64(g) % P for g in grams], pa.int64()
+                ),
+            }
+        )
+
+    def bucket_winner(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"bigram": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        g = df.groupby("bigram", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        return g.head(1)
+
+    winners = bucket_map_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "bk",
+        bucket_winner,
+        P,
+        batch_format="pandas",
+    ).take_all()  # <= P rows (one winner per bucket)
+    best = min(((-(r["n"]), r["bigram"]) for r in winners))
+    phrase = best[1]
+    w1, w2 = phrase.split(" ", 1)
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        ids, poss = [], []
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            ws = np.array((s or "").split(" "), dtype=object)
+            if len(ws) < 2:
+                continue
+            hit = np.nonzero((ws[:-1] == w1) & (ws[1:] == w2))[0]
+            ids.extend([i] * len(hit))
+            poss.extend((hit + 1).tolist())  # 1-based, matching SQL ws[i]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "phrase": pa.array([phrase] * len(ids), pa.string()),
+            }
+        )
+
+    return docs.map_batches(occurrences, batch_format="pyarrow")

@@ -411,3 +411,26 @@ def test_mannwhitney_matches_scipy_free_reference(sf_tiny):
     rank_sum_a = ranks[: len(a)].sum()
     assert abs(out["rank_sum_a"] - rank_sum_a) < 1e-6
     assert abs(out["u_a"] - (rank_sum_a - len(a) * (len(a) + 1) / 2)) < 1e-6
+
+
+def test_phrase_search_is_true_argmax_and_positions(sf_tiny):
+    """The chosen phrase is the exact corpus-max bigram (driver-side
+    recount), and every emitted position really holds the phrase."""
+    import collections
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["phrase_search_top_bigram"](sf_tiny).to_pandas()
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"]).to_pandas()
+    counts = collections.Counter()
+    for s in docs["text"]:
+        ws = (s or "").split(" ")
+        counts.update(a + " " + b for a, b in zip(ws, ws[1:]))
+    best = min((-n, g) for g, n in counts.items())[1]
+    assert set(out["phrase"]) == {best}
+    assert len(out) == counts[best]
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    for r in out.itertuples():
+        ws = text_of[r.doc_id].split(" ")
+        assert ws[r.pos - 1] + " " + ws[r.pos] == best
