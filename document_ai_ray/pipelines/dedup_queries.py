@@ -570,3 +570,96 @@ def dedup_keep_best(sf_dir: str):
         )
 
     return bucket_map_groups(joined, "bk2", best_in_bucket, P, batch_format="pandas")
+
+
+_SOURCE_DUP_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u",
+    """, lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+j AS (SELECT l.doc_id, l.cluster_id, d.source,
+             CASE WHEN l.doc_id = l.cluster_id THEN 0 ELSE 1 END AS is_dup
+      FROM lab l JOIN documents d USING (doc_id))
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM j GROUP BY source""",
+)
+
+
+@register("source_dup_report", oracle=_SOURCE_DUP_ORACLE)
+def source_dup_report(sf_dir: str):
+    """Which SOURCES produce duplicates — the per-origin near-dup mass
+    report a curation team uses to blocklist mirror/template sites.  A
+    doc counts as duplicate when it is not its cluster's canonical
+    (min-id) member.  Cluster labels meet doc→source in one doc-hash
+    bucketed join; the per-source rollup rides the combiner."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        partial_group_agg,
+        round_cols,
+    )
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = connected_components(pairs)
+    meta = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    assigned = assign_clusters(meta.select_columns(["doc_id"]), comps)
+    P = auto_buckets(meta.count())
+
+    def tag(t: pa.Table, is_meta: bool) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.nulls(len(t), pa.int64())
+                if is_meta
+                else t.column("cluster_id"),
+                "source": t.column("source")
+                if is_meta
+                else pa.nulls(len(t), pa.string()),
+                "bk": pa.array(((d * np.uint64(2654435761)) % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["cluster_id"].notna(), ["doc_id", "cluster_id"]]
+        met = df.loc[df["source"].notna(), ["doc_id", "source"]]
+        m = lab.merge(met, on="doc_id")
+        return pd.DataFrame(
+            {
+                "source": m["source"],
+                "is_dup": (m["doc_id"] != m["cluster_id"]).astype("int64"),
+            }
+        )
+
+    joined = bucket_map_groups(
+        assigned.map_batches(lambda t: tag(t, False), batch_format="pyarrow").union(
+            meta.map_batches(lambda t: tag(t, True), batch_format="pyarrow")
+        ),
+        "bk",
+        join_in_bucket,
+        P,
+        batch_format="pandas",
+    )
+    agg = partial_group_agg(
+        joined, ["source"], {"is_dup": "n_dup_docs"}, count_alias="n_docs"
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        nd = t.column("n_dup_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs"),
+                "n_dup_docs": t.column("n_dup_docs"),
+                "dup_ratio": pa.array(nd / n, pa.float64()),
+            }
+        )
+        return round_cols(out, {"dup_ratio": 6})
+
+    return agg.map_batches(ratio, batch_format="pyarrow")

@@ -2635,3 +2635,70 @@ def phrase_search_top_bigram(sf_dir: str):
         )
 
     return docs.map_batches(occurrences, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality ranking: the report a curation team reads before
+# up/down-weighting an origin in the data mix.
+# ---------------------------------------------------------------------------
+
+_SRC_QUALITY_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+j AS (SELECT q.doc_id, q.quality_score, d.source
+      FROM q JOIN documents d USING (doc_id)),
+g AS (SELECT source, COUNT(*) AS n_docs,
+             ROUND(SUM(quality_score) / COUNT(*), 6) AS mean_quality
+      FROM j GROUP BY source)
+SELECT source, n_docs, mean_quality,
+       CAST(RANK() OVER (ORDER BY mean_quality DESC, source) AS BIGINT) AS quality_rank
+FROM g
+"""
+
+
+@register("source_quality_report", oracle=_SRC_QUALITY_ORACLE)
+def source_quality_report(sf_dir: str):
+    """Per-source mean quality + rank (best = 1).  Quality scores are
+    ROUNDed per doc BEFORE the sum on both sides; the mean divides the
+    engine-exact sum by the count in the oracle's association; ranks
+    come from the tiny source-cardinality final (one task)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg, round_cols
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = quality_batch(t)
+        t = round_cols(t, {"quality_score": 6})
+        return pa.table(
+            {"source": t.column("source"), "quality_score": t.column("quality_score")}
+        )
+
+    agg = partial_group_agg(
+        docs.map_batches(score, batch_format="pyarrow"),
+        ["source"],
+        {"quality_score": "q_sum"},
+        count_alias="n_docs",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        qs = t.column("q_sum").to_numpy(zero_copy_only=False)
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        mq = qs / n
+        mq = np.copysign(np.floor(np.abs(mq) * 1e6 + 0.5), mq) / 1e6
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((src, -mq))
+        # the ORDER BY carries the source tiebreaker, so SQL's RANK can
+        # never tie: rank == ordinal position on both sides
+        rank = np.empty(len(t), np.int64)
+        rank[order] = np.arange(1, len(t) + 1)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs"),
+                "mean_quality": pa.array(mq, pa.float64()),
+                "quality_rank": pa.array(rank),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -434,3 +434,20 @@ def test_phrase_search_is_true_argmax_and_positions(sf_tiny):
     for r in out.itertuples():
         ws = text_of[r.doc_id].split(" ")
         assert ws[r.pos - 1] + " " + ws[r.pos] == best
+
+
+def test_source_reports_mass_and_rank(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    dup = registry.queries()["source_dup_report"](sf_tiny).to_pandas()
+    n_docs = read_table(sf_tiny, "documents", columns=["doc_id"]).count()
+    assert dup["n_docs"].sum() == n_docs
+    assert (dup["n_dup_docs"] <= dup["n_docs"]).all()
+    keep = registry.queries()["dedup_keep_canonical"](sf_tiny).to_pandas()
+    assert dup["n_dup_docs"].sum() == n_docs - len(keep)  # dup = non-canonical
+
+    q = registry.queries()["source_quality_report"](sf_tiny).to_pandas()
+    assert sorted(q["quality_rank"]) == list(range(1, len(q) + 1))
+    top = q.loc[q["quality_rank"] == 1, "mean_quality"].iloc[0]
+    assert top == q["mean_quality"].max()
