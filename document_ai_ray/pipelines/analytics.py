@@ -2132,3 +2132,85 @@ def events_time_weighted_avg(sf_dir: str):
         .groupby("bucket")
         .map_groups(lambda g: twa_bucket(g.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per event type — the robust scale estimate
+# (z-scores break on heavy tails; MAD doesn't).  Two exact-quantile
+# passes on the rank substrate: per-type median, then the median of
+# absolute deviations from it.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, ABS(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type))
+SELECT m.event_type, ROUND(m.med, 6) AS median_value,
+       ROUND((SELECT quantile_cont(dev, 0.5) FROM d WHERE d.event_type = m.event_type), 6) AS mad
+FROM m
+"""
+
+
+def _group_median(ds, group_col: str, value_col: str) -> dict:
+    """{group: exact PERCENTILE_CONT(0.5)} via the boundary-row pick
+    (<= 2 rows per group reach the driver)."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    ranked = with_group_ranks(ds, group_col, [value_col])
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        h = (n - 1) * 0.5
+        keep = (r == np.floor(h)) | (r == np.ceil(h))
+        return t.filter(pa.array(keep))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
+    by_g: dict = {}
+    for r0 in rows:
+        by_g.setdefault(r0[group_col], {})[r0["__rank"]] = (r0[value_col], r0["__gn"])
+    out = {}
+    for g, rm in by_g.items():
+        n = next(iter(rm.values()))[1]
+        h = (n - 1) * 0.5
+        lo, hi = rm[int(np.floor(h))][0], rm[int(np.ceil(h))][0]
+        out[g] = lo + (h - np.floor(h)) * (hi - lo)
+    return out
+
+
+@register("events_mad_by_type", oracle=_MAD_ORACLE)
+def events_mad_by_type(sf_dir: str):
+    """Per-type median + MAD, both EXACT (PERCENTILE_CONT semantics).
+    The medians (group-cardinality) broadcast into a vectorized
+    |x − med| derivation; the second quantile pass runs on the derived
+    column through the same substrate."""
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    med = _group_median(ds, "event_type", "value")
+
+    def dev(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        m = np.array([med[x] for x in types])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dev": pa.array(np.abs(v - m), pa.float64()),
+            }
+        )
+
+    mad = _group_median(ds.map_batches(dev, batch_format="pyarrow"), "event_type", "dev")
+
+    def rnd(x: float) -> float:
+        return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x) / 1e6)
+
+    types = sorted(med)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "median_value": pa.array([rnd(med[g]) for g in types], pa.float64()),
+            "mad": pa.array([rnd(mad[g]) for g in types], pa.float64()),
+        }
+    )

@@ -230,3 +230,20 @@ def test_distinct_users_exact_matches_pandas(sf_tiny):
     ev = read_table(sf_tiny, "events", columns=["event_type", "user_id"]).to_pandas()
     want = ev.groupby("event_type")["user_id"].nunique().to_dict()
     assert got == want
+
+
+def test_mad_matches_numpy(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_mad_by_type"](sf_tiny)
+    got = {r["event_type"]: (r["median_value"], r["mad"]) for r in out.to_pylist()}
+    ev = read_table(sf_tiny, "events", columns=["event_type", "value"]).to_pandas()
+    for g, sub in ev.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        med = np.percentile(v, 50, method="linear")
+        mad = np.percentile(np.abs(v - med), 50, method="linear")
+        assert abs(got[g][0] - med) < 1e-5, g
+        assert abs(got[g][1] - mad) < 1e-5, g
