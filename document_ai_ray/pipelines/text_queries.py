@@ -2702,3 +2702,66 @@ def source_quality_report(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Corpus length quantiles: p10/p50/p90 of document length — the first
+# line of any corpus datasheet.
+# ---------------------------------------------------------------------------
+
+_LEN_Q_ORACLE = """
+SELECT ROUND(quantile_cont(n_chars, 0.10), 6) AS p10,
+       ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.90), 6) AS p90,
+       COUNT(*) AS n_docs
+FROM documents
+"""
+
+
+@register("doc_length_quantiles", oracle=_LEN_Q_ORACLE)
+def doc_length_quantiles(sf_dir: str):
+    """Exact p10/p50/p90 of n_chars (PERCENTILE_CONT interpolation) on
+    the rank substrate's boundary-pick — <= 6 rows reach the driver."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_chars": t.column("n_chars"),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    ranked = with_group_ranks(ds.map_batches(prep, batch_format="pyarrow"), "__g", ["n_chars"])
+    qs = (0.10, 0.50, 0.90)
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for q in qs:
+            h = (n - 1) * q
+            keep |= (r == np.floor(h)) | (r == np.ceil(h))
+        return t.filter(pa.array(keep))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
+    rm = {r["__rank"]: (r["n_chars"], r["__gn"]) for r in rows}
+    n = next(iter(rm.values()))[1]
+    vals = []
+    for q in qs:
+        h = (n - 1) * q
+        lo, hi = rm[int(np.floor(h))][0], rm[int(np.ceil(h))][0]
+        v = lo + (h - np.floor(h)) * (hi - lo)
+        vals.append(float(np.copysign(np.floor(abs(v) * 1e6 + 0.5), v) / 1e6))
+    return pa.table(
+        {
+            "p10": pa.array([vals[0]], pa.float64()),
+            "p50": pa.array([vals[1]], pa.float64()),
+            "p90": pa.array([vals[2]], pa.float64()),
+            "n_docs": pa.array([n], pa.int64()),
+        }
+    )
