@@ -1071,3 +1071,98 @@ def crawl_budget_alloc(sf_dir: str):
             }
         )
     )
+
+
+_PAGINATION_ORACLE = """
+SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS chain_id,
+       CAST(doc_id % 4 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@register("pagination_chains", oracle=_PAGINATION_ORACLE)
+def pagination_chains(sf_dir: str):
+    """Multi-page article reconstruction from `<link rel=next/prev>`
+    pagination links — the crawl step that stitches page 1/2/3/4 of one
+    article back into a unit before extraction.  Pages carry REAL head
+    links (plus decoys: a commented-out rel=next and a body-region link
+    that the head-terminated scan must ignore); the rel=next edges feed
+    the distributed connected-components labeler (chain id = min page id
+    in the chain), and within-chain position is a per-chain rank in a
+    chain-hash bucketed pass (chains are bucket-disjoint; page order ==
+    page id order, the fixture's pagination order).  The oracle rebuilds
+    chain/pos from the construction spec."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.cluster import assign_clusters, connected_components
+    from document_ai_ray.stages.html_meta import head_rel_links
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, htmls = [], []
+        for d in t.column("doc_id").to_pylist():
+            pos = d % 4
+            links = []
+            if pos > 0:
+                links.append(f'<link rel="prev" href="doc://{d - 1}">')
+            if pos < 3 and d + 1 < n_docs:
+                links.append(f'<LINK REL="next" HREF="doc://{d + 1}">')
+            page = (
+                "<html><head><title>p</title>"
+                '<!-- <link rel="next" href="doc://999999"> -->'
+                f'{"".join(links)}</head>'
+                '<body><link rel="next" href="doc://888888"></body></html>'
+            )
+            ids.append(d)
+            htmls.append(page.encode("utf-8"))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = docs.map_batches(build, batch_format="pyarrow")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a, b = [], []
+        for d, h in zip(t.column("doc_id").to_pylist(), t.column("html").to_pylist()):
+            rel = head_rel_links(h, rels=("next",))
+            nxt = rel.get("next")
+            if nxt:
+                other = int(nxt.removeprefix("doc://"))
+                a.append(min(d, other))
+                b.append(max(d, other))
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    comps = connected_components(pages.map_batches(to_edges, batch_format="pyarrow"))
+    assigned = assign_clusters(docs, comps)  # singleton tail chains keep own id
+    P = auto_buckets(n_docs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bk", pa.array(((c * np.uint64(2654435761)) % np.uint64(P)).astype(np.int64))
+        )
+
+    def rank_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "chain_id": df["cluster_id"].astype("int64"),
+                "pos": df.groupby("cluster_id").cumcount().astype("int64"),
+            }
+        )
+
+    return bucket_map_groups(
+        assigned.map_batches(tag, batch_format="pyarrow"),
+        "bk",
+        rank_in_bucket,
+        P,
+        batch_format="pandas",
+    )

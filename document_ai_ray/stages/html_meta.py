@@ -307,3 +307,26 @@ def extract_microdata(
         )
 
     return pages_ds.map_batches(batch, batch_format="pyarrow")
+
+
+def head_rel_links(payload: bytes | str, rels: tuple[str, ...] = ("next", "prev")) -> dict[str, str]:
+    """{rel: href} for the requested <link rel=...> relations in the
+    head region — the pagination / alternate / canonical navigation
+    links a crawler follows.  Same tolerant scan + head/body
+    termination as `parse_head_meta` (comments skipped, first
+    occurrence wins)."""
+    text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    want = set(rels)
+    out: dict[str, str] = {}
+    for m in _TAG_RE.finditer(text):
+        if m.group(2) is None:
+            continue
+        closing, name, blob = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        if name == "link" and not closing:
+            a = _attrs(blob)
+            rel = (a.get("rel") or "").lower()
+            if rel in want and rel not in out and a.get("href"):
+                out[rel] = a["href"]
+        elif name == "body" or (closing and name == "head"):
+            break
+    return out

@@ -190,3 +190,21 @@ def test_microdata_unclosed_and_no_item():
     )
     assert md["item_type"] == "T"
     assert md["props"] == {"a": "val"}  # unclosed capture flushed at EOF
+
+
+def test_head_rel_links_decoys_and_termination():
+    from document_ai_ray.stages.html_meta import head_rel_links
+
+    html = (
+        "<html><head>"
+        '<!-- <link rel="next" href="doc://9"> -->'      # comment decoy
+        '<LINK REL="next" HREF="doc://2">'               # case-insensitive
+        '<link rel="prev" href="doc://0">'
+        '<link rel="next" href="doc://7">'               # first wins
+        "</head><body>"
+        '<link rel="next" href="doc://8">'               # body: out of scope
+        "</body></html>"
+    )
+    got = head_rel_links(html)
+    assert got == {"next": "doc://2", "prev": "doc://0"}
+    assert head_rel_links("<head><link rel=canonical href=x></head>") == {}
