@@ -2214,3 +2214,323 @@ def events_mad_by_type(sf_dir: str):
             "mad": pa.array([rnd(mad[g]) for g in types], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit law: fraud/anomaly screening over a monetary
+# column — observed first-significant-digit distribution vs the
+# Benford expectation log10(1 + 1/d), with per-digit chi-square terms.
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS dig
+           FROM orders),
+g AS (SELECT CAST(dig AS BIGINT) AS digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM g)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_freq,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq,
+       ROUND(POWER(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+             / (CAST(total AS DOUBLE) * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS chi2_term
+FROM g CROSS JOIN t
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(sf_dir: str):
+    """First-significant-digit census of o_totalprice vs Benford's law.
+    Digit extraction goes through FLOOR -> integer -> leading decimal
+    digit (exact on doubles; no log10/power ulp risk on either side);
+    the per-batch digit counts ride the combiner, so only <= 9 rows per
+    batch shuffle and the 9-row final computes freq + chi2 terms."""
+    from document_ai_ray.pipelines.ops import partial_group_agg
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def dig(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("o_totalprice").to_numpy(zero_copy_only=False)).astype(np.int64)
+        first = np.array([int(str(v)[0]) for v in x], np.int64)
+        return pa.table({"digit": pa.array(first)})
+
+    counts = partial_group_agg(
+        ds.map_batches(dig, batch_format="pyarrow"), ["digit"], count_alias="n"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("digit").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = float(n.sum())
+        exp = np.log10(1.0 + 1.0 / d)
+        obs = n / total
+        chi2 = (n - total * exp) ** 2 / (total * exp)
+
+        def rnd(a):
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table(
+            {
+                "digit": t.column("digit"),
+                "n": t.column("n"),
+                "obs_freq": pa.array(rnd(obs), pa.float64()),
+                "benford_freq": pa.array(rnd(exp), pa.float64()),
+                "chi2_term": pa.array(rnd(chi2), pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation, tie-aware (average-rank / "rho_b" form —
+# the textbook definition).  Key insight for the distributed shape: a
+# row's average rank is a function of its VALUE alone, so no row
+# identity is needed — build a (value -> 2*avg_rank) map per column
+# with a combiner count + one exclusive-prefix-sum pass, join it back
+# by value, and reduce integer moments.  Doubled average ranks are
+# integers, so every shuffled partial is exact int64 (order-free; no
+# float-summation drift vs the oracle).  Exactness bound: moments stay
+# < 2^63 up to ~1e6 rows per the 4n^3 growth; beyond that the final
+# would need the float path (documented, not hit at test scales).
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH s AS (SELECT 2 * RANK() OVER (ORDER BY l_quantity)
+                  + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS sx,
+                  2 * RANK() OVER (ORDER BY l_extendedprice)
+                  + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS sy
+           FROM lineitem),
+m AS (SELECT COUNT(*) AS n, SUM(sx) AS ssx, SUM(sy) AS ssy,
+             SUM(sx * sx) AS sxx, SUM(sy * sy) AS syy, SUM(sx * sy) AS sxy
+      FROM s)
+SELECT n,
+       ROUND(CAST(n * sxy - ssx * ssy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - ssx * ssx AS DOUBLE))
+                * SQRT(CAST(n * syy - ssy * ssy AS DOUBLE))), 6) AS spearman_rho
+FROM m
+"""
+
+
+@register("spearman_qty_price", oracle=_SPEARMAN_ORACLE)
+def spearman_qty_price(sf_dir: str):
+    """Tie-aware Spearman rho between l_quantity (heavy ties) and
+    l_extendedprice (light ties).  Per column: combiner value-counts ->
+    exclusive prefix sum over the sorted distinct values gives
+    s(v) = 2*avg_rank(v) = 2*cnt_less + cnt + 1 (integer); two hash
+    exchanges join s_x then s_y onto the rows by VALUE; per-bucket
+    int64 moment partials (n, sum s, sum s^2, sum s_x s_y) merge into
+    a one-row final evaluated with exact python ints before the single
+    float division."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        partial_group_agg,
+        with_group_ranks,
+    )
+    from document_ai_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t.column("l_quantity"), "y": t.column("l_extendedprice")})
+
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    P = auto_buckets(base.count())
+
+    def rank_map(col: str):
+        """(value, s=2*avg_rank) dataset for one column."""
+        vc = partial_group_agg(
+            base.select_columns([col]), [col], count_alias="cnt"
+        ).map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow",
+        )
+        ranked = with_group_ranks(vc, "__g", [col], value_col="cnt")
+
+        def emit(t: pa.Table) -> pa.Table:
+            cum = t.column("__cum").to_numpy(zero_copy_only=False)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "v": t.column(col).cast(pa.float64()),
+                    "s": pa.array(2 * cum + cnt + 1, pa.int64()),
+                }
+            )
+
+        return ranked.map_batches(emit, batch_format="pyarrow")
+
+    def bucketed(key: np.ndarray) -> pa.Array:
+        h = np.abs(key.view(np.int64) * np.int64(2654435761)) % P
+        return pa.array(h.astype(np.int64))
+
+    # -- exchange 1: attach s_x by value of x --------------------------------
+    def tag_rows1(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "v": pa.array(x),
+                "y": t.column("y").cast(pa.float64()),
+                "s": pa.array(np.zeros(len(t), np.int64)),
+                "kind": pa.array(np.zeros(len(t), np.int8)),
+                "bk": bucketed(x),
+            }
+        )
+
+    def tag_map1(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "y": pa.array(np.zeros(len(t), np.float64)),
+                "s": t.column("s"),
+                "kind": pa.array(np.ones(len(t), np.int8)),
+                "bk": bucketed(v),
+            }
+        )
+
+    def join1(df):
+        if len(df) == 0:
+            return pd.DataFrame({"y": pd.Series([], dtype="float64"),
+                                 "sx": pd.Series([], dtype="int64")})
+        m = df[df["kind"] == 1]
+        r = df[df["kind"] == 0]
+        out = r.merge(m[["v", "s"]], on="v", how="left", suffixes=("", "_m"))
+        return pd.DataFrame({"y": out["y"].to_numpy(), "sx": out["s_m"].to_numpy().astype("int64")})
+
+    u1 = base.map_batches(tag_rows1, batch_format="pyarrow").union(
+        rank_map("x").map_batches(tag_map1, batch_format="pyarrow")
+    )
+    rows_sx = bucket_map_groups(u1, "bk", join1, n_buckets=P, batch_format="pandas")
+
+    # -- exchange 2: attach s_y by value of y, reduce moment partials --------
+    def tag_rows2(t: pa.Table) -> pa.Table:
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": t.column("y"),
+                "sx": t.column("sx"),
+                "s": pa.array(np.zeros(len(t), np.int64)),
+                "kind": pa.array(np.zeros(len(t), np.int8)),
+                "bk": bucketed(y),
+            }
+        )
+
+    def tag_map2(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "sx": pa.array(np.zeros(len(t), np.int64)),
+                "s": t.column("s"),
+                "kind": pa.array(np.ones(len(t), np.int8)),
+                "bk": bucketed(v),
+            }
+        )
+
+    _M_COLS = ["n", "ssx", "ssy", "sxx", "syy", "sxy"]
+
+    def join2(df):
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in _M_COLS})
+        m = df[df["kind"] == 1]
+        r = df[df["kind"] == 0]
+        out = r.merge(m[["v", "s"]], on="v", how="left", suffixes=("", "_m"))
+        sx = out["sx"].to_numpy().astype(np.int64)
+        sy = out["s_m"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [len(out)],
+                "ssx": [int(sx.sum())],
+                "ssy": [int(sy.sum())],
+                "sxx": [int(np.dot(sx, sx))],
+                "syy": [int(np.dot(sy, sy))],
+                "sxy": [int(np.dot(sx, sy))],
+            }
+        )
+
+    u2 = rows_sx.map_batches(tag_rows2, batch_format="pyarrow").union(
+        rank_map("y").map_batches(tag_map2, batch_format="pyarrow")
+    )
+    parts = bucket_map_groups(u2, "bk", join2, n_buckets=P, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n, ssx, ssy, sxx, syy, sxy = (
+            int(t.column(c).to_numpy(zero_copy_only=False).sum()) for c in _M_COLS
+        )
+        num = float(n * sxy - ssx * ssy)  # exact python-int, then one cast
+        den = float(np.sqrt(float(n * sxx - ssx * ssx))) * float(
+            np.sqrt(float(n * syy - ssy * ssy))
+        )
+        rho = num / den
+        rho = float(np.copysign(np.floor(abs(rho) * 1e6 + 0.5), rho) / 1e6)
+        return pa.table({"n": pa.array([n], pa.int64()), "spearman_rho": pa.array([rho], pa.float64())})
+
+    return parts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user runs of consecutive ACTIVE DAYS, reported
+# as an island-length histogram (streaks analysis).
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS isl
+      FROM d),
+i AS (SELECT user_id, isl, COUNT(*) AS island_len FROM r GROUP BY 1, 2)
+SELECT island_len, COUNT(*) AS n_islands FROM i GROUP BY 1
+"""
+
+
+@register("events_gaps_islands", oracle=_ISLANDS_ORACLE)
+def events_gaps_islands(sf_dir: str):
+    """Consecutive-active-day streaks per user (the gaps-and-islands
+    pattern), reduced to an island-length histogram.  Per-batch local
+    (user, day) dedup cuts the exchange volume, then one hash(user)
+    exchange finishes the dedup and runs the day - row_number island
+    derivation per user; only per-bucket histogram partials shuffle to
+    the final merge."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        key = np.stack([u, day], axis=1)
+        uniq = np.unique(key, axis=0)
+        bk = (uniq[:, 0].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0]),
+                "day": pa.array(uniq[:, 1]),
+                "bk": pa.array(bk.astype(np.int64)),
+            }
+        )
+
+    P = auto_buckets(ev.count())
+
+    def islands(df):
+        if len(df) == 0:
+            return pd.DataFrame({"island_len": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        isl = df["day"].to_numpy() - df.groupby("user_id").cumcount().to_numpy()
+        sizes = pd.DataFrame({"u": df["user_id"].to_numpy(), "i": isl}).groupby(["u", "i"]).size()
+        hist = sizes.value_counts()
+        return pd.DataFrame({"island_len": hist.index.astype("int64"), "n": hist.to_numpy()})
+
+    parts = bucket_map_groups(
+        ev.map_batches(days, batch_format="pyarrow"), "bk", islands,
+        n_buckets=P, batch_format="pandas",
+    )
+    merged = merge_partials(parts, ["island_len"], {"n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"island_len": t.column("island_len"), "n_islands": t.column("n")})
+
+    return merged.map_batches(rename, batch_format="pyarrow")

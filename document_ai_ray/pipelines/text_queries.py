@@ -2765,3 +2765,72 @@ def doc_length_quantiles(sf_dir: str):
             "n_docs": pa.array([n], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of document length per source — inequality of the
+# length distribution (a skew/imbalance lens for corpus datasheets).
+# Ordinal ranks are tie-order-invariant here: within a tie group the
+# x values are equal, so sum(rank * x) over the group is fixed no
+# matter how the tie is ordered — no tiebreak convention needed for
+# the VALUE, but (n_chars, doc_id) keeps the rank itself deterministic.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH r AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+           FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(2.0 * CAST(SUM(rk * n_chars) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE))
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+FROM r GROUP BY source
+"""
+
+
+@register("gini_doc_length_by_source", oracle=_GINI_ORACLE)
+def gini_doc_length_by_source(sf_dir: str):
+    """Per-source Gini of n_chars via the rank-sum identity
+    G = 2*sum(r_i x_i)/(n*sum(x)) - (n+1)/n: one distributed rank
+    substrate pass, then combiner partials of (sum r*x, sum x, count)
+    per source — the final sees one row per source."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg, with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    ranked = with_group_ranks(docs, "source", ["n_chars", "doc_id"])
+
+    def terms(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False) + 1
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "rx": pa.array((r * x).astype(np.int64)),
+                "x": pa.array(x.astype(np.int64)),
+            }
+        )
+
+    agg = partial_group_agg(
+        ranked.map_batches(terms, batch_format="pyarrow"),
+        ["source"],
+        {"rx": "srx", "x": "sx"},
+        count_alias="n_docs",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        srx = t.column("srx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = 2.0 * srx / (n * sx) - (n + 1.0) / n
+        g = np.copysign(np.floor(np.abs(g) * 1e6 + 0.5), g) / 1e6
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("n_docs"),
+                "gini": pa.array(g, pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -451,3 +451,76 @@ def test_source_reports_mass_and_rank(sf_tiny):
     assert sorted(q["quality_rank"]) == list(range(1, len(q) + 1))
     top = q.loc[q["quality_rank"] == 1, "mean_quality"].iloc[0]
     assert top == q["mean_quality"].max()
+
+
+def test_benford_first_digit(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["benford_first_digit"](sf_tiny).to_pandas()
+    n_orders = read_table(sf_tiny, "orders", columns=["o_orderkey"]).count()
+    assert out["n"].sum() == n_orders
+    assert set(out["digit"]) <= set(range(1, 10))
+    assert abs(out["obs_freq"].sum() - 1.0) < 1e-4
+    for r in out.itertuples():
+        assert abs(r.benford_freq - np.log10(1 + 1 / r.digit)) < 1e-6
+
+
+def test_spearman_matches_pandas_reference(sf_tiny):
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["spearman_qty_price"](sf_tiny).to_pandas()
+    li = read_table(sf_tiny, "lineitem", columns=["l_quantity", "l_extendedprice"]).to_pandas()
+    import numpy as np
+
+    rx = li["l_quantity"].rank(method="average").to_numpy()
+    ry = li["l_extendedprice"].rank(method="average").to_numpy()
+    ref = float(np.corrcoef(rx, ry)[0, 1])
+    assert out["n"].iloc[0] == len(li)
+    assert abs(out["spearman_rho"].iloc[0] - ref) < 1e-6
+
+
+def test_gaps_islands_reference(sf_tiny):
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = (
+        registry.queries()["events_gaps_islands"](sf_tiny)
+        .to_pandas()
+        .sort_values("island_len")
+        .reset_index(drop=True)
+    )
+    ev = read_table(sf_tiny, "events", columns=["user_id", "ts"]).to_pandas()
+    d = pd.DataFrame(
+        {"u": ev["user_id"], "day": ev["ts"].astype("int64") // (86400 * 10**6)}
+    ).drop_duplicates().sort_values(["u", "day"])
+    isl = d["day"].to_numpy() - d.groupby("u").cumcount().to_numpy()
+    sizes = pd.DataFrame({"u": d["u"].to_numpy(), "i": isl}).groupby(["u", "i"]).size()
+    ref = sizes.value_counts().sort_index()
+    assert out["island_len"].tolist() == ref.index.tolist()
+    assert out["n_islands"].tolist() == ref.tolist()
+    assert (out["island_len"] * out["n_islands"]).sum() == len(d)
+
+
+def test_gini_by_source_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["gini_doc_length_by_source"](sf_tiny).to_pandas()
+    docs = read_table(sf_tiny, "documents", columns=["source", "n_chars"]).to_pandas()
+    assert ((out["gini"] >= 0) & (out["gini"] < 1)).all()
+    for r in out.itertuples():
+        x = np.sort(docs.loc[docs["source"] == r.source, "n_chars"].to_numpy())
+        n = len(x)
+        ref = 2.0 * np.sum((np.arange(1, n + 1)) * x) / (n * x.sum()) - (n + 1.0) / n
+        assert abs(r.gini - ref) < 1e-6
+        assert r.n_docs == n
