@@ -1166,3 +1166,94 @@ def pagination_chains(sf_dir: str):
         P,
         batch_format="pandas",
     )
+
+
+# -- Host co-citation ------------------------------------------------------
+
+_COCITATION_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> '')
+SELECT a.src AS host_a, b.src AS host_b, COUNT(*) AS n_common
+FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+@register("host_cocitation_pairs", oracle=_COCITATION_ORACLE)
+def host_cocitation_pairs(sf_dir: str):
+    """Co-citation strength between source hosts: for every unordered
+    host pair, the number of DISTINCT destination hosts both link to —
+    the classic related-site signal (two sites are similar if the web
+    cites them onto the same targets).  Shape: real-HTML edge
+    extraction -> distinct edges -> one hash(dst) exchange (every edge
+    of a destination lands in one bucket, so the pair expansion is a
+    bucket-local self-merge) -> per-bucket (host_a, host_b) partial
+    counts ride the combiner.  Pair cardinality is bounded by the
+    source-host vocabulary, never by the edge count."""
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        distinct_rows,
+        merge_partials,
+    )
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = distinct_rows(
+        links.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"]
+    )
+    P = auto_buckets(edges.count())
+
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        bk = [stable64(d) % P for d in t.column("dst").to_pylist()]
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"host_a": pd.Series([], dtype="object"),
+                 "host_b": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        m = df.merge(df, on="dst")
+        m = m[m["src_x"] < m["src_y"]]
+        g = m.groupby(["src_x", "src_y"], as_index=False).size()
+        return pd.DataFrame(
+            {"host_a": g["src_x"], "host_b": g["src_y"], "n": g["size"].astype("int64")}
+        )
+
+    parts = bucket_map_groups(
+        edges.map_batches(dst_bucket, batch_format="pyarrow"),
+        "bk",
+        pairs_in_bucket,
+        P,
+        batch_format="pandas",
+    )
+    merged = merge_partials(parts, ["host_a", "host_b"], {"n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host_a": t.column("host_a"),
+                "host_b": t.column("host_b"),
+                "n_common": t.column("n"),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")

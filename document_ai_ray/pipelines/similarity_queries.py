@@ -494,3 +494,141 @@ def embedding_norm_stats(sf_dir: str):
         return round_cols(out, {"min_norm": 6, "max_norm": 6, "avg_norm": 4})
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- Hybrid retrieval: dense cosine + lexical Jaccard fused by RRF --------
+
+_HY_Q = 4       # query docs (vec_id == doc_id < _HY_Q)
+_HY_TOPN = 50   # per-system candidate list depth
+_HY_K = 10      # fused results per query
+
+_HYBRID_ORACLE = f"""
+WITH qd AS (SELECT d.doc_id AS qid,
+                   list_distinct(list_filter(string_split(d.text, ' '), x -> x != '')) AS qws,
+                   e.embedding AS qemb
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.doc_id < {_HY_Q}),
+cand AS (SELECT doc_id,
+                list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ws
+         FROM documents),
+lex AS (SELECT qid, c.doc_id AS nid,
+               CAST(len(list_intersect(qws, ws)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(qws, ws))) AS DOUBLE) AS jac
+        FROM qd JOIN cand c ON c.doc_id != qid),
+lexr AS (SELECT qid, nid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac DESC, nid) AS r
+         FROM lex WHERE jac > 0 QUALIFY r <= {_HY_TOPN}),
+den AS (SELECT qd.qid, t.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY qd.qid
+                                  ORDER BY list_cosine_similarity(qd.qemb, t.embedding) DESC,
+                                           t.vec_id) AS r
+        FROM qd JOIN embeddings t ON t.vec_id != qd.qid
+        QUALIFY r <= {_HY_TOPN}),
+f AS (SELECT COALESCE(lexr.qid, den.qid) AS query_id,
+             COALESCE(lexr.nid, den.nid) AS neighbor_id,
+             COALESCE(1.0 / (60.0 + lexr.r), 0.0) + COALESCE(1.0 / (60.0 + den.r), 0.0) AS rrf
+      FROM lexr FULL OUTER JOIN den ON lexr.qid = den.qid AND lexr.nid = den.nid)
+SELECT query_id, neighbor_id, ROUND(rrf, 6) AS rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS BIGINT)
+       AS rrf_rank
+FROM f QUALIFY rrf_rank <= {_HY_K}
+"""
+
+
+@register("hybrid_search_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_search_rrf(sf_dir: str):
+    """Hybrid retrieval, the standard RAG fusion: a DENSE ranking
+    (brute-force cosine over embeddings, the proven `knn_bruteforce`
+    ordering) and a LEXICAL ranking (distinct-word-set Jaccard against
+    the query doc, zero-overlap candidates dropped), each truncated to
+    top-{0} per query, fused by reciprocal-rank fusion
+    score = sum 1/(60+rank) over the systems that retrieved the
+    candidate, top-{1} per query.  Shape: the dense half is one
+    broadcast-matmul scan; the lexical half is one scan with per-batch
+    per-query local top-k into a bucketless grouped-topk final (both
+    candidate lists are Q x top-N rows); the fuse itself touches only
+    those tiny lists.  RRF terms are two fixed-order additions of
+    exactly-representable reciprocals, so the fused score is
+    bit-identical to the oracle's.""".format(_HY_TOPN, _HY_K)
+    import pandas as pd
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import grouped_topk
+    from document_ai_ray.stages.similarity import _to_matrix, knn_bruteforce
+
+    # tiny query-side state: Q embeddings + Q distinct word sets
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    keep = emb.column("vec_id").to_numpy() < _HY_Q
+    sub = emb.filter(pa.array(keep))
+    q_ids = sub.column("vec_id").to_numpy().tolist()
+    q_mat = _to_matrix(sub.column("embedding"))
+    qdocs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    qkeep = qdocs.column("doc_id").to_numpy() < _HY_Q
+    qsub = qdocs.filter(pa.array(qkeep))
+    q_sets = {
+        int(i): set(tx.split(" ")) - {""}
+        for i, tx in zip(qsub.column("doc_id").to_pylist(), qsub.column("text").to_pylist())
+    }
+
+    # dense half — knn_bruteforce emits (query_id, neighbor_id, rank)
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dense = knn_bruteforce(vecs, q_ids, q_mat, k=_HY_TOPN).to_pandas()
+
+    # lexical half — one scan, per-batch jaccard vs each query set
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def jac_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_q, out_n, out_j = [], [], []
+        for nid, tx in zip(ids, texts):
+            ws = set(tx.split(" ")) - {""}
+            for qid, qws in q_sets.items():
+                if nid == qid:
+                    continue
+                inter = len(qws & ws)
+                if inter == 0:
+                    continue
+                j = float(inter) / float(len(qws | ws))
+                out_q.append(qid)
+                out_n.append(nid)
+                out_j.append(j)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "jac": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    lex = grouped_topk(
+        docs.map_batches(jac_batch, batch_format="pyarrow"),
+        ["qid"],
+        [("jac", False), ("nid", True)],
+        _HY_TOPN,
+    ).to_pandas()
+
+    # fuse — everything below is Q x top-N sized
+    lex = lex.sort_values(["qid", "jac", "nid"], ascending=[True, False, True])
+    lex["r"] = lex.groupby("qid").cumcount() + 1
+    both = pd.merge(
+        lex[["qid", "nid", "r"]].rename(columns={"qid": "query_id", "nid": "neighbor_id", "r": "rl"}),
+        dense[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rd"}),
+        on=["query_id", "neighbor_id"],
+        how="outer",
+    )
+    lt = np.where(both["rl"].notna(), 1.0 / (60.0 + both["rl"].fillna(0.0)), 0.0)
+    dt = np.where(both["rd"].notna(), 1.0 / (60.0 + both["rd"].fillna(0.0)), 0.0)
+    both["rrf"] = lt + dt
+    both = both.sort_values(["query_id", "rrf", "neighbor_id"], ascending=[True, False, True])
+    both["rrf_rank"] = both.groupby("query_id").cumcount() + 1
+    both = both[both["rrf_rank"] <= _HY_K]
+    rrf = both["rrf"].to_numpy()
+    return pa.table(
+        {
+            "query_id": pa.array(both["query_id"].to_numpy().astype(np.int64)),
+            "neighbor_id": pa.array(both["neighbor_id"].to_numpy().astype(np.int64)),
+            "rrf_score": pa.array(np.copysign(np.floor(np.abs(rrf) * 1e6 + 0.5), rrf) / 1e6),
+            "rrf_rank": pa.array(both["rrf_rank"].to_numpy().astype(np.int64)),
+        }
+    )

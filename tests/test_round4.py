@@ -524,3 +524,33 @@ def test_gini_by_source_reference(sf_tiny):
         ref = 2.0 * np.sum((np.arange(1, n + 1)) * x) / (n * x.sum()) - (n + 1.0) / n
         assert abs(r.gini - ref) < 1e-6
         assert r.n_docs == n
+
+
+def test_hybrid_search_rrf_structure(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.pipelines.similarity_queries import _HY_K, _HY_Q
+
+    out = registry.queries()["hybrid_search_rrf"](sf_tiny).to_pandas()
+    assert set(out["query_id"]) == set(range(_HY_Q))
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rrf_rank")
+        assert g["rrf_rank"].tolist() == list(range(1, _HY_K + 1))
+        assert (g["rrf_score"].diff().dropna() <= 1e-12).all()  # non-increasing
+        assert (g["neighbor_id"] != qid).all()
+    # every fused score is the sum of at most two RRF terms of rank >= 1
+    assert (out["rrf_score"] <= 2.0 / 61.0 + 1e-9).all()
+    assert (out["rrf_score"] > 0).all()
+
+
+def test_host_cocitation_pairs(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["host_cocitation_pairs"](sf_tiny).to_pandas()
+    assert (out["host_a"] < out["host_b"]).all()
+    assert (out["n_common"] >= 1).all()
+    n_sources = (
+        read_table(sf_tiny, "documents", columns=["source"]).to_pandas()["source"].nunique()
+    )
+    assert len(out) <= n_sources * (n_sources - 1) // 2
+    assert out.duplicated(["host_a", "host_b"]).sum() == 0
