@@ -2534,3 +2534,325 @@ def events_gaps_islands(sf_dir: str):
         return pa.table({"island_len": t.column("island_len"), "n_islands": t.column("n")})
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis: frequent part PAIRS (A-priori level 2) with
+# lift, over orders-as-baskets.  Pair expansion is bounded by
+# lines-per-order (~7 -> <= 21 pairs/order), never by the part vocab.
+# ---------------------------------------------------------------------------
+
+_BASKET_MINSUP = 3
+
+_BASKET_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+item AS (SELECT pk, COUNT(*) AS cnt FROM lp GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM lp)
+SELECT part_a, part_b, support,
+       ROUND(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift
+FROM pairs JOIN item ia ON ia.pk = part_a JOIN item ib ON ib.pk = part_b CROSS JOIN n
+WHERE support >= {_BASKET_MINSUP}
+"""
+
+
+@register("frequent_part_pairs", oracle=_BASKET_ORACLE)
+def frequent_part_pairs(sf_dir: str):
+    """Frequent co-purchased part pairs with lift.  Shape: per-batch
+    (order, part) dedup partials -> hash(order) exchange finishes the
+    dedup (batch-local dedup alone is NOT global: an order spanning two
+    batches would double-count) and generates each basket's sorted
+    pairs bucket-locally, emitting item-support marker rows from the
+    same pass -> hash(pair) combiner merge + support filter.  The lift
+    join touches only surviving pairs; item supports are part-catalog
+    sized (bounded by the part vocabulary, not the fact table)."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n_rows = li.count()
+    P = auto_buckets(n_rows)
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        bk = (uniq[:, 0].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {
+                "ok": pa.array(uniq[:, 0]),
+                "pk": pa.array(uniq[:, 1]),
+                "bk": pa.array(bk.astype(np.int64)),
+            }
+        )
+
+    # consumed twice (pair exchange + n_orders) — materialize once
+    deduped = li.map_batches(local_dedup, batch_format="pyarrow").materialize()
+
+    _P_COLS = {"part_a": "int64", "part_b": "int64", "n": "int64", "bk2": "int64"}
+
+    def basket_pairs(df):
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _P_COLS.items()})
+        df = df.drop_duplicates(["ok", "pk"])  # global: all of an order is here
+        m = df.merge(df, on="ok")
+        m = m[m["pk_x"] < m["pk_y"]]
+        g = m.groupby(["pk_x", "pk_y"], as_index=False).size()
+        pa_, pb = g["pk_x"].to_numpy(), g["pk_y"].to_numpy()
+        bk2 = ((pa_.astype(np.uint64) * np.uint64(1000003) + pb.astype(np.uint64))
+               * np.uint64(2654435761)) % np.uint64(P)
+        pairs = pd.DataFrame(
+            {"part_a": pa_, "part_b": pb, "n": g["size"].astype("int64"),
+             "bk2": bk2.astype("int64")}
+        )
+        # item-support markers (part_b = -1): distinct orders per part,
+        # exact because the (ok, pk) dedup above is global per order
+        gi = df.groupby("pk", as_index=False).size()
+        ipk = gi["pk"].to_numpy()
+        ibk = (ipk.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        items = pd.DataFrame(
+            {"part_a": ipk, "part_b": np.full(len(gi), -1, np.int64),
+             "n": gi["size"].astype("int64"), "bk2": ibk.astype("int64")}
+        )
+        return pd.concat([pairs, items], ignore_index=True)
+
+    pair_parts = bucket_map_groups(deduped, "bk", basket_pairs, P, batch_format="pandas")
+
+    def merge_pairs(df):
+        cols = {"part_a": "int64", "part_b": "int64", "support": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = df.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        keep = (g["part_b"] == -1) | (g["n"] >= _BASKET_MINSUP)
+        g = g[keep]
+        return pd.DataFrame(
+            {"part_a": g["part_a"], "part_b": g["part_b"], "support": g["n"].astype("int64")}
+        )
+
+    merged = bucket_map_groups(pair_parts, "bk2", merge_pairs, P, batch_format="pandas")
+    out = merged.to_pandas()  # surviving pairs + part-catalog-sized item rows
+    surv = out[out["part_b"] != -1]
+    item_cnt = dict(
+        zip(out.loc[out["part_b"] == -1, "part_a"], out.loc[out["part_b"] == -1, "support"])
+    )
+    n_orders = merge_partials(
+        deduped.map_batches(
+            lambda t: pa.table(
+                {"ok": t.column("ok"), "one": pa.array(np.ones(len(t), np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["ok"],
+        {"one": "sum"},
+    ).count()
+
+    if len(surv) == 0:
+        return pa.table(
+            {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64()),
+             "support": pa.array([], pa.int64()), "lift": pa.array([], pa.float64())}
+        )
+    ca = surv["part_a"].map(item_cnt).to_numpy(dtype=np.float64)
+    cb = surv["part_b"].map(item_cnt).to_numpy(dtype=np.float64)
+    lift = surv["support"].to_numpy(dtype=np.float64) * float(n_orders) / (ca * cb)
+    lift = np.copysign(np.floor(np.abs(lift) * 1e6 + 0.5), lift) / 1e6
+    return pa.table(
+        {
+            "part_a": pa.array(surv["part_a"].to_numpy().astype(np.int64)),
+            "part_b": pa.array(surv["part_b"].to_numpy().astype(np.int64)),
+            "support": pa.array(surv["support"].to_numpy().astype(np.int64)),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: customers not dominated on
+# (avg order value, n_orders), both maximized — the two axes genuinely
+# trade off (few large orders vs many small ones), so the frontier is
+# a real curve, not a single point.  Distributed shape: local
+# per-block skylines (a dominated point is dominated globally, so
+# block-local pruning is lossless), then one small final skyline over
+# the surviving candidates.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH c AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                  SUM(o_totalprice) / COUNT(*) AS avg_spend
+           FROM orders GROUP BY 1)
+SELECT custkey, n_orders, ROUND(avg_spend, 2) AS avg_spend
+FROM c a
+WHERE NOT EXISTS (SELECT 1 FROM c b
+                  WHERE b.n_orders >= a.n_orders AND b.avg_spend >= a.avg_spend
+                    AND (b.n_orders > a.n_orders OR b.avg_spend > a.avg_spend))
+"""
+
+
+def _skyline2_mask(spend: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D max-max skyline via one sort-scan.
+    A point survives iff its n exceeds every n at STRICTLY greater
+    spend, and equals the max n within its own equal-spend group
+    (full duplicates all survive — neither strictly dominates)."""
+    order = np.lexsort((-n, -spend))
+    s_s, n_s = spend[order], n[order]
+    grp = np.concatenate(([0], np.cumsum(s_s[1:] != s_s[:-1])))
+    starts = np.concatenate(([0], np.nonzero(s_s[1:] != s_s[:-1])[0] + 1))
+    gmax = n_s[starts]  # secondary sort is n desc -> first of group is max
+    run_excl = np.concatenate(([-np.inf], np.maximum.accumulate(gmax)[:-1]))
+    keep_sorted = (n_s == gmax[grp]) & (n_s > run_excl[grp])
+    keep = np.zeros(len(spend), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+@register("skyline_customers", oracle=_SKYLINE_ORACLE)
+def skyline_customers(sf_dir: str):
+    """Pareto-optimal customers on (avg_spend, n_orders).  The
+    per-customer rollup rides the combiner; each block then prunes to
+    its local skyline with the O(k log k) sort-scan (lossless: local
+    dominance implies global dominance), and the one-task final runs
+    the same scan over the few surviving candidates."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("o_totalprice", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g.column("o_custkey"), g.column("o_totalprice_sum"), g.column("count_all")],
+            names=["custkey", "spend", "n"],
+        )
+
+    per_cust = merge_partials(
+        orders.map_batches(partial, batch_format="pyarrow"), ["custkey"], {"spend": "sum", "n": "sum"}
+    )
+
+    def _avg(t: pa.Table) -> np.ndarray:
+        return t.column("spend").to_numpy(zero_copy_only=False) / t.column("n").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keep = _skyline2_mask(
+            _avg(t), t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return t.filter(pa.array(keep))
+
+    def finish(t: pa.Table) -> pa.Table:
+        av = _avg(t)
+        keep = _skyline2_mask(
+            av, t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        t, av = t.filter(pa.array(keep)), av[keep]
+        av = np.copysign(np.floor(np.abs(av) * 100 + 0.5), av) / 100
+        return pa.table(
+            {
+                "custkey": t.column("custkey"),
+                "n_orders": t.column("n"),
+                "avg_spend": pa.array(av, pa.float64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B analysis: Welch's unequal-variance t-test between the two halves
+# of a deterministic user split (user_id parity) over event values —
+# the experiment-readout primitive.
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH g AS (SELECT user_id % 2 AS grp, COUNT(*) AS n, SUM(value) AS s,
+                  SUM(value * value) AS ss
+           FROM events GROUP BY 1),
+a AS (SELECT CAST(n AS DOUBLE) AS n, s, ss FROM g WHERE grp = 0),
+b AS (SELECT CAST(n AS DOUBLE) AS n, s, ss FROM g WHERE grp = 1),
+v AS (SELECT a.n AS na, b.n AS nb, a.s / a.n AS ma, b.s / b.n AS mb,
+             (a.ss - a.s * a.s / a.n) / (a.n - 1.0) AS va,
+             (b.ss - b.s * b.s / b.n) / (b.n - 1.0) AS vb
+      FROM a CROSS JOIN b)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+       ROUND(POWER(va / na + vb / nb, 2)
+             / (POWER(va / na, 2) / (na - 1.0) + POWER(vb / nb, 2) / (nb - 1.0)), 6)
+       AS welch_df
+FROM v
+"""
+
+
+@register("events_ab_welch", oracle=_WELCH_ORACLE)
+def events_ab_welch(sf_dir: str):
+    """Welch's t between the user_id%2 split of event values: one
+    combiner pass of (n, sum, sum of squares) per arm, all statistics
+    derived in the two-row final with the oracle's exact float
+    associativity (the cross-engine partial-sum drift class already
+    accepted for corr_price_qty applies)."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t.column("user_id").to_numpy(zero_copy_only=False) % 2
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        rows = {"grp": [], "n": [], "s": [], "ss": []}
+        for g in (0, 1):
+            m = grp == g
+            rows["grp"].append(g)
+            rows["n"].append(int(m.sum()))
+            rows["s"].append(float(v[m].sum()))
+            rows["ss"].append(float(np.dot(v[m], v[m])))
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array(rows["s"], pa.float64()),
+                "ss": pa.array(rows["ss"], pa.float64()),
+            }
+        )
+
+    agg = merge_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["grp"], {"n": "sum", "s": "sum", "ss": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = {int(g): i for i, g in enumerate(t.column("grp").to_pylist())}
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        na, nb = float(n[d[0]]), float(n[d[1]])
+        sa, sb = s[d[0]], s[d[1]]
+        ssa, ssb = ss[d[0]], ss[d[1]]
+        ma, mb = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1.0)
+        vb = (ssb - sb * sb / nb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        t_stat = (ma - mb) / np.sqrt(se2)
+        wdf = se2**2 / ((va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0))
+
+        def rnd(x):
+            return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x) / 1e6)
+
+        return pa.table(
+            {
+                "n_a": pa.array([int(na)], pa.int64()),
+                "n_b": pa.array([int(nb)], pa.int64()),
+                "mean_a": pa.array([rnd(ma)], pa.float64()),
+                "mean_b": pa.array([rnd(mb)], pa.float64()),
+                "t_stat": pa.array([rnd(t_stat)], pa.float64()),
+                "welch_df": pa.array([rnd(wdf)], pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

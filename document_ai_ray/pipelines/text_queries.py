@@ -2834,3 +2834,91 @@ def gini_doc_length_by_source(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary KL divergence to the corpus, term by term —
+# the domain-shift lens: which sources skew which of the top words.
+# Emitting PER-TERM contributions (not the summed divergence) keeps
+# the comparison free of cross-term float-summation order (the PMI
+# precedent: round each log term, never sum unrounded logs across an
+# engine boundary).
+# ---------------------------------------------------------------------------
+
+_KL_TOP = 50
+
+_KL_ORACLE = f"""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT source, word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1, 2),
+gw AS (SELECT word, SUM(n) AS gn FROM c GROUP BY 1),
+top AS (SELECT word, gn FROM gw ORDER BY gn DESC, word LIMIT {_KL_TOP}),
+tw AS (SELECT CAST(SUM(gn) AS DOUBLE) AS gtot FROM top),
+sc AS (SELECT c.source, c.word, c.n, top.gn FROM c JOIN top USING (word)),
+st AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS stot FROM sc GROUP BY 1)
+SELECT sc.source, sc.word,
+       ROUND((CAST(sc.n AS DOUBLE) / st.stot)
+             * LN((CAST(sc.n AS DOUBLE) / st.stot) / (CAST(sc.gn AS DOUBLE) / gtot)), 6)
+       AS kl_term
+FROM sc JOIN st USING (source) CROSS JOIN tw
+"""
+
+
+@register("source_vocab_kl", oracle=_KL_ORACLE)
+def source_vocab_kl(sf_dir: str):
+    """KL(source ‖ corpus) contributions over the top-{0} global words
+    (both distributions renormalized within that word set).  Shape:
+    the exact heavy-hitter pass supplies the word set and global
+    counts; one pyarrow-kernel scan counts (source, word in W) pairs
+    into a low-cardinality combiner ({0} x n_sources keys); the final
+    computes each p·ln(p/q) term on one task.""".format(_KL_TOP)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    top = vocab_top_words(sf_dir).to_pandas().head(_KL_TOP)
+    gcnt = dict(zip(top["word"], top["n"].astype("int64")))
+    gtot = float(top["n"].sum())
+    wset = pa.array(sorted(gcnt), pa.string())
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs, words, ns = [], [], []
+        for s in pc.unique(t.column("source")).to_pylist():
+            sub = t.filter(pc.equal(t.column("source"), s))
+            vc = word_value_counts(sub.column("text"))
+            vc = vc.filter(pc.is_in(vc.column("word"), value_set=wset))
+            k = len(vc)
+            srcs.extend([s] * k)
+            words.extend(vc.column("word").to_pylist())
+            ns.extend(vc.column("n").to_pylist())
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    agg = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"), ["source", "word"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        stot = df.groupby("source")["n"].transform("sum").astype("float64")
+        p = df["n"].astype("float64") / stot
+        q = df["word"].map(gcnt).astype("float64") / gtot
+        term = (p * np.log(p / q)).to_numpy()
+        term = np.copysign(np.floor(np.abs(term) * 1e6 + 0.5), term) / 1e6
+        return pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "word": pa.array(df["word"], pa.string()),
+                "kl_term": pa.array(term, pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -554,3 +554,77 @@ def test_host_cocitation_pairs(sf_tiny):
     )
     assert len(out) <= n_sources * (n_sources - 1) // 2
     assert out.duplicated(["host_a", "host_b"]).sum() == 0
+
+
+def test_frequent_pairs_support_and_lift(sf_tiny):
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.pipelines.analytics import _BASKET_MINSUP
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["frequent_part_pairs"](sf_tiny).to_pandas()
+    assert (out["support"] >= _BASKET_MINSUP).all()
+    assert (out["part_a"] < out["part_b"]).all()
+    # reference recompute of one pair's support from the raw table
+    li = read_table(sf_tiny, "lineitem", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    lp = li.drop_duplicates()
+    r = out.iloc[0]
+    oa = set(lp.loc[lp["l_partkey"] == r.part_a, "l_orderkey"])
+    ob = set(lp.loc[lp["l_partkey"] == r.part_b, "l_orderkey"])
+    assert len(oa & ob) == r.support
+    n_orders = lp["l_orderkey"].nunique()
+    want_lift = r.support * n_orders / (len(oa) * len(ob))
+    assert abs(r.lift - want_lift) < 1e-5
+
+
+def test_skyline_is_nondominated_and_complete(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["skyline_customers"](sf_tiny).to_pandas()
+    orders = read_table(sf_tiny, "orders", columns=["o_custkey", "o_totalprice"]).to_pandas()
+    c = orders.groupby("o_custkey").agg(n=("o_totalprice", "size"), s=("o_totalprice", "sum"))
+    c["avg"] = c["s"] / c["n"]
+    # brute-force O(n^2) dominance reference on the UNROUNDED values
+    import numpy as np
+
+    av = c["avg"].to_numpy()
+    nn = c["n"].to_numpy()
+    dom = (
+        (nn[None, :] >= nn[:, None])
+        & (av[None, :] >= av[:, None])
+        & ((nn[None, :] > nn[:, None]) | (av[None, :] > av[:, None]))
+    ).any(axis=1)
+    assert set(out["custkey"]) == set(c.index[~dom])
+
+
+def test_welch_ttest_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_ab_welch"](sf_tiny).to_pandas().iloc[0]
+    ev = read_table(sf_tiny, "events", columns=["user_id", "value"]).to_pandas()
+    a = ev.loc[ev["user_id"] % 2 == 0, "value"].to_numpy()
+    b = ev.loc[ev["user_id"] % 2 == 1, "value"].to_numpy()
+    assert out.n_a == len(a) and out.n_b == len(b)
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+    assert abs(out.t_stat - t_ref) < 1e-4
+    df_ref = se2**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(out.welch_df - df_ref) < 1e-2
+
+
+def test_source_vocab_kl_properties(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["source_vocab_kl"](sf_tiny).to_pandas()
+    # per-source sum of KL terms is the (renormalized) divergence: >= ~0
+    per_src = out.groupby("source")["kl_term"].sum()
+    assert (per_src >= -1e-4).all()  # Gibbs inequality (rounding slack)
+    assert out.duplicated(["source", "word"]).sum() == 0
