@@ -1225,3 +1225,155 @@ def mixture_downsample_uniform(sf_dir: str):
         return t.filter(pa.array(mask))
 
     return tok.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Adaptive re-crawl scheduling (Nutch AdaptiveFetchSchedule shape):
+# the snapshot diff drives per-page fetch intervals — changed pages
+# get re-fetched sooner, stable pages back off, removed pages leave
+# the schedule.  All-integer policy arithmetic.
+# ---------------------------------------------------------------------------
+
+_RECRAWL_ORACLE = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 2 THEN text || ' updated' ELSE text END AS text
+        FROM documents WHERE doc_id % 13 != 5),
+d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text = n.text THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id, status,
+       CASE status WHEN 'changed' THEN 3 WHEN 'added' THEN 7 ELSE 10 END
+       AS next_fetch_days
+FROM d WHERE status != 'removed'
+"""
+
+
+@register("adaptive_recrawl_schedule", oracle=_RECRAWL_ORACLE)
+def adaptive_recrawl_schedule(sf_dir: str):
+    """Per-page re-fetch intervals from the two-snapshot content diff:
+    changed -> 3 days, newly discovered -> 7, stable -> 10, removed ->
+    off the schedule.  Rides the proven snapshot_content_diff census
+    (hash(doc_id)-bucketed md5 exchange); the policy map is one
+    stateless vectorized pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    diff = snapshot_content_diff(sf_dir)
+
+    def policy(t: pa.Table) -> pa.Table:
+        st = np.asarray(t.column("status").to_pylist(), dtype=object)
+        keep = st != "removed"
+        st_k = st[keep]
+        days = np.where(st_k == "changed", 3, np.where(st_k == "added", 7, 10))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "status": pa.array(st_k, pa.string()),
+                "next_fetch_days": pa.array(days.astype(np.int64)),
+            }
+        )
+
+    return diff.map_batches(policy, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Crawl politeness scheduling: per-host fetch slots with a per-host
+# crawl delay — URL k of a host fetches at slot k * delay(host).
+# ---------------------------------------------------------------------------
+
+_POLITE_ORACLE = """
+WITH urls AS (
+  SELECT 'https://site' || CAST(i % 37 AS VARCHAR) || '.example/' ||
+         CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                    WHEN 3 THEN 'es' ELSE 'it' END ||
+         '/page' || CAST(i AS VARCHAR) AS url
+  FROM range(300) t(i)
+),
+h AS (SELECT url, split_part(replace(url, 'https://', ''), '/', 1) AS host FROM urls),
+r AS (SELECT url, host,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS slot,
+             CAST(1 + LENGTH(host) % 3 AS BIGINT) AS delay_s
+      FROM h)
+SELECT url, host, slot, delay_s, slot * delay_s AS fetch_at_s FROM r
+"""
+
+
+@register("crawl_schedule_politeness", oracle=_POLITE_ORACLE)
+def crawl_schedule_politeness(sf_dir: str):
+    """Politeness scheduler over the synthetic crawl frontier: rank
+    each host's URLs (deterministic url order) on the rank substrate —
+    host cardinality is the low-card key the substrate contracts for —
+    and assign fetch_at = slot * per-host delay (all-integer, no float
+    order risk).  At 100 TB the same shape holds: ranks come from the
+    distributed sort, delays from a broadcast robots map."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+    from document_ai_ray.synth import pages_dataset
+
+    def host_of(t: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        urls = t.column("url").to_pylist()
+        hosts = [urlsplit(u).netloc for u in urls]
+        return pa.table(
+            {"url": t.column("url"), "host": pa.array(hosts, pa.string())}
+        )
+
+    pages = pages_dataset(300).select_columns(["url"]).map_batches(host_of, batch_format="pyarrow")
+    ranked = with_group_ranks(pages, "host", ["url"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        slot = t.column("__rank").to_numpy(zero_copy_only=False)
+        hosts = t.column("host").to_pylist()
+        delay = np.array([1 + len(h) % 3 for h in hosts], np.int64)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "host": t.column("host"),
+                "slot": pa.array(slot.astype(np.int64)),
+                "delay_s": pa.array(delay),
+                "fetch_at_s": pa.array((slot * delay).astype(np.int64)),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers: group sizes on
+# (lang, source) with the k>=5 flag — the privacy-side release check.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       COUNT(*) >= {_KANON_K} AS k_anonymous
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("k_anonymity_report", oracle=_KANON_ORACLE)
+def k_anonymity_report(sf_dir: str):
+    """k-anonymity census over the (lang, source) quasi-identifier
+    pair: any release bucket smaller than k={0} is flagged for
+    suppression.  One combiner pass; the flag derives in the
+    group-cardinality final.""".format(_KANON_K)
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    agg = partial_group_agg(docs, ["lang", "source"], count_alias="n_docs")
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        return t.append_column("k_anonymous", pa.array(n >= _KANON_K))
+
+    return agg.map_batches(flag, batch_format="pyarrow")

@@ -628,3 +628,35 @@ def test_source_vocab_kl_properties(sf_tiny):
     per_src = out.groupby("source")["kl_term"].sum()
     assert (per_src >= -1e-4).all()  # Gibbs inequality (rounding slack)
     assert out.duplicated(["source", "word"]).sum() == 0
+
+
+def test_adaptive_recrawl_policy(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["adaptive_recrawl_schedule"](sf_tiny).to_pandas()
+    diff = registry.queries()["snapshot_content_diff"](sf_tiny).to_pandas()
+    assert "removed" not in set(out["status"])
+    assert len(out) == (diff["status"] != "removed").sum()
+    want = {"changed": 3, "added": 7, "unchanged": 10}
+    assert (out["next_fetch_days"] == out["status"].map(want)).all()
+
+
+def test_politeness_slots_per_host(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["crawl_schedule_politeness"](sf_tiny).to_pandas()
+    for host, g in out.groupby("host"):
+        g = g.sort_values("url")
+        assert g["slot"].tolist() == list(range(len(g)))
+        assert (g["delay_s"] == 1 + len(host) % 3).all()
+        assert (g["fetch_at_s"] == g["slot"] * g["delay_s"]).all()
+
+
+def test_k_anonymity_mass_and_flag(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["k_anonymity_report"](sf_tiny).to_pandas()
+    n_docs = read_table(sf_tiny, "documents", columns=["doc_id"]).count()
+    assert out["n_docs"].sum() == n_docs
+    assert (out["k_anonymous"] == (out["n_docs"] >= 5)).all()
