@@ -2856,3 +2856,97 @@ def events_ab_welch(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Interval self-join (stream-stream join): per user, event pairs where
+# the second lands within 5 minutes of the first — the co-occurrence
+# primitive behind "what happens right after X" analyses.
+# ---------------------------------------------------------------------------
+
+_IVJOIN_ORACLE = """
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id != b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2
+"""
+
+
+@register("events_interval_selfjoin", oracle=_IVJOIN_ORACLE)
+def events_interval_selfjoin(sf_dir: str):
+    """Windowed self-join: directed (a -> b) event pairs of the same
+    user with b.ts in [a.ts, a.ts + 5 min], counted per type pair.
+    Shape: hash(user) exchange; each bucket sorts its users' events
+    once and finds every window with two searchsorted passes (the
+    two-pointer interval join, fully vectorized — the pair expansion
+    is built with repeat/cumsum index arithmetic, no Python loop);
+    only type-pair partial counts leave the buckets."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "eid": t.column("event_id"),
+                "bk": pa.array(bk.astype(np.int64)),
+            }
+        )
+
+    W_US = 300 * 10**6
+
+    def window_pairs(df):
+        cols = {"type_a": "object", "type_b": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "eid"], kind="mergesort").reset_index(drop=True)
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].to_numpy()
+            ty = g["event_type"].to_numpy()
+            lo = np.searchsorted(ts, ts, side="left")
+            hi = np.searchsorted(ts, ts + W_US, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                continue
+            # flat b-indices per a: [lo[a], hi[a]) for every a, via
+            # repeat + cumsum arithmetic (self-pairs removed after)
+            a_idx = np.repeat(np.arange(len(ts)), cnt)
+            starts = np.repeat(lo, cnt)
+            offs = np.arange(len(a_idx)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            b_idx = starts + offs
+            keep = a_idx != b_idx
+            pairs = pd.DataFrame({"type_a": ty[a_idx[keep]], "type_b": ty[b_idx[keep]]})
+            out.append(pairs.groupby(["type_a", "type_b"], as_index=False).size())
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        allp = pd.concat(out, ignore_index=True)
+        g = allp.groupby(["type_a", "type_b"], as_index=False)["size"].sum()
+        return pd.DataFrame(
+            {"type_a": g["type_a"], "type_b": g["type_b"], "n": g["size"].astype("int64")}
+        )
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", window_pairs, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["type_a", "type_b"], {"n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "type_a": t.column("type_a"),
+                "type_b": t.column("type_b"),
+                "n_pairs": t.column("n"),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")

@@ -908,3 +908,111 @@ def pdf_image_phash_dedup_keep(sf_dir: str):
         )
 
     return clusters.map_batches(keep_flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL-decode query: closed-form gradient images through
+# the lossless codecs.  The pixel law pixel(x,y) = (x*255//(w-1),
+# y*255//(h-1), (x+y)%256) is SQL-expressible, so DuckDB replays the
+# EXPECTED channel sums from generate_series while the engine gets them
+# by actually round-tripping real BMP/PPM/PNG bytes — the first
+# value-hash (not rows-only) check on the multimodal decode path.
+# ---------------------------------------------------------------------------
+
+_N_GRAD = 60
+
+_GRAD_ORACLE = f"""
+WITH imgs AS (SELECT i AS media_id, 8 + (i % 5) * 4 AS w, 6 + (i % 4) * 3 AS h
+              FROM range({_N_GRAD}) t(i)),
+px AS (SELECT media_id, w, h, xx.x AS x, yy.y AS y
+       FROM imgs,
+            LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
+            LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy)
+SELECT media_id, w, h,
+       SUM(x * 255 // (w - 1)) AS sum_r,
+       SUM(y * 255 // (h - 1)) AS sum_g,
+       SUM((x + y) % 256) AS sum_b
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+@register("media_gradient_pixel_stats", oracle=_GRAD_ORACLE)
+def media_gradient_pixel_stats(sf_dir: str):
+    """Encode gradient-law images with the repo's REAL lossless codecs
+    (BMP / PPM / PNG, cycling PNG filter types and Adam7 interlace),
+    decode them back in a separate stage, and report per-image channel
+    sums — which the oracle recomputes from the pixel law alone.  A
+    wrong byte anywhere in the container round-trip shifts a sum and
+    fails the hash.  sf_dir unused (the corpus is the formula)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.stages.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, fmts, payloads = [], [], []
+        for i in batch.column("id").to_pylist():
+            w, h = 8 + (i % 5) * 4, 6 + (i % 4) * 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) % 256], -1
+            ).astype(np.uint8)
+            kind = i % 3
+            if kind == 0:
+                b = encode_bmp(px)
+            elif kind == 1:
+                b = encode_ppm(px)
+            else:
+                b = encode_png(px, filter_type=i % 5, interlace=bool(i % 2))
+            ids.append(i)
+            fmts.append(kind)
+            payloads.append(b)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "fmt": pa.array(fmts, pa.int8()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def decode_stats(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "w": [], "h": [], "sum_r": [], "sum_g": [], "sum_b": []}
+        dec = {0: decode_bmp, 1: decode_ppm, 2: decode_png}
+        for i, k, b in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            px = dec[k](b)
+            if px.shape[-1] == 4:  # PNG decoder may hand back RGBA
+                px = px[..., :3]
+            s = px.astype(np.int64).sum(axis=(0, 1))
+            rows["media_id"].append(i)
+            rows["w"].append(px.shape[1])
+            rows["h"].append(px.shape[0])
+            rows["sum_r"].append(int(s[0]))
+            rows["sum_g"].append(int(s[1]))
+            rows["sum_b"].append(int(s[2]))
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "w": pa.array(rows["w"], pa.int64()),
+                "h": pa.array(rows["h"], pa.int64()),
+                "sum_r": pa.array(rows["sum_r"], pa.int64()),
+                "sum_g": pa.array(rows["sum_g"], pa.int64()),
+                "sum_b": pa.array(rows["sum_b"], pa.int64()),
+            }
+        )
+
+    return (
+        rd.range(_N_GRAD, override_num_blocks=4)
+        .map_batches(gen, batch_format="pyarrow")
+        .map_batches(decode_stats, batch_format="pyarrow")
+    )

@@ -660,3 +660,47 @@ def test_k_anonymity_mass_and_flag(sf_tiny):
     n_docs = read_table(sf_tiny, "documents", columns=["doc_id"]).count()
     assert out["n_docs"].sum() == n_docs
     assert (out["k_anonymous"] == (out["n_docs"] >= 5)).all()
+
+
+def test_media_gradient_roundtrip_exact(sf_tiny):
+    """Channel sums from the REAL codec round-trip equal the pixel-law
+    closed form for every image and every container format."""
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["media_gradient_pixel_stats"](sf_tiny).to_pandas()
+    import numpy as np
+
+    for r in out.itertuples():
+        w, h = r.w, r.h
+        yy, xx = np.mgrid[0:h, 0:w]
+        assert r.sum_r == int((xx * 255 // (w - 1)).sum()) * 1
+        assert r.sum_g == int((yy * 255 // (h - 1)).sum())
+        assert r.sum_b == int(((xx + yy) % 256).sum())
+    assert len(out) == 60
+
+
+def test_interval_selfjoin_reference(sf_tiny):
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_interval_selfjoin"](sf_tiny).to_pandas()
+    ev = read_table(
+        sf_tiny, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).to_pandas()
+    m = ev.merge(ev, on="user_id")
+    m = m[
+        (m["event_id_x"] != m["event_id_y"])
+        & (m["ts_y"] >= m["ts_x"])
+        & (m["ts_y"] <= m["ts_x"] + pd.Timedelta(minutes=5))
+    ]
+    ref = (
+        m.groupby(["event_type_x", "event_type_y"], as_index=False)
+        .size()
+        .rename(columns={"event_type_x": "type_a", "event_type_y": "type_b", "size": "n_pairs"})
+    )
+    got = out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    want = ref.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    assert got["type_a"].tolist() == want["type_a"].tolist()
+    assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
