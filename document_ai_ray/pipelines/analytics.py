@@ -2950,3 +2950,177 @@ def events_interval_selfjoin(sf_dir: str):
         )
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: pairwise user-set intersection + Jaccard between
+# event types (the exact version of the theta-sketch set-op readout).
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_common
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM p JOIN c ca ON ca.event_type = type_a JOIN c cb ON cb.event_type = type_b
+"""
+
+
+@register("user_overlap_by_type", oracle=_OVERLAP_ORACLE)
+def user_overlap_by_type(sf_dir: str):
+    """Exact audience-overlap matrix: per event-type pair, |A∩B| and
+    Jaccard over DISTINCT user sets.  Per-batch (type, user) dedup ->
+    one hash(user) exchange; each bucket emits the type pairs present
+    in each user's type set (bounded by the type vocabulary) plus
+    per-type marker counts, all merged in a combiner; Jaccard is an
+    exact integer ratio, bit-identical across engines."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    P = auto_buckets(ev.count())
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"ty": t.column("event_type").to_pylist(),
+             "u": t.column("user_id").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        bk = (df["u"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"ty": pa.array(df["ty"], pa.string()),
+             "u": pa.array(df["u"].to_numpy(), pa.int64()),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def pairs(df):
+        cols = {"type_a": "object", "type_b": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.drop_duplicates(["ty", "u"])
+        m = df.merge(df, on="u")
+        m = m[m["ty_x"] < m["ty_y"]]
+        g = m.groupby(["ty_x", "ty_y"], as_index=False).size()
+        out = pd.DataFrame({"type_a": g["ty_x"], "type_b": g["ty_y"],
+                            "n": g["size"].astype("int64")})
+        gi = df.groupby("ty", as_index=False).size()  # per-type markers
+        out = pd.concat(
+            [out, pd.DataFrame({"type_a": gi["ty"], "type_b": "",
+                                "n": gi["size"].astype("int64")})],
+            ignore_index=True,
+        )
+        return out
+
+    merged = merge_partials(
+        bucket_map_groups(ev.map_batches(local, batch_format="pyarrow"), "bk", pairs, P,
+                          batch_format="pandas"),
+        ["type_a", "type_b"],
+        {"n": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cnt = dict(zip(df.loc[df["type_b"] == "", "type_a"],
+                       df.loc[df["type_b"] == "", "n"]))
+        p = df[df["type_b"] != ""].reset_index(drop=True)
+        na = p["type_a"].map(cnt).to_numpy(dtype=np.int64)
+        nb = p["type_b"].map(cnt).to_numpy(dtype=np.int64)
+        nc = p["n"].to_numpy(dtype=np.int64)
+        jac = nc.astype(np.float64) / (na + nb - nc).astype(np.float64)
+        jac = np.copysign(np.floor(np.abs(jac) * 1e6 + 0.5), jac) / 1e6
+        return pa.table(
+            {"type_a": pa.array(p["type_a"], pa.string()),
+             "type_b": pa.array(p["type_b"], pa.string()),
+             "n_a": pa.array(na), "n_b": pa.array(nb),
+             "n_common": pa.array(nc),
+             "jaccard": pa.array(jac, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution: each purchase credits the user's EARLIEST
+# event in the 7 days before it ('direct' when the window is empty).
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT p.event_id,
+             e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts, e.event_id) AS r
+      FROM p JOIN events e ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 7 DAY AND e.ts < p.ts)
+SELECT COALESCE(c.event_type, 'direct') AS attributed_type,
+       COUNT(*) AS n_purchases
+FROM p LEFT JOIN c ON c.event_id = p.event_id AND c.r = 1
+GROUP BY 1
+"""
+
+
+@register("attribution_first_touch", oracle=_ATTRIB_ORACLE)
+def attribution_first_touch(sf_dir: str):
+    """Marketing first-touch attribution: per purchase, the earliest
+    same-user event type within the preceding 7 days (ties broken by
+    event_id; purchases with an empty window go to 'direct').  One
+    hash(user) exchange; each bucket sorts its users once and resolves
+    every purchase with one searchsorted window probe; only attributed-
+    type partial counts leave the buckets."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+    W_US = 7 * 86400 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_type": t.column("event_type"),
+             "eid": t.column("event_id"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def attribute(df):
+        if len(df) == 0:
+            return pd.DataFrame({"attributed_type": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "eid"], kind="mergesort")
+            ts = g["ts"].to_numpy()
+            ty = g["event_type"].to_numpy()
+            is_p = ty == "purchase"
+            if not is_p.any():
+                continue
+            pts = ts[is_p]
+            lo = np.searchsorted(ts, pts - W_US, side="left")
+            hi = np.searchsorted(ts, pts, side="left")  # strictly before
+            att = np.where(hi > lo, ty[np.minimum(lo, len(ts) - 1)], "direct")
+            out.append(pd.Series(att).value_counts())
+        if not out:
+            return pd.DataFrame({"attributed_type": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = pd.concat(out).groupby(level=0).sum()
+        return pd.DataFrame({"attributed_type": vc.index.astype("object"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", attribute, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["attributed_type"], {"n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"attributed_type": t.column("attributed_type"),
+                         "n_purchases": t.column("n")})
+
+    return merged.map_batches(rename, batch_format="pyarrow")

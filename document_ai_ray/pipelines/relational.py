@@ -1803,3 +1803,113 @@ def rowgroup_pruned_scan(sf_dir: str):
         return t.filter(m).select(["o_orderkey", "o_totalprice"])
 
     return back.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Temporal-table read over the SCD2 history: the dimension state AS OF
+# a point in time (the query every SCD2 build exists to serve).
+# ---------------------------------------------------------------------------
+
+_ASOF_T = "1998-06-01"
+
+_SCD2_ASOF_ORACLE = f"""
+WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                  LAG(o_orderpriority) OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+g AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM s),
+i AS (SELECT o_custkey AS custkey, island, o_orderpriority AS priority,
+             MIN(o_orderdate) AS valid_from
+      FROM g GROUP BY 1, 2, 3),
+h AS (SELECT custkey, CAST(island AS BIGINT) AS version, priority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY island) AS valid_to
+      FROM i)
+SELECT custkey, version, priority, valid_from
+FROM h
+WHERE valid_from <= TIMESTAMP '{_ASOF_T}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_T}')
+"""
+
+
+@register("scd2_as_of_state", oracle=_SCD2_ASOF_ORACLE)
+def scd2_as_of_state(sf_dir: str):
+    """Dimension state AS OF {0}: filter the SCD2 validity intervals to
+    the one version per customer covering the probe instant (customers
+    whose first observation is later have no row yet).  Rides the
+    proven scd2_priority_history build; the as-of filter is one
+    stateless vectorized pass.""".format(_ASOF_T)
+    import numpy as np
+    import pandas as pd
+
+    hist = scd2_priority_history(sf_dir)
+    t_us = int(pd.Timestamp(_ASOF_T).value // 1000)
+
+    def asof(t: pa.Table) -> pa.Table:
+        vf = t.column("valid_from").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vt = t.column("valid_to").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        open_end = t.column("valid_to").is_null().to_numpy(zero_copy_only=False)
+        keep = (vf <= t_us) & (open_end | (np.where(open_end, t_us + 1, vt) > t_us))
+        t = t.filter(pa.array(keep))
+        return t.select(["custkey", "version", "priority", "valid_from"])
+
+    return hist.map_batches(asof, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (lang x source), emitted per cell —
+# observed vs expected counts and the chi2 contribution (the PMI/KL
+# convention: per-cell terms, never an engine-boundary float sum).
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+ml AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1),
+ms AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+SELECT c.lang, c.source, c.n,
+       ROUND(CAST(ml.nl AS DOUBLE) * CAST(ms.ns AS DOUBLE) / total, 6) AS expected,
+       ROUND(POWER(CAST(c.n AS DOUBLE) - CAST(ml.nl AS DOUBLE) * CAST(ms.ns AS DOUBLE) / total, 2)
+             / (CAST(ml.nl AS DOUBLE) * CAST(ms.ns AS DOUBLE) / total), 6) AS chi2_term
+FROM c JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN t
+"""
+
+
+@register("lang_source_chi2", oracle=_CHI2_ORACLE)
+def lang_source_chi2(sf_dir: str):
+    """Independence screen for the (lang, source) contingency table:
+    per observed cell, expected count under independence and its chi2
+    contribution.  One combiner pass builds the cells; the marginals
+    and terms derive in the contingency-sized final."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cells = partial_group_agg(docs, ["lang", "source"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nl = df.groupby("lang")["n"].transform("sum").to_numpy(dtype=np.float64)
+        ns = df.groupby("source")["n"].transform("sum").to_numpy(dtype=np.float64)
+        total = float(df["n"].sum())
+        exp = nl * ns / total
+        chi2 = (df["n"].to_numpy(dtype=np.float64) - exp) ** 2 / exp
+
+        def rnd(a):
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table(
+            {"lang": pa.array(df["lang"], pa.string()),
+             "source": pa.array(df["source"], pa.string()),
+             "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+             "expected": pa.array(rnd(exp), pa.float64()),
+             "chi2_term": pa.array(rnd(chi2), pa.float64())}
+        )
+
+    return cells.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -704,3 +704,59 @@ def test_interval_selfjoin_reference(sf_tiny):
     want = ref.sort_values(["type_a", "type_b"]).reset_index(drop=True)
     assert got["type_a"].tolist() == want["type_a"].tolist()
     assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+
+
+def test_user_overlap_jaccard_bounds(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["user_overlap_by_type"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_type", "user_id"]).to_pandas()
+    d = ev.drop_duplicates()
+    n_types = d["event_type"].nunique()
+    assert len(out) == n_types * (n_types - 1) // 2
+    r = out.iloc[0]
+    a = set(d.loc[d["event_type"] == r.type_a, "user_id"])
+    b = set(d.loc[d["event_type"] == r.type_b, "user_id"])
+    assert r.n_a == len(a) and r.n_b == len(b) and r.n_common == len(a & b)
+    assert abs(r.jaccard - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_attribution_mass_equals_purchases(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["attribution_first_touch"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_type"]).to_pandas()
+    assert out["n_purchases"].sum() == (ev["event_type"] == "purchase").sum()
+
+
+def test_scd2_asof_one_version_per_customer(sf_tiny):
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.pipelines.relational import _ASOF_T
+
+    out = registry.queries()["scd2_as_of_state"](sf_tiny).to_pandas()
+    assert out["custkey"].is_unique
+    assert (out["valid_from"] <= pd.Timestamp(_ASOF_T)).all()
+    hist = registry.queries()["scd2_priority_history"](sf_tiny).to_pandas()
+    t = pd.Timestamp(_ASOF_T)
+    covered = hist[(hist["valid_from"] <= t) & (hist["valid_to"].isna() | (hist["valid_to"] > t))]
+    assert len(out) == len(covered)
+
+
+def test_chi2_marginal_consistency(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["lang_source_chi2"](sf_tiny).to_pandas()
+    # expected counts preserve the marginal for langs observed in EVERY
+    # source (zero cells are not emitted, so partially-covered langs sum
+    # strictly below their marginal)
+    got = out.groupby("lang")["expected"].sum()
+    want = out.groupby("lang")["n"].sum()
+    cover = out.groupby("lang")["source"].nunique()
+    full = cover == out["source"].nunique()
+    assert ((got[full] - want[full]).abs() < 0.01).all()
+    assert (got <= want + 0.01).all()
+    assert (out["chi2_term"] >= 0).all()
