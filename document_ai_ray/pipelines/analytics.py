@@ -3124,3 +3124,227 @@ def attribution_first_touch(sf_dir: str):
                          "n_purchases": t.column("n")})
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: the smallest price whose inclusive quantity-weighted
+# cumulative reaches half the total weight — all-integer weights, so
+# the threshold scan is exact on both engines.
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH s AS (SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+t AS (SELECT SUM(w) AS tot FROM s),
+c AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw FROM s)
+SELECT MIN(v) AS weighted_median, CAST((SELECT SUM(w) FROM s) AS BIGINT) AS total_weight
+FROM c CROSS JOIN t WHERE 2 * cw >= tot
+"""
+
+
+@register("weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def weighted_median_price(sf_dir: str):
+    """Quantity-weighted median of l_extendedprice (lower-median
+    convention: min v with 2 * inclusive-cum-weight >= total).  Within
+    an equal-price tie group the intra-group scan order is arbitrary in
+    SQL, but MIN(v) over passing rows is order-invariant: the group's
+    LAST row always carries the deterministic group-total cumulative.
+    Shape: one rank-substrate pass with the integer weight as the
+    prefix-sum column, a filter, and a one-row min."""
+    from document_ai_ray.pipelines.ops import with_group_ranks
+    from document_ai_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": t.column("l_extendedprice"),
+                "w": t.column("l_quantity").cast(pa.int64()),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    base = li.map_batches(prep, batch_format="pyarrow").materialize()
+    tot = int(base.sum("w"))
+    ranked = with_group_ranks(base, "__g", ["v"], value_col="w")
+
+    def passing(t: pa.Table) -> pa.Table:
+        cum = t.column("__cum").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        keep = 2 * (cum + w) >= tot  # inclusive cumulative
+        return pa.table({"v": t.column("v").filter(pa.array(keep))})
+
+    cand = ranked.map_batches(passing, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "weighted_median": pa.array([float(v.min())], pa.float64()),
+                "total_weight": pa.array([tot], pa.int64()),
+            }
+        )
+
+    return cand.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user over the cumulative event-value series —
+# the canonical running-max/running-sum window composition.  The cumsum
+# order is pinned by (ts, event_id), so both engines accumulate the
+# SAME floats in the SAME order: bitwise-identical results, no drift.
+# ---------------------------------------------------------------------------
+
+@register("events_max_drawdown", oracle="""
+WITH o AS (SELECT user_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+c AS (SELECT user_id, rn,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM o),
+m AS (SELECT user_id,
+             cum - MAX(cum) OVER (PARTITION BY user_id ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING) AS dd
+      FROM c)
+SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown FROM m GROUP BY 1
+""")
+def events_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the cumulative value series
+    (ordered by ts, event_id): min over time of cum - running-max(cum).
+    One hash(user) exchange; each bucket runs the cumsum/cummax in one
+    vectorized pandas pass per user-partition."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "eid": t.column("event_id"),
+             "value": t.column("value"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def drawdown(df):
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "max_drawdown": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "eid"], kind="mergesort")
+        cum = df.groupby("user_id", sort=False)["value"].cumsum()
+        runmax = cum.groupby(df["user_id"], sort=False).cummax()
+        dd = (cum - runmax).groupby(df["user_id"], sort=False).min()
+        out = np.copysign(np.floor(np.abs(dd.to_numpy()) * 1e6 + 0.5), dd.to_numpy()) / 1e6
+        return pd.DataFrame({"user_id": dd.index.astype("int64"), "max_drawdown": out})
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", drawdown, P, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 cut: how many top customers carry 80% of revenue.
+# Revenue is converted to integer CENTS per order up front, so every
+# cumulative and threshold comparison is exact on both engines.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH c AS (SELECT o_custkey,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+t AS (SELECT SUM(cents) AS tot, COUNT(*) AS n FROM c),
+r AS (SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      FROM c)
+SELECT r.rk AS n_top_customers, t.n AS n_customers,
+       ROUND(CAST(r.cum AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS revenue_share
+FROM r CROSS JOIN t
+WHERE 5 * r.cum >= 4 * t.tot
+ORDER BY r.rk LIMIT 1
+"""
+
+
+@register("pareto_revenue_cut", oracle=_PARETO_ORACLE)
+def pareto_revenue_cut(sf_dir: str):
+    """The 80/20 readout: smallest prefix of customers (by revenue
+    desc, custkey tiebreak) whose cumulative revenue reaches 80% of the
+    total.  Per-customer cents ride the combiner; the rank substrate
+    attaches exact integer prefix sums under the descending order; the
+    passing rows collapse to a one-row min."""
+    from document_ai_ray.pipelines.ops import merge_partials, with_group_ranks
+    from document_ai_ray.sources.tables import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100 + 0.5).astype(np.int64)  # ROUND half-away, positive
+        return pa.table({"custkey": t.column("o_custkey"), "cents": pa.array(c)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["custkey"]).aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g.column("custkey"), g.column("cents_sum")], names=["custkey", "cents"]
+        )
+
+    per_cust = merge_partials(
+        orders.map_batches(cents, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["custkey"],
+        {"cents": "sum"},
+    ).materialize()
+    tot = int(per_cust.sum("cents"))
+    n_cust = per_cust.count()
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": t.column("custkey"),
+                "cents": t.column("cents"),
+                "neg": pa.array(-c),
+                "__g": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    ranked = with_group_ranks(
+        per_cust.map_batches(prep, batch_format="pyarrow"), "__g", ["neg", "custkey"],
+        value_col="cents",
+    )
+
+    def passing(t: pa.Table) -> pa.Table:
+        cum = t.column("__cum").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        inc = cum + c
+        keep = 5 * inc >= 4 * tot
+        return pa.table(
+            {"rk": pa.array((r + 1)[keep]), "cum": pa.array(inc[keep])}
+        )
+
+    cand = ranked.map_batches(passing, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        cum = t.column("cum").to_numpy(zero_copy_only=False)
+        i = int(np.argmin(rk))
+        share = float(cum[i]) / float(tot)
+        share = float(np.copysign(np.floor(abs(share) * 1e6 + 0.5), share) / 1e6)
+        return pa.table(
+            {
+                "n_top_customers": pa.array([int(rk[i])], pa.int64()),
+                "n_customers": pa.array([n_cust], pa.int64()),
+                "revenue_share": pa.array([share], pa.float64()),
+            }
+        )
+
+    return cand.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

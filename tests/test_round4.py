@@ -760,3 +760,59 @@ def test_chi2_marginal_consistency(sf_tiny):
     assert ((got[full] - want[full]).abs() < 0.01).all()
     assert (got <= want + 0.01).all()
     assert (out["chi2_term"] >= 0).all()
+
+
+def test_weighted_median_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["weighted_median_price"](sf_tiny).to_pandas().iloc[0]
+    li = read_table(sf_tiny, "lineitem", columns=["l_quantity", "l_extendedprice"]).to_pandas()
+    order = np.argsort(li["l_extendedprice"].to_numpy(), kind="mergesort")
+    v = li["l_extendedprice"].to_numpy()[order]
+    w = li["l_quantity"].to_numpy().astype(np.int64)[order]
+    cw = np.cumsum(w)
+    ref = v[np.argmax(2 * cw >= cw[-1])]
+    assert out.weighted_median == ref
+    assert out.total_weight == int(w.sum())
+
+
+def test_max_drawdown_reference_single_user(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_max_drawdown"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    assert len(out) == ev["user_id"].nunique()
+    assert (out["max_drawdown"] <= 0).all()
+    uid = ev["user_id"].iloc[0]
+    g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    cum = g["value"].cumsum().to_numpy()
+    ref = float((cum - np.maximum.accumulate(cum)).min())
+    got = float(out.loc[out["user_id"] == uid, "max_drawdown"].iloc[0])
+    assert abs(got - ref) < 1e-5
+
+
+def test_pareto_cut_is_minimal(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["pareto_revenue_cut"](sf_tiny).to_pandas().iloc[0]
+    orders = read_table(sf_tiny, "orders", columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = (
+        orders.assign(c=cents).groupby("o_custkey")["c"].sum().sort_values(ascending=False)
+    )
+    cum = per.cumsum().to_numpy()
+    tot = int(per.sum())
+    k = int(np.argmax(5 * cum >= 4 * tot)) + 1
+    assert out.n_top_customers == k
+    assert out.n_customers == len(per)
+    assert abs(out.revenue_share - cum[k - 1] / tot) < 1e-6
+    assert 5 * cum[k - 1] >= 4 * tot and (k == 1 or 5 * cum[k - 2] < 4 * tot)
