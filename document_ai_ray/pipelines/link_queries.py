@@ -1257,3 +1257,123 @@ def host_cocitation_pairs(sf_dir: str):
         )
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# -- Degree assortativity --------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> ''),
+od AS (SELECT src, COUNT(*) AS xd FROM edges GROUP BY 1),
+idg AS (SELECT dst, COUNT(*) AS yd FROM edges GROUP BY 1),
+j AS (SELECT od.xd AS x, idg.yd AS y
+      FROM edges e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM j)
+SELECT n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM m
+"""
+
+
+@register("host_assortativity", oracle=_ASSORT_ORACLE)
+def host_assortativity(sf_dir: str):
+    """Degree assortativity of the directed host graph: Pearson
+    correlation, over DISTINCT edges, of (out-degree of source,
+    in-degree of destination) — do hubby sites link to hubby sites?
+    Degrees are integers, so every shuffled moment partial is exact
+    int64 and the single float division happens once in the one-row
+    final.  The source-side out-degree map is source-vocabulary sized
+    (broadcast); the destination in-degrees join through one hash(dst)
+    exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        distinct_rows,
+        merge_partials,
+    )
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = distinct_rows(
+        links.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()
+    P = auto_buckets(edges.count())
+
+    # out-degree per source host: source-vocabulary sized -> driver map
+    def src_one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t.column("src"),
+             "one": pa.array(np.ones(len(t), np.int64))}
+        )
+
+    od = {
+        r["src"]: r["one"]
+        for r in merge_partials(
+            edges.map_batches(src_one, batch_format="pyarrow"), ["src"], {"one": "sum"}
+        ).take_all()
+    }
+
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        bk = [stable64(d) % P for d in t.column("dst").to_pylist()]
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    _M = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in _M})
+        yd = df.groupby("dst")["src"].transform("size").to_numpy().astype(np.int64)
+        x = df["src"].map(od).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"n": [len(df)], "sx": [int(x.sum())], "sy": [int(yd.sum())],
+             "sxx": [int(np.dot(x, x))], "syy": [int(np.dot(yd, yd))],
+             "sxy": [int(np.dot(x, yd))]}
+        )
+
+    parts = bucket_map_groups(
+        edges.map_batches(dst_bucket, batch_format="pyarrow"), "bk", moments, P,
+        batch_format="pandas",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n, sx, sy, sxx, syy, sxy = (
+            int(t.column(c).to_numpy(zero_copy_only=False).sum()) for c in _M
+        )
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            # degenerate (all degrees equal on one axis, e.g. a
+            # saturated bipartite-complete graph): define r = 0,
+            # mirrored in the oracle's CASE
+            r = 0.0
+        else:
+            num = float(n * sxy - sx * sy)
+            den = float(np.sqrt(float(vx))) * float(np.sqrt(float(vy)))
+            r = num / den
+            r = float(np.copysign(np.floor(abs(r) * 1e6 + 0.5), r) / 1e6)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "assortativity": pa.array([r], pa.float64())})
+
+    return parts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

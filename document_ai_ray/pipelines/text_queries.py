@@ -2922,3 +2922,73 @@ def source_vocab_kl(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness: collection frequency / document frequency for the
+# top vocabulary — bursty words (cf >> df) cluster in few documents,
+# the classic topicality signal.
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+cf AS (SELECT word, COUNT(*) AS cf FROM w WHERE word != '' GROUP BY 1),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w WHERE word != '' GROUP BY 1),
+top AS (SELECT word, cf FROM cf ORDER BY cf DESC, word LIMIT 50)
+SELECT t.word, t.cf, d.df,
+       ROUND(CAST(t.cf AS DOUBLE) / CAST(d.df AS DOUBLE), 6) AS burstiness
+FROM top t JOIN df d USING (word)
+"""
+
+
+@register("term_burstiness", oracle=_BURST_ORACLE)
+def term_burstiness(sf_dir: str):
+    """cf/df burstiness for the top-50 corpus words.  The exact
+    heavy-hitter pass supplies the word set + collection frequencies;
+    document frequencies come from one scan emitting per-doc distinct
+    membership (a doc is one row, so batch-local distinct-per-doc is
+    globally exact) into a 50-key combiner.  The ratio is an exact
+    integer quotient."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    top = vocab_top_words(sf_dir).to_pandas().head(50)
+    cf = dict(zip(top["word"], top["n"].astype("int64")))
+    wset = set(cf)
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for tx in t.column("text").to_pylist():
+            c.update((set((tx or "").split(" ")) - {""}) & wset)
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    dfs = merge_partials(
+        docs.map_batches(df_partial, batch_format="pyarrow"), ["word"], {"df": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cfv = df["word"].map(cf).to_numpy(dtype=np.int64)
+        dfv = df["df"].to_numpy(dtype=np.int64)
+        b = cfv.astype(np.float64) / dfv.astype(np.float64)
+        b = np.copysign(np.floor(np.abs(b) * 1e6 + 0.5), b) / 1e6
+        return pa.table(
+            {
+                "word": pa.array(df["word"], pa.string()),
+                "cf": pa.array(cfv),
+                "df": pa.array(dfv),
+                "burstiness": pa.array(b, pa.float64()),
+            }
+        )
+
+    return dfs.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -816,3 +816,30 @@ def test_pareto_cut_is_minimal(sf_tiny):
     assert out.n_customers == len(per)
     assert abs(out.revenue_share - cum[k - 1] / tot) < 1e-6
     assert 5 * cum[k - 1] >= 4 * tot and (k == 1 or 5 * cum[k - 2] < 4 * tot)
+
+
+def test_assortativity_bounds(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["host_assortativity"](sf_tiny).to_pandas().iloc[0]
+    assert -1.0 <= out.assortativity <= 1.0
+    assert out.n > 0
+
+
+def test_burstiness_reference(sf_tiny):
+    from collections import Counter
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["term_burstiness"](sf_tiny).to_pandas()
+    assert (out["cf"] >= out["df"]).all()
+    assert (out["burstiness"] >= 1.0).all()
+    docs = read_table(sf_tiny, "documents", columns=["text"]).to_pandas()["text"]
+    cf, df = Counter(), Counter()
+    for tx in docs:
+        ws = [w for w in tx.split(" ") if w]
+        cf.update(ws)
+        df.update(set(ws))
+    for r in out.itertuples():
+        assert cf[r.word] == r.cf and df[r.word] == r.df
