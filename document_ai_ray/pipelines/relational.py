@@ -1913,3 +1913,269 @@ def lang_source_chi2(sf_dir: str):
         )
 
     return cells.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Per-priority OLS trend of ship delay over calendar months — is
+# fulfilment getting slower?  x (month index) and y (delay days) are
+# both integers, so every shuffled regression moment is exact int64;
+# the slope/intercept divisions happen once per group in the final.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH j AS (SELECT o_orderpriority AS priority,
+                  CAST(date_part('year', o_orderdate) * 12
+                       + date_part('month', o_orderdate) AS BIGINT) AS x,
+                  CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS y
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+m AS (SELECT priority, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM j GROUP BY 1),
+s AS (SELECT priority, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_raw,
+             sx, sy
+      FROM m)
+SELECT priority, n, ROUND(slope_raw, 6) AS slope_days_per_month,
+       ROUND((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+       AS intercept_days
+FROM s
+"""
+
+
+@register("ship_delay_trend", oracle=_TREND_ORACLE)
+def ship_delay_trend(sf_dir: str):
+    """OLS regression of ship delay (days) on order month, per
+    priority: the fulfilment drift monitor.  Same shuffle join as
+    ship_delay_by_priority; the regression moments ride the combiner as
+    exact int64 (both variables integer), the per-group closed form
+    runs on one tiny final."""
+    import numpy as np
+    import pandas as pd
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def moments(t: pa.Table) -> pa.Table:
+        od = pd.to_datetime(t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False), unit="us")
+        x = (od.year * 12 + od.month).to_numpy().astype(np.int64)
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ordd = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = (ship - ordd) // 86_400_000_000
+        return pa.table(
+            {
+                "priority": t.column("o_orderpriority"),
+                "x": pa.array(x), "y": pa.array(y),
+                "xx": pa.array(x * x), "xy": pa.array(x * y),
+            }
+        )
+
+    agg = partial_group_agg(
+        joined.map_batches(moments, batch_format="pyarrow"),
+        ["priority"],
+        {"x": "sx", "y": "sy", "xx": "sxx", "xy": "sxy"},
+        count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(object)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(object)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(object)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(object)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(object)
+        slope = np.array(
+            [float(ni * xyi - xi * yi) / float(ni * xxi - xi * xi)
+             for ni, xi, yi, xxi, xyi in zip(n, sx, sy, sxx, sxy)]
+        )
+        icpt = np.array(
+            [(float(yi) - s * float(xi)) / float(ni)
+             for s, ni, xi, yi in zip(slope, n, sx, sy)]
+        )
+
+        def rnd(a):
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table(
+            {
+                "priority": t.column("priority"),
+                "n": t.column("n"),
+                "slope_days_per_month": pa.array(rnd(slope), pa.float64()),
+                "intercept_days": pa.array(rnd(icpt), pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (integer cents -> exact LAG ratio).
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH c AS (SELECT CAST(date_part('year', o_orderdate) * 12
+                       + date_part('month', o_orderdate) AS BIGINT) AS month_idx,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+l AS (SELECT month_idx, cents,
+             LAG(cents) OVER (ORDER BY month_idx) AS prev_cents
+      FROM c)
+SELECT month_idx, cents, prev_cents,
+       ROUND((CAST(cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+             / CAST(prev_cents AS DOUBLE), 6) AS mom_growth
+FROM l WHERE prev_cents IS NOT NULL
+"""
+
+
+@register("revenue_mom_growth", oracle=_MOM_ORACLE)
+def revenue_mom_growth(sf_dir: str):
+    """Month-over-month revenue growth: per-month integer cents ride
+    the combiner; the LAG + ratio runs on the month-cardinality final
+    (first month dropped — no predecessor)."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        od = pd.to_datetime(t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False), unit="us")
+        m = (od.year * 12 + od.month).to_numpy().astype(np.int64)
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100 + 0.5).astype(np.int64)
+        return pa.table({"month_idx": pa.array(m), "cents": pa.array(c)})
+
+    agg = merge_partials(
+        orders.map_batches(cents, batch_format="pyarrow").map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.group_by(["month_idx"]).aggregate([("cents", "sum")]).column("month_idx"),
+                    t.group_by(["month_idx"]).aggregate([("cents", "sum")]).column("cents_sum"),
+                ],
+                names=["month_idx", "cents"],
+            ),
+            batch_format="pyarrow",
+        ),
+        ["month_idx"],
+        {"cents": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("month_idx").reset_index(drop=True)
+        prev = df["cents"].shift(1)
+        keep = prev.notna()
+        g = (df["cents"][keep].astype("float64") - prev[keep].astype("float64")) / prev[
+            keep
+        ].astype("float64")
+        gv = np.copysign(np.floor(np.abs(g.to_numpy()) * 1e6 + 0.5), g.to_numpy()) / 1e6
+        return pa.table(
+            {
+                "month_idx": pa.array(df["month_idx"][keep].to_numpy().astype(np.int64)),
+                "cents": pa.array(df["cents"][keep].to_numpy().astype(np.int64)),
+                "prev_cents": pa.array(prev[keep].to_numpy().astype(np.int64)),
+                "mom_growth": pa.array(gv, pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time: sweep-line interval counting — an
+# order is open from its order month through its last ship month
+# (inclusive); only ±1 deltas shuffle, the prefix sum runs over the
+# month axis in the final.
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH ls AS (SELECT l_orderkey, MAX(l_shipdate) AS maxship FROM lineitem GROUP BY 1),
+o AS (SELECT sm, em FROM (
+        SELECT CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT) AS sm,
+               CAST(date_part('year', maxship) * 12
+                    + date_part('month', maxship) AS BIGINT) AS em
+        FROM orders JOIN ls ON l_orderkey = o_orderkey)
+      WHERE sm <= em),
+b AS (SELECT UNNEST(generate_series((SELECT MIN(sm) FROM o),
+                                    (SELECT MAX(em) FROM o))) AS m)
+SELECT m AS month_idx,
+       (SELECT COUNT(*) FROM o WHERE o.sm <= m AND m <= o.em) AS n_open
+FROM b
+"""
+
+
+@register("orders_open_backlog", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog(sf_dir: str):
+    """Orders in flight per calendar month (placed, not yet fully
+    shipped).  Per-order last-ship months come from a combiner MAX over
+    the shuffle join; each order then contributes two integer deltas
+    (+1 at its start month, -1 after its end month) into a month-keyed
+    combiner; the final materializes the dense month axis and prefix-
+    sums the deltas — the sweep-line shape, nothing order-sized past
+    the join."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def per_order_partial(t: pa.Table) -> pa.Table:
+        flat = pa.table(
+            {
+                "ok": t.column("l_orderkey"),  # join coalesces key cols
+                "ship": t.column("l_shipdate").cast(pa.int64()),
+                "start": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+        g = flat.group_by(["ok"]).aggregate([("ship", "max"), ("start", "max")])
+        return pa.Table.from_arrays(
+            [g.column("ok"), g.column("ship_max"), g.column("start_max")],
+            names=["ok", "ship", "start"],
+        )
+
+    per_order = merge_partials(
+        joined.map_batches(per_order_partial, batch_format="pyarrow"),
+        ["ok"],
+        {"ship": "max", "start": "max"},
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        sd = pd.to_datetime(t.column("start").to_numpy(zero_copy_only=False), unit="us")
+        ed = pd.to_datetime(t.column("ship").to_numpy(zero_copy_only=False), unit="us")
+        sm = (sd.year * 12 + sd.month).to_numpy().astype(np.int64)
+        em = (ed.year * 12 + ed.month).to_numpy().astype(np.int64)
+        # the synthetic feed has orders whose last ship PRECEDES the
+        # order month (em < sm): an empty interval — contributes
+        # nothing, and its raw deltas would corrupt the prefix sum
+        ok = em >= sm
+        sm, em = sm[ok], em[ok]
+        m = np.concatenate([sm, em + 1])
+        d = np.concatenate([np.ones(len(sm), np.int64), -np.ones(len(em), np.int64)])
+        g = pa.table({"month_idx": pa.array(m), "delta": pa.array(d)}).group_by(
+            ["month_idx"]
+        ).aggregate([("delta", "sum")])
+        return pa.Table.from_arrays(
+            [g.column("month_idx"), g.column("delta_sum")], names=["month_idx", "delta"]
+        )
+
+    agg = merge_partials(
+        per_order.map_batches(deltas, batch_format="pyarrow"), ["month_idx"], {"delta": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("month_idx").reset_index(drop=True)
+        lo, hi = int(df["month_idx"].min()), int(df["month_idx"].max()) - 1
+        axis = np.arange(lo, hi + 1, dtype=np.int64)
+        d = np.zeros(len(axis), np.int64)
+        idx = df["month_idx"].to_numpy() - lo
+        inb = idx < len(axis)
+        np.add.at(d, idx[inb].astype(np.int64), df["delta"].to_numpy()[inb])
+        return pa.table(
+            {"month_idx": pa.array(axis), "n_open": pa.array(np.cumsum(d))}
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -843,3 +843,63 @@ def test_burstiness_reference(sf_tiny):
         df.update(set(ws))
     for r in out.itertuples():
         assert cf[r.word] == r.cf and df[r.word] == r.df
+
+
+def test_ship_delay_trend_reference(sf_tiny):
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["ship_delay_trend"](sf_tiny).to_pandas()
+    li = read_table(sf_tiny, "lineitem", columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = read_table(
+        sf_tiny, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    x = (j["o_orderdate"].dt.year * 12 + j["o_orderdate"].dt.month).to_numpy()
+    y = ((j["l_shipdate"].astype("int64") - j["o_orderdate"].astype("int64"))
+         // (86400 * 10**6)).to_numpy()
+    pr = out.set_index("priority")
+    p0 = j["o_orderpriority"].iloc[0]
+    m = (j["o_orderpriority"] == p0).to_numpy()
+    slope = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+    assert abs(pr.loc[p0, "slope_days_per_month"] - slope) < 1e-4
+    assert pr.loc[p0, "n"] == m.sum()
+
+
+def test_mom_growth_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["revenue_mom_growth"](sf_tiny).to_pandas().sort_values("month_idx")
+    orders = read_table(sf_tiny, "orders", columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    m = orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = orders.assign(m=m, c=cents).groupby("m")["c"].sum().sort_index()
+    assert out["month_idx"].tolist() == per.index[1:].tolist()
+    assert (out["cents"].to_numpy() == per.to_numpy()[1:]).all()
+    assert (out["prev_cents"].to_numpy() == per.to_numpy()[:-1]).all()
+
+
+def test_backlog_conservation(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["orders_open_backlog"](sf_tiny).to_pandas().sort_values("month_idx")
+    li = read_table(sf_tiny, "lineitem", columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = read_table(sf_tiny, "orders", columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    ms = li.groupby("l_orderkey")["l_shipdate"].max().reset_index()
+    j = ms.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    sm = (j["o_orderdate"].dt.year * 12 + j["o_orderdate"].dt.month).to_numpy()
+    em = (j["l_shipdate"].dt.year * 12 + j["l_shipdate"].dt.month).to_numpy()
+    keep = em >= sm
+    sm, em = sm[keep], em[keep]
+    # sum over months of backlog == total open order-months
+    assert out["n_open"].sum() == (em - sm + 1).sum()
+    assert (out["n_open"] >= 0).all()
