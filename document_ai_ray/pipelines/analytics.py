@@ -3348,3 +3348,101 @@ def pareto_revenue_cut(sf_dir: str):
         )
 
     return cand.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate by session ENTRY event type: sessionize (30-min
+# gaps), take each session's first event as the entry, flag sessions
+# containing a purchase — which landing behavior converts?
+# ---------------------------------------------------------------------------
+
+_ENTRY_CONV_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, sid) AS conv
+  FROM s
+)
+SELECT event_type AS entry_type, COUNT(*) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       ROUND(SUM(conv) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+
+@register("session_conversion_by_entry", oracle=_ENTRY_CONV_ORACLE)
+def session_conversion_by_entry(sf_dir: str):
+    """Per-entry-type session conversion (30-minute-gap sessionization,
+    (ts, event_id)-deterministic entry row, converted = session touches
+    a purchase).  One hash(user) exchange resolves each user's sessions
+    in a vectorized pass; only entry-type (sessions, conversions)
+    partials leave the buckets."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+    GAP_US = 30 * 60 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "eid": t.column("event_id"),
+             "event_type": t.column("event_type"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def sessions(df):
+        cols = {"entry_type": "object", "n_sessions": "int64", "n_converted": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "eid"], kind="mergesort").reset_index(drop=True)
+        prev_ts = df.groupby("user_id", sort=False)["ts"].shift(1)
+        new_s = (prev_ts.isna() | (df["ts"] - prev_ts > GAP_US)).astype("int64")
+        sid = new_s.groupby(df["user_id"], sort=False).cumsum()
+        key = pd.DataFrame({"u": df["user_id"], "sid": sid})
+        grp = [key["u"], key["sid"]]
+        entry = df.groupby(grp, sort=False)["event_type"].first()
+        conv = (
+            (df["event_type"] == "purchase").groupby(grp, sort=False).max().astype("int64")
+        )
+        agg = pd.DataFrame({"entry_type": entry.to_numpy(), "conv": conv.to_numpy()})
+        g = agg.groupby("entry_type", as_index=False).agg(
+            n_sessions=("conv", "size"), n_converted=("conv", "sum")
+        )
+        return g.astype({"n_sessions": "int64", "n_converted": "int64"})
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", sessions, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["entry_type"], {"n_sessions": "sum", "n_converted": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_sessions").to_numpy(zero_copy_only=False)
+        nc = t.column("n_converted").to_numpy(zero_copy_only=False)
+        rate = nc.astype(np.float64) / ns.astype(np.float64)
+        rate = np.copysign(np.floor(np.abs(rate) * 1e6 + 0.5), rate) / 1e6
+        return pa.table(
+            {"entry_type": t.column("entry_type"),
+             "n_sessions": t.column("n_sessions"),
+             "n_converted": t.column("n_converted"),
+             "conversion_rate": pa.array(rate, pa.float64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

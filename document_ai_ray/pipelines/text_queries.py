@@ -2992,3 +2992,93 @@ def term_burstiness(sf_dir: str):
         )
 
     return dfs.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty curve: per doc, the fraction of its DISTINCT word
+# bigrams never seen in any earlier doc (doc_id order) — the
+# contamination / content-freshness lens over an ordered corpus.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[CAST(t.i AS BIGINT)] || ' ' || ws[CAST(t.i + 1 AS BIGINT)] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN f USING (gram) GROUP BY 1
+"""
+
+
+@register("ngram_novelty_docs", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_docs(sf_dir: str):
+    """Per-doc bigram novelty vs all earlier docs.  Shape: per-doc
+    DISTINCT bigrams ship as (md5(gram), doc_id) pairs — the repo's
+    documented 2^-64 hash-equality convention — through one hash(gram)
+    exchange; each bucket owns every occurrence of its grams, so
+    first_doc = min(doc_id) is bucket-local, and only per-doc
+    (n_grams, n_novel) partials ride the combiner back out."""
+    import hashlib
+
+    import numpy as np
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids, hs, bks = [], [], []
+        for did, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            ws = (tx or "").split(" ")
+            seen = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+            for g in seen:
+                h = hashlib.md5(g.encode("utf-8", "surrogatepass")).digest()
+                ids.append(did)
+                hs.append(h)
+                bks.append(int.from_bytes(h[:8], "little") % P)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.binary(16)),
+                "bk": pa.array(bks, pa.int64()),
+            }
+        )
+
+    def per_bucket(df):
+        cols = {"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        first = df.groupby("h")["doc_id"].transform("min")
+        novel = (df["doc_id"] == first).astype("int64")
+        g = df.assign(nv=novel).groupby("doc_id", as_index=False).agg(
+            n_grams=("nv", "size"), n_novel=("nv", "sum")
+        )
+        return g[["doc_id", "n_grams", "n_novel"]].astype("int64")
+
+    parts = bucket_map_groups(
+        docs.map_batches(grams, batch_format="pyarrow"), "bk", per_bucket, P,
+        batch_format="pandas",
+    )
+    merged = merge_partials(parts, ["doc_id"], {"n_grams": "sum", "n_novel": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = t.column("n_novel").to_numpy(zero_copy_only=False)
+        rate = nv.astype(np.float64) / ng.astype(np.float64)
+        rate = np.copysign(np.floor(np.abs(rate) * 1e6 + 0.5), rate) / 1e6
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "n_novel": t.column("n_novel"),
+                "novelty": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

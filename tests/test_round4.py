@@ -903,3 +903,36 @@ def test_backlog_conservation(sf_tiny):
     # sum over months of backlog == total open order-months
     assert out["n_open"].sum() == (em - sm + 1).sum()
     assert (out["n_open"] >= 0).all()
+
+
+def test_ngram_novelty_monotone_head(sf_tiny):
+    """doc 0 is all-novel by definition; per-doc counts match a direct
+    recompute for the first few docs."""
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["ngram_novelty_docs"](sf_tiny).to_pandas().set_index("doc_id")
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    seen: set = set()
+    for r in docs.head(20).itertuples():
+        ws = r.text.split(" ")
+        grams = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        if not grams:
+            assert r.doc_id not in out.index
+            continue
+        novel = {g for g in grams if g not in seen}
+        assert out.loc[r.doc_id, "n_grams"] == len(grams)
+        assert out.loc[r.doc_id, "n_novel"] == len(novel)
+        seen |= grams
+    assert out.iloc[0]["novelty"] <= 1.0 and (out["novelty"] >= 0).all()
+
+
+def test_session_conversion_consistency(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    conv = registry.queries()["session_conversion_by_entry"](sf_tiny).to_pandas()
+    stats = registry.queries()["session_stats"](sf_tiny).to_pandas().iloc[0]
+    assert conv["n_sessions"].sum() == stats.n_sessions
+    assert (conv["n_converted"] <= conv["n_sessions"]).all()
+    assert ((conv["conversion_rate"] >= 0) & (conv["conversion_rate"] <= 1)).all()
