@@ -3446,3 +3446,68 @@ def session_conversion_by_entry(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# New-user acquisition curve: first-seen month per user -> new users
+# per month and the cumulative distinct-user count over time.
+# ---------------------------------------------------------------------------
+
+_NEWUSERS_ORACLE = """
+WITH f AS (SELECT user_id,
+                  MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS first_day
+           FROM events GROUP BY 1),
+m AS (SELECT first_day AS day_idx, COUNT(*) AS n_new FROM f GROUP BY 1)
+SELECT day_idx, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM m
+"""
+
+
+@register("new_users_curve", oracle=_NEWUSERS_ORACLE)
+def new_users_curve(sf_dir: str):
+    """Distinct-user growth (daily — the events corpus spans one
+    month): per-user first-seen day rides a combiner MIN, the per-day
+    census another combiner, and the cumulative sum runs over the
+    day-cardinality final — nothing user-sized leaves the
+    aggregates."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        g = pa.table(
+            {"user_id": t.column("user_id"), "m": pa.array(day.astype(np.int64))}
+        ).group_by(["user_id"]).aggregate([("m", "min")])
+        return pa.Table.from_arrays(
+            [g.column("user_id"), g.column("m_min")], names=["user_id", "m"]
+        )
+
+    per_user = merge_partials(
+        ev.map_batches(first_partial, batch_format="pyarrow"), ["user_id"], {"m": "min"}
+    )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["m"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g.column("m"), g.column("count_all")], names=["day_idx", "n_new"]
+        )
+
+    months = merge_partials(
+        per_user.map_batches(month_partial, batch_format="pyarrow"), ["day_idx"], {"n_new": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day_idx").reset_index(drop=True)
+        return pa.table(
+            {
+                "day_idx": pa.array(df["day_idx"].to_numpy().astype(np.int64)),
+                "n_new": pa.array(df["n_new"].to_numpy().astype(np.int64)),
+                "cum_users": pa.array(df["n_new"].cumsum().to_numpy().astype(np.int64)),
+            }
+        )
+
+    return months.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

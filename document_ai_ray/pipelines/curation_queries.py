@@ -1377,3 +1377,90 @@ def k_anonymity_report(sf_dir: str):
         return t.append_column("k_anonymous", pa.array(n >= _KANON_K))
 
     return agg.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test LEAKAGE report: near-duplicate pairs (bigram Jaccard
+# >= 0.5, the corpus's proven near-dup spec) broken down by the split
+# pair they land in — cross-split rows are contamination a training
+# run must scrub before trusting eval numbers.
+# ---------------------------------------------------------------------------
+
+_LEAK_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+sp AS (SELECT doc_id,
+              CASE WHEN hv < 98 THEN 'train' WHEN hv < 99 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-{_SPLIT_SEED}'), 1, 8)) AS BIGINT)
+                      % 100 AS hv
+             FROM documents))
+SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b,
+       COUNT(*) AS n_pairs, LEAST(a.split, b.split) != GREATEST(a.split, b.split) AS leaky
+FROM pairs JOIN sp a ON a.doc_id = id_a JOIN sp b ON b.doc_id = id_b
+GROUP BY 1, 2
+"""
+
+
+@register("split_leakage_report", oracle=_LEAK_ORACLE)
+def split_leakage_report(sf_dir: str):
+    """Near-dup contamination across the 98/1/1 split: every proven
+    bigram-Jaccard>=0.5 pair classified by the (lexicographically
+    normalized) split pair it straddles.  The pair stream comes from
+    the existing exact near-dup pipeline; the split is a pure hash of
+    doc_id, so the classification is a stateless map + a tiny
+    combiner — no extra join."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.dedup_queries import ngram_jaccard_pairs
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+
+    def split_of(i: int) -> str:
+        hv = int(hashlib.md5(f"{i}-{_SPLIT_SEED}".encode()).hexdigest()[:8], 16) % 100
+        return "train" if hv < 98 else ("val" if hv < 99 else "test")
+
+    def classify(t: pa.Table) -> pa.Table:
+        sa = [split_of(i) for i in t.column("id_a").to_pylist()]
+        sb = [split_of(i) for i in t.column("id_b").to_pylist()]
+        lo = [min(x, y) for x, y in zip(sa, sb)]
+        hi = [max(x, y) for x, y in zip(sa, sb)]
+        return pa.table(
+            {
+                "split_a": pa.array(lo, pa.string()),
+                "split_b": pa.array(hi, pa.string()),
+                "one": pa.array(np.ones(len(lo), np.int64)),
+            }
+        )
+
+    merged = merge_partials(
+        pairs.map_batches(classify, batch_format="pyarrow"),
+        ["split_a", "split_b"],
+        {"one": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t.column("split_a").to_pylist()
+        b = t.column("split_b").to_pylist()
+        return pa.table(
+            {
+                "split_a": t.column("split_a"),
+                "split_b": t.column("split_b"),
+                "n_pairs": t.column("one"),
+                "leaky": pa.array([x != y for x, y in zip(a, b)]),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -936,3 +936,24 @@ def test_session_conversion_consistency(sf_tiny):
     assert conv["n_sessions"].sum() == stats.n_sessions
     assert (conv["n_converted"] <= conv["n_sessions"]).all()
     assert ((conv["conversion_rate"] >= 0) & (conv["conversion_rate"] <= 1)).all()
+
+
+def test_split_leakage_consistency(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    leak = registry.queries()["split_leakage_report"](sf_tiny).to_pandas()
+    pairs = registry.queries()["ngram_jaccard_pairs"](sf_tiny).to_pandas()
+    assert leak["n_pairs"].sum() == len(pairs)
+    assert (leak["leaky"] == (leak["split_a"] != leak["split_b"])).all()
+    assert (leak["split_a"] <= leak["split_b"]).all()
+
+
+def test_new_users_curve_conservation(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["new_users_curve"](sf_tiny).to_pandas().sort_values("day_idx")
+    ev = read_table(sf_tiny, "events", columns=["user_id"]).to_pandas()
+    assert out["n_new"].sum() == ev["user_id"].nunique()
+    assert out["cum_users"].iloc[-1] == ev["user_id"].nunique()
+    assert (out["cum_users"].diff().dropna() > 0).all()
