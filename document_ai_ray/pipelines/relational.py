@@ -2179,3 +2179,112 @@ def orders_open_backlog(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: duplicate records (each part name +
+# its deterministically corrupted variant) -> blocked fuzzy matching
+# -> connected components -> per-record entity id.  The classic
+# record-linkage pipeline, composed from the proven fuzzy join and
+# the distributed min-label components.
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = """
+WITH RECURSIVE
+anchor AS (SELECT p_name, MIN(p_partkey) AS aid FROM part GROUP BY 1),
+p AS (SELECT p_partkey, p_name, len(p_name) AS l FROM part),
+c AS (SELECT p_partkey,
+             CASE WHEN l >= 8
+                  THEN substr(p_name, 1, p_partkey % l) || substr(p_name, p_partkey % l + 2)
+                  ELSE p_name END AS cname
+      FROM p),
+names AS (SELECT DISTINCT p_name FROM part),
+j AS (SELECT DISTINCT c.p_partkey, n.p_name, levenshtein(c.cname, n.p_name) AS dist
+      FROM c JOIN names n
+        ON (substr(c.cname, 1, 4) = substr(n.p_name, 1, 4)
+            OR substr(c.cname, len(c.cname) - 3) = substr(n.p_name, len(n.p_name) - 3))),
+m AS (SELECT p_partkey, p_name AS matched_name FROM j WHERE dist <= 1),
+e0 AS (SELECT 2 * p.p_partkey AS u, 2 * a.aid AS v
+       FROM part p JOIN anchor a USING (p_name)
+       UNION ALL
+       SELECT 2 * m.p_partkey + 1 AS u, 2 * a.aid AS v
+       FROM m JOIN anchor a ON a.p_name = m.matched_name),
+edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+univ AS (SELECT 2 * p_partkey AS rid FROM part
+         UNION ALL SELECT 2 * p_partkey + 1 FROM part),
+reach AS (
+  SELECT rid AS u, rid AS label FROM univ
+  UNION
+  SELECT e.v AS u, r.label FROM edges e JOIN reach r ON r.u = e.u
+)
+SELECT u AS record_id, MIN(label) AS entity_id FROM reach GROUP BY u
+"""
+
+
+@register("entity_resolution_parts", oracle=_ER_ORACLE)
+def entity_resolution_parts(sf_dir: str):
+    """Record linkage flagship: the record universe is every part name
+    occurrence (record 2k) plus its one-char-deletion corruption
+    (record 2k+1); blocked Levenshtein<=1 matching (the proven
+    fuzzy_join_names spec) yields the match graph; distributed
+    min-label components assign each record its entity id.  SCALE
+    NOTE: records attach to their NAME-ANCHOR node (2 x min partkey of
+    the name) instead of pairwise to every same-name record — the name
+    dictionary here is 64 entries for 20k parts, so pairwise edges
+    would be quadratic (measured 6.5M at sf0.1) while anchor edges
+    stay linear.  The anchor map is dictionary-sized and broadcasts;
+    a corpus with an unbounded key dictionary would swap it for the
+    bucketed name join, same downstream shape."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.cluster import connected_components
+
+    matches = fuzzy_join_names(sf_dir)  # (p_partkey, matched_name, dist<=1)
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def name_min(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_name"]).aggregate([("p_partkey", "min")])
+        return pa.Table.from_arrays(
+            [g.column("p_name"), g.column("p_partkey_min")], names=["p_name", "aid"]
+        )
+
+    anchor = {
+        r["p_name"]: int(r["aid"])
+        for r in merge_partials(
+            parts.map_batches(name_min, batch_format="pyarrow"), ["p_name"], {"aid": "min"}
+        ).take_all()
+    }
+
+    def orig_edges(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        aid = np.array([anchor[n] for n in t.column("p_name").to_pylist()], np.int64)
+        rid = np.concatenate([2 * pk, 2 * pk + 1]).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([2 * pk, rid])),
+                "id_b": pa.array(np.concatenate([2 * aid, rid])),  # + self-edges
+            }
+        )
+
+    def match_edges(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        aid = np.array([anchor[n] for n in t.column("matched_name").to_pylist()], np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array((2 * pk + 1).astype(np.int64)),
+                "id_b": pa.array((2 * aid).astype(np.int64)),
+            }
+        )
+
+    edges = parts.map_batches(orig_edges, batch_format="pyarrow").union(
+        matches.map_batches(match_edges, batch_format="pyarrow")
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"record_id": t.column("node"), "entity_id": t.column("cluster_id")}
+        )
+
+    return comp.map_batches(rename, batch_format="pyarrow")

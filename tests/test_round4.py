@@ -957,3 +957,21 @@ def test_new_users_curve_conservation(sf_tiny):
     assert out["n_new"].sum() == ev["user_id"].nunique()
     assert out["cum_users"].iloc[-1] == ev["user_id"].nunique()
     assert (out["cum_users"].diff().dropna() > 0).all()
+
+
+def test_entity_resolution_pairs_corrupted_with_original(sf_tiny):
+    """Every corrupted record (2k+1) resolves to the same entity as its
+    original (2k): a one-char deletion always fuzzy-matches its own
+    name under the pigeonhole blocking."""
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["entity_resolution_parts"](sf_tiny).to_pandas()
+    n_parts = read_table(sf_tiny, "part", columns=["p_partkey"]).count()
+    assert len(out) == 2 * n_parts
+    ent = dict(zip(out["record_id"], out["entity_id"]))
+    for k in range(n_parts):
+        assert ent[2 * k] == ent[2 * k + 1], f"part {k}: corrupted split from original"
+    # entity ids are canonical min members
+    assert (out.groupby("entity_id")["record_id"].min().index
+            == out.groupby("entity_id")["record_id"].min().values).all()
