@@ -1464,3 +1464,193 @@ def split_leakage_report(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL template mining: digit-collapsed path templates with counts —
+# the crawl-side structure census (which page generators dominate a
+# site, which templates to throttle or prioritize).
+# ---------------------------------------------------------------------------
+
+_URLTPL_ORACLE = """
+WITH urls AS (
+  SELECT 'https://site' || CAST(i % 37 AS VARCHAR) || '.example/' ||
+         CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                    WHEN 3 THEN 'es' ELSE 'it' END ||
+         '/page' || CAST(i AS VARCHAR) AS url
+  FROM range(300) t(i)
+)
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template, COUNT(*) AS n_urls
+FROM urls GROUP BY 1
+"""
+
+
+@register("url_template_census", oracle=_URLTPL_ORACLE)
+def url_template_census(sf_dir: str):
+    """Collapse every URL's digit runs to 'N' and census the resulting
+    templates (site{N}.example/{lang}/page{N}) — a pure vectorized map
+    with a compiled regex per worker plus a template-cardinality
+    combiner."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.synth import pages_dataset
+
+    digit_rx = re.compile(r"[0-9]+")
+
+    def template(t: pa.Table) -> pa.Table:
+        tpl = [digit_rx.sub("N", u) for u in t.column("url").to_pylist()]
+        return pa.table(
+            {"template": pa.array(tpl, pa.string()),
+             "one": pa.array(np.ones(len(tpl), np.int64))}
+        )
+
+    merged = merge_partials(
+        pages_dataset(300).select_columns(["url"]).map_batches(template, batch_format="pyarrow"),
+        ["template"],
+        {"one": "sum"},
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"template": t.column("template"), "n_urls": t.column("one")})
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dense surrogate-key assignment: map every distinct dimension value
+# to a stable dense integer id (ordinal under the sorted order) — the
+# warehouse-load primitive behind every dimension table.
+# ---------------------------------------------------------------------------
+
+_DENSEID_ORACLE = """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT p_name, CAST(ROW_NUMBER() OVER (ORDER BY p_name) - 1 AS BIGINT) AS dense_id
+FROM d
+"""
+
+
+@register("dense_id_assignment", oracle=_DENSEID_ORACLE)
+def dense_id_assignment(sf_dir: str):
+    """Distinct part names -> dense ids 0..n-1 in sorted-name order:
+    per-batch distinct partials into a combiner, then one rank-
+    substrate pass assigns the ordinal (the distributed ROW_NUMBER
+    shape; ids are reproducible because the order is total)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_ai_ray.pipelines.ops import merge_partials, with_group_ranks
+    from document_ai_ray.sources.tables import read_table
+
+    parts = read_table(sf_dir, "part", columns=["p_name"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        names = sorted(set(t.column("p_name").to_pylist()))
+        return pa.table(
+            {"p_name": pa.array(names, pa.string()),
+             "one": pa.array(np.ones(len(names), np.int64))}
+        )
+
+    dist = merge_partials(
+        parts.map_batches(distinct_partial, batch_format="pyarrow"), ["p_name"], {"one": "sum"}
+    ).map_batches(
+        lambda t: t.drop_columns(["one"]).append_column(
+            "__g", pa.array(np.zeros(len(t), np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = with_group_ranks(dist, "__g", ["p_name"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_name": t.column("p_name"), "dense_id": t.column("__rank")}
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity report: orphan-count per declared FK edge —
+# the cross-table data-quality audit (complementing the single-table
+# Deequ-style suite).
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS fk_edge,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       COUNT(*) AS n_rows
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM lineitem l LEFT JOIN orders oo ON oo.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@register("referential_integrity_report", oracle=_RI_ORACLE)
+def referential_integrity_report(sf_dir: str):
+    """Orphan census for four FK edges.  Each edge broadcasts the
+    PARENT key set when dimension-sized (nation/customer/part) or
+    probes a bucketed distinct-key exchange when fact-sized (orders) —
+    here all parent key sets are dimension-bounded, so each check is a
+    broadcast-membership scan + one combiner row."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        keys = read_table(sf_dir, parent, columns=[pk])
+        key_arr = np.unique(
+            np.concatenate(
+                [b.column(pk).to_numpy(zero_copy_only=False)
+                 for b in keys.iter_batches(batch_format="pyarrow")]
+            )
+        )
+        ref = ray.put(key_arr)
+
+        def check(t: pa.Table, _ref=ref, _ck=ck, _name=name) -> pa.Table:
+            parent_keys = get_broadcast((_ref,), tag=_name)
+            v = t.column(_ck).to_numpy(zero_copy_only=False)
+            orphan = ~np.isin(v, parent_keys)
+            return pa.table(
+                {
+                    "fk_edge": pa.array([_name], pa.string()),
+                    "n_orphans": pa.array([int(orphan.sum())], pa.int64()),
+                    "n_rows": pa.array([len(v)], pa.int64()),
+                }
+            )
+
+        child_ds = read_table(sf_dir, child, columns=[ck])
+        outs.append(
+            merge_partials(
+                child_ds.map_batches(check, batch_format="pyarrow"),
+                ["fk_edge"],
+                {"n_orphans": "sum", "n_rows": "sum"},
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -975,3 +975,33 @@ def test_entity_resolution_pairs_corrupted_with_original(sf_tiny):
     # entity ids are canonical min members
     assert (out.groupby("entity_id")["record_id"].min().index
             == out.groupby("entity_id")["record_id"].min().values).all()
+
+
+def test_url_template_census_mass(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["url_template_census"](sf_tiny).to_pandas()
+    assert out["n_urls"].sum() == 300
+    assert all(t.startswith("https://siteN.example/") for t in out["template"])
+    assert len(out) == 5  # one template per language
+
+
+def test_dense_ids_are_dense_and_ordered(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["dense_id_assignment"](sf_tiny).to_pandas().sort_values("dense_id")
+    assert out["dense_id"].tolist() == list(range(len(out)))
+    assert out["p_name"].is_monotonic_increasing
+    assert out["p_name"].is_unique
+
+
+def test_referential_integrity_clean_corpus(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["referential_integrity_report"](sf_tiny).to_pandas()
+    assert len(out) == 4
+    n_li = read_table(sf_tiny, "lineitem", columns=["l_orderkey"]).count()
+    assert out.set_index("fk_edge").loc["lineitem.l_orderkey->orders", "n_rows"] == n_li
+    # the synthetic corpus is referentially clean
+    assert (out["n_orphans"] == 0).all()
