@@ -3511,3 +3511,147 @@ def new_users_curve(sf_dir: str):
         )
 
     return months.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# CEP sequence matching: count ordered view -> click -> purchase
+# triples per user where the whole pattern fits in 24 hours — the
+# MATCH_RECOGNIZE-style complex-event primitive (count-all-matches
+# semantics, which SQL can replay exactly).
+# ---------------------------------------------------------------------------
+
+_CEP_ORACLE = """
+SELECT v.user_id, COUNT(*) AS n_matches
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+WHERE v.event_type = 'view'
+GROUP BY 1
+"""
+
+
+@register("cep_sequence_matches", oracle=_CEP_ORACLE)
+def cep_sequence_matches(sf_dir: str):
+    """Windowed ordered-sequence counting (view < click < purchase,
+    purchase within 24 h of the view), all matches counted.  One
+    hash(user) exchange; inside a bucket each user's sorted stream is
+    swept once per (view, purchase) candidate window with searchsorted
+    click prefix-counts — vectorized over the user's events, never
+    materializing triples.  Only (user, count) rows leave."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+    W_US = 24 * 3600 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_type": t.column("event_type"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def count_matches(df):
+        cols = {"user_id": "int64", "n_matches": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_u, out_n = [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values("ts", kind="mergesort")
+            ts = g["ts"].to_numpy()
+            ty = g["event_type"].to_numpy()
+            vt = ts[ty == "view"]
+            ct = ts[ty == "click"]
+            pt = ts[ty == "purchase"]
+            if len(vt) == 0 or len(ct) == 0 or len(pt) == 0:
+                continue
+            # clicks strictly inside (v, p): prefix-count differences.
+            # matches = sum over (v, p<=v+W, p>v) of  C(p-) - C(v+)
+            ccum = np.arange(1, len(ct) + 1)  # clicks <= x via searchsorted
+            total = 0
+            for v in vt:
+                lo = np.searchsorted(pt, v, side="right")
+                hi = np.searchsorted(pt, v + W_US, side="right")
+                if hi <= lo:
+                    continue
+                p_in = pt[lo:hi]
+                c_before_p = np.searchsorted(ct, p_in, side="left")
+                c_after_v = np.searchsorted(ct, v, side="right")
+                total += int(np.maximum(c_before_p - c_after_v, 0).sum())
+            if total:
+                out_u.append(uid)
+                out_n.append(total)
+        return pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"),
+                             "n_matches": pd.Series(out_n, dtype="int64")})
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", count_matches, P,
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time histogram: minute-bucketed gaps between a user's
+# consecutive events — the traffic-shape fingerprint.
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id))) AS BIGINT))
+                  // 60 AS gap_min
+           FROM events)
+SELECT gap_min, COUNT(*) AS n_gaps
+FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+"""
+
+
+@register("events_interarrival_hist", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival_hist(sf_dir: str):
+    """Minute-granular histogram of per-user consecutive-event gaps
+    ((ts, event_id) order).  One hash(user) exchange computes the LAG
+    differences; only (gap_min, count) partials leave the buckets."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "eid": t.column("event_id"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def gaps(df):
+        cols = {"gap_min": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "eid"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift(1)
+        ok = prev.notna()
+        gap = (df["ts"][ok] // 10**6 - prev[ok].astype("int64") // 10**6) // 60
+        vc = gap.value_counts()
+        return pd.DataFrame({"gap_min": vc.index.astype("int64"), "n": vc.to_numpy()})
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", gaps, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["gap_min"], {"n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"gap_min": t.column("gap_min"), "n_gaps": t.column("n")})
+
+    return merged.map_batches(rename, batch_format="pyarrow")

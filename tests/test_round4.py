@@ -1005,3 +1005,38 @@ def test_referential_integrity_clean_corpus(sf_tiny):
     assert out.set_index("fk_edge").loc["lineitem.l_orderkey->orders", "n_rows"] == n_li
     # the synthetic corpus is referentially clean
     assert (out["n_orphans"] == 0).all()
+
+
+def test_cep_matches_reference_single_user(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["cep_sequence_matches"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["user_id", "ts", "event_type"]).to_pandas()
+    W = 24 * 3600 * 10**6
+    for uid in out["user_id"].head(3):
+        g = ev[ev["user_id"] == uid]
+        vt = g.loc[g["event_type"] == "view", "ts"].astype("int64").to_numpy()
+        ct = g.loc[g["event_type"] == "click", "ts"].astype("int64").to_numpy()
+        pt = g.loc[g["event_type"] == "purchase", "ts"].astype("int64").to_numpy()
+        ref = sum(
+            int(((ct > v) & (ct < p)).sum())
+            for v in vt
+            for p in pt
+            if v < p <= v + W
+        )
+        assert out.loc[out["user_id"] == uid, "n_matches"].iloc[0] == ref
+    assert (out["n_matches"] > 0).all()
+
+
+def test_interarrival_hist_mass(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_interarrival_hist"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["user_id"]).to_pandas()
+    # every event except each user's first contributes one gap
+    assert out["n_gaps"].sum() == len(ev) - ev["user_id"].nunique()
+    assert (out["gap_min"] >= 0).all()
