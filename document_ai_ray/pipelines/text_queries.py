@@ -3082,3 +3082,133 @@ def ngram_novelty_docs(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LM eval: next-word top-1 accuracy of the argmax-bigram model.  Train
+# on doc_id % 5 != 0, evaluate every adjacent pair in the held-out
+# docs; the prediction is argmax bigram count with the (count DESC,
+# word ASC) deterministic tiebreak both engines replay.
+# ---------------------------------------------------------------------------
+
+_NEXTWORD_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tr AS (SELECT ws[CAST(t.i AS BIGINT)] AS w1, ws[CAST(t.i + 1 AS BIGINT)] AS w2
+       FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       WHERE doc_id % 5 != 0 AND ws[CAST(t.i AS BIGINT)] != ''
+         AND ws[CAST(t.i + 1 AS BIGINT)] != ''),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+pred AS (SELECT w1, w2 AS predicted
+         FROM (SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1
+                                                 ORDER BY c DESC, w2) AS rn
+               FROM bc) WHERE rn = 1),
+ev AS (SELECT ws[CAST(t.i AS BIGINT)] AS w1, ws[CAST(t.i + 1 AS BIGINT)] AS w2
+       FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       WHERE doc_id % 5 = 0 AND ws[CAST(t.i AS BIGINT)] != ''
+         AND ws[CAST(t.i + 1 AS BIGINT)] != '')
+SELECT COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN p.predicted = ev.w2 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN p.predicted = ev.w2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS top1_accuracy
+FROM ev LEFT JOIN pred p USING (w1)
+"""
+
+
+@register("bigram_next_word_accuracy", oracle=_NEXTWORD_ORACLE)
+def bigram_next_word_accuracy(sf_dir: str):
+    """Held-out next-word top-1 accuracy of the count-argmax bigram
+    model (train = doc_id%5 != 0).  Shape: bigram counts ride a
+    hash(w1) exchange where each bucket elects its contexts' argmax
+    (deterministic tiebreak); the context->prediction map is
+    vocabulary-sized and broadcasts into the eval scan; one combiner
+    row comes back."""
+    import numpy as np
+
+    import ray
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        get_broadcast,
+        merge_partials,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for did, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did % 5 == 0:
+                continue
+            ws = [w for w in (tx or "").split(" ") if w]
+            c.update(zip(ws, ws[1:]))
+        w1 = [k[0] for k in c]
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+                "bk": pa.array([stable64(x) % P for x in w1], pa.int64()),
+            }
+        )
+
+    def argmax_in_bucket(df):
+        import pandas as pd
+
+        cols = {"w1": "object", "predicted": "object"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = df.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        g = g.sort_values(["w1", "c", "w2"], ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("w1", as_index=False).head(1)
+        return pd.DataFrame({"w1": top["w1"], "predicted": top["w2"]})
+
+    pred_ds = bucket_map_groups(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"), "bk", argmax_in_bucket,
+        P, batch_format="pandas",
+    )
+    pred_tbl = pred_ds.to_pandas()  # context-vocabulary sized
+    pred_ref = (ray.put(dict(zip(pred_tbl["w1"], pred_tbl["predicted"]))),)
+
+    def score(t: pa.Table) -> pa.Table:
+        pred = get_broadcast(pred_ref, tag="nextword_pred")
+        n = correct = 0
+        for did, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did % 5 != 0:
+                continue
+            ws = [w for w in (tx or "").split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                n += 1
+                if pred.get(a) == b:
+                    correct += 1
+        return pa.table(
+            {"n_eval": pa.array([n], pa.int64()), "n_correct": pa.array([correct], pa.int64())}
+        )
+
+    agg = merge_partials(
+        docs.map_batches(score, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column("__k", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow",
+        ),
+        ["__k"],
+        {"n_eval": "sum", "n_correct": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = int(t.column("n_eval").to_numpy(zero_copy_only=False).sum())
+        c = int(t.column("n_correct").to_numpy(zero_copy_only=False).sum())
+        acc = float(c) / float(n)
+        acc = float(np.copysign(np.floor(abs(acc) * 1e6 + 0.5), acc) / 1e6)
+        return pa.table(
+            {
+                "n_eval": pa.array([n], pa.int64()),
+                "n_correct": pa.array([c], pa.int64()),
+                "top1_accuracy": pa.array([acc], pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

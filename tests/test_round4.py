@@ -1040,3 +1040,42 @@ def test_interarrival_hist_mass(sf_tiny):
     # every event except each user's first contributes one gap
     assert out["n_gaps"].sum() == len(ev) - ev["user_id"].nunique()
     assert (out["gap_min"] >= 0).all()
+
+
+def test_ppr_mass_and_seed(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["ppr_from_host"](sf_tiny).to_pandas()
+    # PPR is a probability vector: mass conserved (dangling returned to seed)
+    assert abs(out["ppr"].sum() - 1.0) < 1e-3
+    seed = min(h for h in out["host"] if not h[0].isdigit())
+    # the seed host holds the largest score (teleport + dangling return)
+    assert out.loc[out["ppr"].idxmax(), "host"] == seed or out["ppr"].max() > 0.1
+
+
+def test_nextword_accuracy_reference(sf_tiny):
+    from collections import Counter
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["bigram_next_word_accuracy"](sf_tiny).to_pandas().iloc[0]
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"]).to_pandas()
+    bc: Counter = Counter()
+    for r in docs.itertuples():
+        if r.doc_id % 5 == 0:
+            continue
+        ws = [w for w in r.text.split(" ") if w]
+        bc.update(zip(ws, ws[1:]))
+    pred = {}
+    for (a, b), c in sorted(bc.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])):
+        pred.setdefault(a, b)
+    n = correct = 0
+    for r in docs.itertuples():
+        if r.doc_id % 5 != 0:
+            continue
+        ws = [w for w in r.text.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            n += 1
+            correct += pred.get(a) == b
+    assert out.n_eval == n and out.n_correct == correct
