@@ -3655,3 +3655,149 @@ def events_interarrival_hist(sf_dir: str):
         return pa.table({"gap_min": t.column("gap_min"), "n_gaps": t.column("n")})
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequence-path mining: the most common 3-step event-type paths over
+# each user's (ts, event_id)-ordered stream — "what do journeys look
+# like", the product-analytics staple.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_PATH_K = 10
+
+_TRIGRAM_PATH_ORACLE = f"""
+WITH o AS (SELECT user_id, event_type,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM o WHERE t3 IS NOT NULL GROUP BY 1)
+SELECT path, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+FROM p ORDER BY n DESC, path LIMIT {_TRIGRAM_PATH_K}
+"""
+
+
+@register("event_trigram_paths", oracle=_TRIGRAM_PATH_ORACLE)
+def event_trigram_paths(sf_dir: str):
+    """Top-{0} 3-event-type paths: one hash(user) exchange emits each
+    bucket's path counts (sliding window over the sorted per-user
+    stream), a combiner merges them, and the path-vocabulary final
+    (at most |types|^3 = 125 rows) ranks the head.""".format(_TRIGRAM_PATH_K)
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "eid": t.column("event_id"),
+             "event_type": t.column("event_type"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def paths(df):
+        cols = {"path": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        from collections import Counter
+
+        df = df.sort_values(["user_id", "ts", "eid"], kind="mergesort")
+        c: Counter = Counter()
+        for _, g in df.groupby("user_id", sort=False):
+            ty = g["event_type"].tolist()
+            c.update(f"{a}>{b}>{d}" for a, b, d in zip(ty, ty[1:], ty[2:]))
+        return pd.DataFrame({"path": list(c.keys()), "n": pd.Series(list(c.values()), dtype="int64")})
+
+    merged = merge_partials(
+        bucket_map_groups(ev.map_batches(tag, batch_format="pyarrow"), "bk", paths, P,
+                          batch_format="pandas"),
+        ["path"],
+        {"n": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "path"], ascending=[False, True]).head(
+            _TRIGRAM_PATH_K
+        ).reset_index(drop=True)
+        return pa.table(
+            {
+                "path": pa.array(df["path"], pa.string()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            }
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Abandoned-cart detection: clicks with NO purchase by the same user
+# in the following 24 h — the negative-pattern complement to the CEP
+# sequence matcher.
+# ---------------------------------------------------------------------------
+
+_ABANDON_ORACLE = """
+SELECT c.user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+FROM events c WHERE c.event_type = 'click'
+GROUP BY 1
+"""
+
+
+@register("abandoned_clicks", oracle=_ABANDON_ORACLE)
+def abandoned_clicks(sf_dir: str):
+    """Per-user abandoned clicks (no purchase within 24 h after).  One
+    hash(user) exchange; each bucket answers every click with one
+    searchsorted probe into the user's sorted purchase times."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+    W_US = 24 * 3600 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_type": t.column("event_type"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def detect(df):
+        cols = {"user_id": "int64", "n_clicks": "int64", "n_abandoned": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_u, out_c, out_a = [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            ct = np.sort(g.loc[g["event_type"] == "click", "ts"].to_numpy())
+            if len(ct) == 0:
+                continue
+            pt = np.sort(g.loc[g["event_type"] == "purchase", "ts"].to_numpy())
+            lo = np.searchsorted(pt, ct, side="right")
+            hi = np.searchsorted(pt, ct + W_US, side="right")
+            out_u.append(uid)
+            out_c.append(len(ct))
+            out_a.append(int((hi == lo).sum()))
+        return pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"),
+                             "n_clicks": pd.Series(out_c, dtype="int64"),
+                             "n_abandoned": pd.Series(out_a, dtype="int64")})
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", detect, P, batch_format="pandas"
+    )

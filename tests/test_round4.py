@@ -1079,3 +1079,41 @@ def test_nextword_accuracy_reference(sf_tiny):
             n += 1
             correct += pred.get(a) == b
     assert out.n_eval == n and out.n_correct == correct
+
+
+def test_trigram_paths_reference(sf_tiny):
+    from collections import Counter
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["event_trigram_paths"](sf_tiny).to_pandas()
+    ev = read_table(
+        sf_tiny, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        ty = g["event_type"].tolist()
+        c.update(f"{a}>{b}>{d}" for a, b, d in zip(ty, ty[1:], ty[2:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["path"], out["n"])) == want
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_abandoned_clicks_reference(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["abandoned_clicks"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["user_id", "ts", "event_type"]).to_pandas()
+    W = np.timedelta64(24 * 3600 * 10**6, "us")
+    for uid in out["user_id"].head(3):
+        g = ev[ev["user_id"] == uid]
+        ct = g.loc[g["event_type"] == "click", "ts"].to_numpy()
+        pt = g.loc[g["event_type"] == "purchase", "ts"].to_numpy()
+        ab = sum(1 for c in ct if not ((pt > c) & (pt <= c + W)).any())
+        r = out[out["user_id"] == uid].iloc[0]
+        assert r.n_clicks == len(ct) and r.n_abandoned == ab
+    assert (out["n_abandoned"] <= out["n_clicks"]).all()
