@@ -2288,3 +2288,92 @@ def entity_resolution_parts(sf_dir: str):
         )
 
     return comp.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered scan: interleave the bits of TWO predicate columns
+# (custkey, order day) into a space-filling-curve key, sort the file
+# on it, and prune row groups for point/range predicates on EITHER
+# column — the multi-dimensional layout lever a single-column sort
+# cannot give (Delta/Iceberg OPTIMIZE ZORDER semantics).
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey % 1000 < 100
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+"""
+
+
+def _interleave_bits(a: "np.ndarray", b: "np.ndarray", bits: int = 21) -> "np.ndarray":
+    """Morton code: interleave the low `bits` of two non-negative int
+    arrays (a gets even positions)."""
+    import numpy as np
+
+    z = np.zeros(len(a), np.uint64)
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    for i in range(bits):
+        z |= ((a >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+        z |= ((b >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+    return z.astype(np.int64)
+
+
+@register("zorder_pruned_scan", oracle=_ZORDER_ORACLE)
+def zorder_pruned_scan(sf_dir: str):
+    """Write `orders` sorted on the MORTON KEY of (o_custkey bucket,
+    order day), bounded row groups, then answer a predicate touching
+    BOTH dimensions (a custkey band AND one year) through the pushed
+    fragment filter — min/max statistics on the two natural columns
+    prune most row groups because z-ordering keeps both locally
+    clustered (pruning effectiveness asserted from footer statistics
+    in tests).  Same distributed write shape as rowgroup_pruned_scan."""
+    import datetime
+
+    import numpy as np
+
+    from document_ai_ray.functions.scratch import scratch_dir
+
+    out_dir = scratch_dir("zorder-orders")
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_z(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        # epoch-days fit 21 bits directly (until year 7715); a per-batch
+        # offset would make z-keys batch-dependent and break the layout
+        z = _interleave_bits(ck % 1000, day)
+        return t.append_column("__z", pa.array(z))
+
+    ds.map_batches(add_z, batch_format="pyarrow").sort("__z").write_parquet(
+        out_dir, row_group_size=2048
+    )
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    flt = (
+        (pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi)
+    )
+    back = rd.read_parquet(
+        out_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filter=flt,
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = (
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+            .to_numpy(zero_copy_only=False)
+            & (ck % 1000 < 100)
+        )
+        return t.filter(pa.array(m)).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return back.map_batches(exact, batch_format="pyarrow")

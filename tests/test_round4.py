@@ -1117,3 +1117,41 @@ def test_abandoned_clicks_reference(sf_tiny):
         r = out[out["user_id"] == uid].iloc[0]
         assert r.n_clicks == len(ct) and r.n_abandoned == ab
     assert (out["n_abandoned"] <= out["n_clicks"]).all()
+
+
+def test_zorder_layout_prunes_both_dimensions(sf_tiny):
+    """After the z-ordered write, row-group min/max footer statistics
+    must let BOTH the custkey band and the year range prune groups —
+    the multi-dimensional clustering claim."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["zorder_pruned_scan"](sf_tiny).to_pandas()
+    assert (out["o_custkey"] % 1000 < 100).all()
+
+    files = sorted(glob.glob(scratch_dir("zorder-orders", fresh=False) + "/**/*.parquet",
+                             recursive=True))
+    assert files, "z-ordered parquet output not found"
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    total = kept_date = kept_ck = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            total += 1
+            d = md.row_group(rg).column(sch["o_orderdate"]).statistics
+            c = md.row_group(rg).column(sch["o_custkey"]).statistics
+            if d.max >= lo and d.min < hi:
+                kept_date += 1
+            if c.min % 1000 < 100 or c.max % 1000 < 100 or (c.max - c.min) >= 1000:
+                kept_ck += 1
+    # the date range is 1 of ~7 years: the z-layout must prune SOME
+    # groups on the date axis (a custkey-only sort would prune none)
+    assert total >= 4
+    assert kept_date < total, f"no date-axis pruning: {kept_date}/{total}"
