@@ -3801,3 +3801,204 @@ def abandoned_clicks(sf_dir: str):
     return bucket_map_groups(
         ev.map_batches(tag, batch_format="pyarrow"), "bk", detect, P, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR delete propagation: scrub a deletion cohort (user_id % 100 == 7
+# stands in for the erasure request list) and emit the re-derived
+# per-type aggregates — the right-to-be-forgotten path: downstream
+# stats must reflect the deletion, not just the raw table.
+# ---------------------------------------------------------------------------
+
+_GDPR_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events WHERE user_id % 100 != 7
+GROUP BY 1
+"""
+
+
+@register("gdpr_delete_events", oracle=_GDPR_ORACLE)
+def gdpr_delete_events(sf_dir: str):
+    """Erasure-list scrub + aggregate re-derivation.  The deletion set
+    is a predicate here (at scale: a broadcast tombstone set / Bloom
+    filter — the anti-join machinery this repo already ships); counts
+    and sums ride the combiner, the distinct-user census a per-batch
+    dedup into the same exchange."""
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    P = auto_buckets(ev.count())
+
+    def scrub_tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        keep = u % 100 != 7
+        t = t.filter(pa.array(keep))
+        u = u[keep]
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return t.append_column("bk", pa.array(bk.astype(np.int64)))
+
+    def per_bucket(df):
+        cols = {"event_type": "object", "n_events": "int64", "n_users": "int64",
+                "sum_value": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"),
+            n_users=("user_id", "nunique"),  # users are bucket-disjoint
+        )
+        return g[["event_type", "n_events", "n_users", "sum_value"]]
+
+    parts = bucket_map_groups(
+        ev.map_batches(scrub_tag, batch_format="pyarrow"), "bk", per_bucket, P,
+        batch_format="pandas",
+    )
+    merged = merge_partials(
+        parts, ["event_type"], {"n_events": "sum", "n_users": "sum", "sum_value": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sv = t.column("sum_value").to_numpy(zero_copy_only=False)
+        sv = np.copysign(np.floor(np.abs(sv) * 100 + 0.5), sv) / 100
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "n_events": t.column("n_events"),
+             "n_users": t.column("n_users"),
+             "sum_value": pa.array(sv, pa.float64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point: the day where the cumulative deviation of daily
+# event counts from their mean peaks — the classic level-shift
+# detector over a counting series.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH d AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, COUNT(*) AS n
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n FROM d),
+c AS (SELECT day, n,
+             SUM(CAST(n AS DOUBLE) - (SELECT mean_n FROM m))
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM d)
+SELECT day AS change_day, n AS day_count, ROUND(s, 6) AS cusum
+FROM c ORDER BY ABS(s) DESC, day LIMIT 1
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(sf_dir: str):
+    """Max-|CUSUM| day of the daily event-count series.  Daily counts
+    ride the combiner; the cumulative scan and argmax run on the
+    day-cardinality final in the same (day-sorted) float order as the
+    oracle's window — bitwise-identical accumulation."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        g = pa.table({"day": pa.array(day.astype(np.int64))}).group_by(["day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.Table.from_arrays([g.column("day"), g.column("count_all")],
+                                    names=["day", "n"])
+
+    merged = merge_partials(
+        ev.map_batches(days, batch_format="pyarrow"), ["day"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day").reset_index(drop=True)
+        mean = float(df["n"].sum()) / len(df)
+        s = (df["n"].astype("float64") - mean).cumsum().to_numpy()
+        i = int(np.lexsort((df["day"].to_numpy(), -np.abs(s)))[0])
+        cs = float(np.copysign(np.floor(abs(s[i]) * 1e6 + 0.5), s[i]) / 1e6)
+        return pa.table(
+            {"change_day": pa.array([int(df['day'][i])], pa.int64()),
+             "day_count": pa.array([int(df['n'][i])], pa.int64()),
+             "cusum": pa.array([cs], pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# ML lag-feature frame: per event, the user's previous two values and
+# the trailing 3-event mean — the feature-engineering staple before
+# any per-user model.
+# ---------------------------------------------------------------------------
+
+_LAGFEAT_ORACLE = """
+SELECT event_id,
+       ROUND(LAG(value, 1) OVER w, 6) AS prev1,
+       ROUND(LAG(value, 2) OVER w, 6) AS prev2,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("events_lag_features", oracle=_LAGFEAT_ORACLE)
+def events_lag_features(sf_dir: str):
+    """LAG-1 / LAG-2 / trailing-3 mean per event under the
+    (ts, event_id) order: one hash(user) exchange, vectorized shifts
+    and rolling means per bucket.  The rolling mean divides the same
+    2-3 floats in the same order on both engines."""
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "value": t.column("value"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def feats(df):
+        cols = {"event_id": "int64", "prev1": "float64", "prev2": "float64",
+                "ma3": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["value"]
+        prev1 = g.shift(1)
+        prev2 = g.shift(2)
+        # trailing-3 mean with the oracle's exact association:
+        # AVG over the frame = sum of present values / count
+        ma3 = (df["value"] + prev1.fillna(0.0) + prev2.fillna(0.0)) / (
+            1.0 + prev1.notna() + prev2.notna()
+        )
+
+        def rnd(x):
+            v = x.to_numpy(dtype="float64")
+            return np.where(np.isnan(v), np.nan,
+                            np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6)
+
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(),
+             "prev1": rnd(prev1), "prev2": rnd(prev2), "ma3": rnd(ma3)}
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", feats, P, batch_format="pandas"
+    )

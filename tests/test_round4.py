@@ -1155,3 +1155,48 @@ def test_zorder_layout_prunes_both_dimensions(sf_tiny):
     # groups on the date axis (a custkey-only sort would prune none)
     assert total >= 4
     assert kept_date < total, f"no date-axis pruning: {kept_date}/{total}"
+
+
+def test_gdpr_scrub_excludes_cohort(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["gdpr_delete_events"](sf_tiny).to_pandas()
+    ev = read_table(sf_tiny, "events", columns=["user_id", "event_type"]).to_pandas()
+    kept = ev[ev["user_id"] % 100 != 7]
+    assert out["n_events"].sum() == len(kept)
+    ref = kept.groupby("event_type")["user_id"].nunique()
+    got = out.set_index("event_type")["n_users"]
+    assert (got.sort_index() == ref.sort_index()).all()
+
+
+def test_cusum_is_argmax(sf_tiny):
+    import numpy as np
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_cusum_changepoint"](sf_tiny).to_pandas().iloc[0]
+    ev = read_table(sf_tiny, "events", columns=["ts"]).to_pandas()
+    days = (ev["ts"].astype("int64") // (86400 * 10**6)).value_counts().sort_index()
+    s = (days - days.mean()).cumsum().to_numpy()
+    assert abs(abs(out.cusum) - np.abs(s).max()) < 1e-4
+    assert out.change_day in days.index
+
+
+def test_lag_features_reference(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_lag_features"](sf_tiny).to_pandas().set_index("event_id")
+    ev = read_table(
+        sf_tiny, "events", columns=["event_id", "user_id", "ts", "value"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id")["value"]
+    prev1 = g.shift(1)
+    assert len(out) == len(ev)
+    sample = ev.head(50)
+    for i, r in enumerate(sample.itertuples()):
+        want = prev1.iloc[i]
+        got = out.loc[r.event_id, "prev1"]
+        assert (pd.isna(want) and pd.isna(got)) or abs(got - want) < 1e-5
