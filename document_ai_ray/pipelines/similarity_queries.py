@@ -632,3 +632,107 @@ def hybrid_search_rrf(sf_dir: str):
             "rrf_rank": pa.array(both["rrf_rank"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# -- MMR diversified re-ranking --------------------------------------------
+
+_MMR_CAND = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: step k picks the remaining candidate
+    maximizing lam*rel - (1-lam)*max-sim-to-selected, similarities
+    QUANTIZED to 1e-6 before the arithmetic on both engines (raw
+    float64 cosines agree to ~1e-15 — the knn precedent — so the
+    quantized values are identical and the greedy is deterministic
+    with the cid tiebreak)."""
+    cos = "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[]))"
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT c.cid, c.emb, {k} AS mmr_rank
+  FROM cand c WHERE c.cid NOT IN (SELECT cid FROM sel{k - 1})
+  ORDER BY {_MMR_LAM} * c.rel_r
+           - {round(1 - _MMR_LAM, 10)} * (SELECT MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 6))
+                                          FROM sel{k - 1} s)
+           DESC, c.cid
+  LIMIT 1),
+sel{k} AS MATERIALIZED (
+  SELECT cid, emb FROM sel{k - 1} UNION ALL SELECT cid, emb FROM s{k})""")
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT t.vec_id AS cid, CAST(t.embedding AS DOUBLE[]) AS emb,
+         ROUND({cos}, 6) AS rel_r
+  FROM embeddings q JOIN embeddings t ON t.vec_id != q.vec_id
+  WHERE q.vec_id = 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY {cos} DESC, t.vec_id) <= {_MMR_CAND}),
+s1 AS MATERIALIZED (
+  SELECT cid, emb, 1 AS mmr_rank FROM cand ORDER BY rel_r DESC, cid LIMIT 1),
+sel1 AS MATERIALIZED (SELECT cid, emb FROM s1),
+{",".join(steps)}
+SELECT neighbor_id, mmr_rank FROM (
+  {" UNION ALL ".join(f"SELECT cid AS neighbor_id, mmr_rank FROM s{k}" for k in range(1, _MMR_K + 1))}
+)
+"""
+
+
+@register("mmr_rerank", oracle=_mmr_oracle())
+def mmr_rerank(sf_dir: str):
+    """MMR (maximal marginal relevance) diversified top-{0} from the
+    query-0 cosine top-{1}: greedy lam*relevance - (1-lam)*redundancy
+    re-ranking, the standard retrieval diversifier.  Candidate
+    generation is the distributed knn scan; the greedy runs on the
+    candidate set (output-sized, 20 vectors) with 1e-6-quantized
+    float64 similarities mirroring the oracle exactly.""".format(_MMR_K, _MMR_CAND)
+    import pyarrow as pa
+
+    from document_ai_ray.stages.similarity import _to_matrix, knn_bruteforce
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy()
+    q_mat = _to_matrix(emb.filter(pa.array(ids == 0)).column("embedding"))
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = knn_bruteforce(vecs, [0], q_mat, k=_MMR_CAND).to_pandas()
+    cand_ids = cand.sort_values("rank")["neighbor_id"].to_numpy()
+
+    sub = emb.filter(pa.array(np.isin(ids, cand_ids)))
+    sub_ids = sub.column("vec_id").to_numpy()
+    M = _to_matrix(sub.column("embedding"))
+    order = {int(v): i for i, v in enumerate(sub_ids)}
+    M = M[[order[int(c)] for c in cand_ids]]  # align to rank order
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
+        v = float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+        return float(np.copysign(np.floor(abs(v) * 1e6 + 0.5), v) / 1e6)
+
+    q = q_mat[0]
+    rel = np.array([cos(q, M[i]) for i in range(len(cand_ids))])
+    selected: list[int] = []
+    sel_rows = []
+    remaining = list(range(len(cand_ids)))
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for i in remaining:
+            if step == 1:
+                score = rel[i]
+            else:
+                pen = max(cos(M[i], M[j]) for j in selected)
+                score = _MMR_LAM * rel[i] - (1 - _MMR_LAM) * pen
+            key = (-score, int(cand_ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i)
+        i = best[1]
+        selected.append(i)
+        remaining.remove(i)
+        sel_rows.append((int(cand_ids[i]), step))
+
+    return pa.table(
+        {
+            "neighbor_id": pa.array([r[0] for r in sel_rows], pa.int64()),
+            "mmr_rank": pa.array([r[1] for r in sel_rows], pa.int32()),
+        }
+    )

@@ -1200,3 +1200,17 @@ def test_lag_features_reference(sf_tiny):
         want = prev1.iloc[i]
         got = out.loc[r.event_id, "prev1"]
         assert (pd.isna(want) and pd.isna(got)) or abs(got - want) < 1e-5
+
+
+def test_mmr_first_pick_is_knn_top1(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["mmr_rerank"](sf_tiny).to_pandas().sort_values("mmr_rank")
+    knn = registry.queries()["knn_bruteforce"](sf_tiny).to_pandas()
+    top1 = knn[(knn["query_id"] == 0) & (knn["rank"] == 1)]["neighbor_id"].iloc[0]
+    assert out.iloc[0]["neighbor_id"] == top1
+    assert out["mmr_rank"].tolist() == [1, 2, 3, 4, 5]
+    assert out["neighbor_id"].is_unique
+    # every pick came from the query-0 candidate pool
+    pool = set(knn[knn["query_id"] == 0]["neighbor_id"])
+    assert set(out["neighbor_id"]) <= pool
