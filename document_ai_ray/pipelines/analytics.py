@@ -4002,3 +4002,54 @@ def events_lag_features(sf_dir: str):
     return bucket_map_groups(
         ev.map_batches(tag, batch_format="pyarrow"), "bk", feats, P, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality index: 24*n_h/N — an exact rational per
+# bucket (the uniform-baseline traffic-shape readout).
+# ---------------------------------------------------------------------------
+
+_HOUR_SEASON_ORACLE = """
+WITH h AS (SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM h)
+SELECT hour, n,
+       ROUND(24.0 * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS seasonal_index
+FROM h CROSS JOIN t
+"""
+
+
+@register("events_hour_seasonality", oracle=_HOUR_SEASON_ORACLE)
+def events_hour_seasonality(sf_dir: str):
+    """Per-hour-of-day event share vs the uniform baseline (index 1.0
+    = flat): hour counts ride the combiner, the 24-row final derives
+    the exact-rational index."""
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        ts = pd.to_datetime(t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+                            unit="us")
+        g = pa.table({"hour": pa.array(ts.hour.to_numpy().astype(np.int64))}).group_by(
+            ["hour"]
+        ).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("hour"), g.column("count_all")],
+                                    names=["hour", "n"])
+
+    merged = merge_partials(ev.map_batches(hours, batch_format="pyarrow"), ["hour"], {"n": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = float(n.sum())
+        idx = 24.0 * n / total
+        idx = np.copysign(np.floor(np.abs(idx) * 1e6 + 0.5), idx) / 1e6
+        return pa.table(
+            {"hour": t.column("hour"), "n": t.column("n"),
+             "seasonal_index": pa.array(idx, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

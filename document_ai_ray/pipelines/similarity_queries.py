@@ -736,3 +736,115 @@ def mmr_rerank(sf_dir: str):
             "mmr_rank": pa.array([r[1] for r in sel_rows], pa.int32()),
         }
     )
+
+
+# -- TF-IDF vector-space retrieval -------------------------------------------
+
+_VSM_K = 10
+
+_VSM_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tf AS (SELECT doc_id, unnest(ws) AS word FROM w),
+tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+wts AS (SELECT t.doc_id, t.word,
+               CAST(t.tf AS DOUBLE) * LN((SELECT nd FROM n) / d.df) AS w
+        FROM tfc t JOIN df d USING (word)),
+nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nn FROM wts GROUP BY 1),
+q AS (SELECT word, w FROM wts WHERE doc_id = 0),
+dots AS (SELECT c.doc_id, SUM(c.w * q.w) AS dot
+         FROM wts c JOIN q USING (word) WHERE c.doc_id != 0 GROUP BY 1),
+sc AS (SELECT d.doc_id,
+              d.dot / ((SELECT nn FROM nrm WHERE doc_id = 0) * nrm.nn) AS raw
+       FROM dots d JOIN nrm USING (doc_id))
+SELECT doc_id AS neighbor_id, ROUND(raw, 6) AS score
+FROM sc WHERE raw > 0
+ORDER BY raw DESC, doc_id LIMIT {_VSM_K}
+"""
+
+
+@register("tfidf_text_knn", oracle=_VSM_ORACLE)
+def tfidf_text_knn(sf_dir: str):
+    """Vector-space-model retrieval: TF-IDF cosine between doc 0 and
+    every other doc, top-{0} (completing the lexical trio next to BM25
+    and Jaccard).  Shape: the DF map rides a hash(word) combiner; the
+    query doc's weighted term vector broadcasts (query-sized); one
+    scoring scan computes each doc's dot product and norm vectorized
+    from its own term counts, then the streaming top-k (the bm25
+    float-precedent: per-term log products summed per doc, raw-score
+    ordering with doc_id tiebreak).""".format(_VSM_K)
+    import pyarrow as pa
+
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast, merge_partials, topk
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    # distributed DF map (word -> doc count); vocab is dictionary-sized
+    def df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for tx in t.column("text").to_pylist():
+            c.update(set((tx or "").split(" ")) - {""})
+        return pa.table(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "df": pa.array(list(c.values()), pa.int64())}
+        )
+
+    df_tbl = merge_partials(
+        docs.map_batches(df_partial, batch_format="pyarrow"), ["word"], {"df": "sum"}
+    ).to_pandas()
+    df_map = dict(zip(df_tbl["word"], df_tbl["df"].astype(float)))
+
+    qrow = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    qtext = qrow.filter(pa.array(qrow.column("doc_id").to_numpy() == 0)).column("text").to_pylist()[0]
+    from collections import Counter as _Counter
+
+    qtf = _Counter(w for w in qtext.split(" ") if w)
+    qw = {w: c * np.log(n_docs / df_map[w]) for w, c in qtf.items()}
+    qn = float(np.sqrt(sum(v * v for v in qw.values())))
+    bref = (ray.put((qw, qn, df_map)),)
+
+    def score(t: pa.Table) -> pa.Table:
+        qw_, qn_, dfm = get_broadcast(bref, tag="vsm_q")
+        ids_out, scores = [], []
+        for did, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did == 0:
+                continue
+            tf = _Counter(w for w in (tx or "").split(" ") if w)
+            nn = 0.0
+            dot = 0.0
+            for w, c in tf.items():
+                wt = c * np.log(n_docs / dfm[w])
+                nn += wt * wt
+                if w in qw_:
+                    dot += wt * qw_[w]
+            if dot > 0:
+                ids_out.append(did)
+                scores.append(dot / (qn_ * float(np.sqrt(nn))))
+        return pa.table(
+            {"neighbor_id": pa.array(ids_out, pa.int64()),
+             "raw": pa.array(scores, pa.float64())}
+        )
+
+    top = topk(
+        docs.map_batches(score, batch_format="pyarrow"),
+        [("raw", True), ("neighbor_id", False)],
+        _VSM_K,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("raw").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"neighbor_id": t.column("neighbor_id"),
+             "score": pa.array(np.copysign(np.floor(np.abs(r) * 1e6 + 0.5), r) / 1e6,
+                               pa.float64())}
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

@@ -1214,3 +1214,43 @@ def test_mmr_first_pick_is_knn_top1(sf_tiny):
     # every pick came from the query-0 candidate pool
     pool = set(knn[knn["query_id"] == 0]["neighbor_id"])
     assert set(out["neighbor_id"]) <= pool
+
+
+def test_tfidf_knn_self_consistency(sf_tiny):
+    """Top-10 scores are in (0, 1], strictly ranked, and the #1 result
+    recomputed directly agrees."""
+    import numpy as np
+    from collections import Counter
+
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["tfidf_text_knn"](sf_tiny).to_pandas()
+    assert len(out) == 10 and (out["score"] > 0).all() and (out["score"] <= 1.0 + 1e-9).all()
+    docs = read_table(sf_tiny, "documents", columns=["doc_id", "text"]).to_pandas()
+    n = float(len(docs))
+    df: Counter = Counter()
+    for tx in docs["text"]:
+        df.update(set(tx.split(" ")) - {""})
+
+    def vec(tx):
+        tf = Counter(w for w in tx.split(" ") if w)
+        return {w: c * np.log(n / df[w]) for w, c in tf.items()}
+
+    qv = vec(docs.loc[docs["doc_id"] == 0, "text"].iloc[0])
+    qn = np.sqrt(sum(v * v for v in qv.values()))
+    best = out.iloc[0]
+    cv = vec(docs.loc[docs["doc_id"] == best.neighbor_id, "text"].iloc[0])
+    cn = np.sqrt(sum(v * v for v in cv.values()))
+    dot = sum(cv[w] * qv[w] for w in cv if w in qv)
+    assert abs(best.score - dot / (qn * cn)) < 1e-5
+
+
+def test_hour_seasonality_mass(sf_tiny):
+    from document_ai_ray.pipelines import registry
+    from document_ai_ray.sources.tables import read_table
+
+    out = registry.queries()["events_hour_seasonality"](sf_tiny).to_pandas()
+    n_events = read_table(sf_tiny, "events", columns=["ts"]).count()
+    assert out["n"].sum() == n_events
+    assert abs(out["seasonal_index"].mean() - 1.0) < 0.01  # 24 buckets, all present
