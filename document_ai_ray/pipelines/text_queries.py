@@ -3212,3 +3212,122 @@ def bigram_next_word_accuracy(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of document length: cumulative length share at each
+# population decile (the curve behind the Gini number).
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH r AS (SELECT n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+                  COUNT(*) OVER () AS n,
+                  SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents),
+t AS (SELECT SUM(n_chars) AS tot FROM documents)
+SELECT CAST(rk * 10 / n AS BIGINT) AS decile,
+       ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS cum_share
+FROM r CROSS JOIN t
+WHERE rk * 10 % n = 0 OR rk = n
+GROUP BY 1
+"""
+
+
+@register("lorenz_curve_lengths", oracle=_LORENZ_ORACLE)
+def lorenz_curve_lengths(sf_dir: str):
+    """Lorenz curve points: at each exact population decile boundary
+    (rank*10 divisible by n), the cumulative share of total characters
+    held by the shortest docs.  One rank-substrate pass with the
+    integer length as the prefix-sum column; the boundary rows filter
+    locally and only <= 10 rows reach the final."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import with_group_ranks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_chars": t.column("n_chars"), "doc_id": t.column("doc_id"),
+             "__g": pa.array(np.zeros(len(t), np.int8))}
+        )
+
+    ranked = with_group_ranks(
+        docs.map_batches(prep, batch_format="pyarrow"), "__g", ["n_chars", "doc_id"],
+        value_col="n_chars",
+    )
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        rk = t.column("__rank").to_numpy(zero_copy_only=False) + 1  # 1-based
+        n = t.column("__gn").to_numpy(zero_copy_only=False)
+        cum = t.column("__cum").to_numpy(zero_copy_only=False) + t.column(
+            "n_chars"
+        ).to_numpy(zero_copy_only=False)  # inclusive
+        keep = ((rk * 10) % n == 0) | (rk == n)
+        return pa.table(
+            {"decile": pa.array(((rk * 10) // n)[keep].astype(np.int64)),
+             "cum": pa.array(cum[keep].astype(np.int64))}
+        )
+
+    rows = ranked.map_batches(boundaries, batch_format="pyarrow").to_pandas()
+    tot = float(read_table(sf_dir, "documents", columns=["n_chars"]).sum("n_chars"))
+    g = rows.groupby("decile")["cum"].max()
+    share = g.to_numpy().astype(np.float64) / tot
+    share = np.copysign(np.floor(np.abs(share) * 1e6 + 0.5), share) / 1e6
+    return pa.table(
+        {"decile": pa.array(g.index.to_numpy().astype(np.int64)),
+         "cum_share": pa.array(share, pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram perplexity: exp of the unigram entropy — the
+# "effective vocabulary size" datasheet number.
+# ---------------------------------------------------------------------------
+
+_PPLX_ORACLE = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot, COUNT(*) AS vocab FROM c)
+SELECT CAST(tot AS BIGINT) AS n_tokens, vocab AS vocab_size,
+       ROUND(EXP(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot))), 6)
+         AS unigram_perplexity
+FROM c CROSS JOIN t GROUP BY tot, vocab
+"""
+
+
+@register("unigram_perplexity_corpus", oracle=_PPLX_ORACLE)
+def unigram_perplexity_corpus(sf_dir: str):
+    """exp(entropy) of the corpus unigram distribution.  Word counts
+    ride the hash(word) combiner; the entropy sum runs over the
+    vocabulary-sized final (float-sum drift ~1e-13 under the 1e-6
+    grid — the keyness/PSI precedent)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return word_value_counts(t.column("text"))
+
+    counts = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"), ["word"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = float(n.sum())
+        p = n / tot
+        pplx = float(np.exp(-(p * np.log(p)).sum()))
+        pplx = float(np.copysign(np.floor(abs(pplx) * 1e6 + 0.5), pplx) / 1e6)
+        return pa.table(
+            {"n_tokens": pa.array([int(tot)], pa.int64()),
+             "vocab_size": pa.array([len(t)], pa.int64()),
+             "unigram_perplexity": pa.array([pplx], pa.float64())}
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

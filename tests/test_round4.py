@@ -1254,3 +1254,25 @@ def test_hour_seasonality_mass(sf_tiny):
     n_events = read_table(sf_tiny, "events", columns=["ts"]).count()
     assert out["n"].sum() == n_events
     assert abs(out["seasonal_index"].mean() - 1.0) < 0.01  # 24 buckets, all present
+
+
+def test_lorenz_curve_properties(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["lorenz_curve_lengths"](sf_tiny).to_pandas().sort_values("decile")
+    assert out["decile"].iloc[-1] == 10
+    assert abs(out["cum_share"].iloc[-1] - 1.0) < 1e-6
+    assert (out["cum_share"].diff().dropna() > 0).all()  # strictly increasing
+    # Lorenz curve lies under the diagonal (inequality exists)
+    mid = out[out["decile"] == 5]
+    if len(mid):
+        assert mid["cum_share"].iloc[0] <= 0.5 + 1e-6
+
+
+def test_unigram_perplexity_bounds(sf_tiny):
+    from document_ai_ray.pipelines import registry
+
+    out = registry.queries()["unigram_perplexity_corpus"](sf_tiny).to_pandas().iloc[0]
+    # 1 <= perplexity <= vocab size (uniform maximizes entropy)
+    assert 1.0 <= out.unigram_perplexity <= out.vocab_size + 1e-6
+    assert out.n_tokens > out.vocab_size
