@@ -4053,3 +4053,247 @@ def events_hour_seasonality(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Dense-calendar gap fill + autocorrelation of the daily revenue
+# series.  Both ride the same day-cardinality combiner aggregate; the
+# spine (calendar-bounded, ~2.4k days even at 100 TB) is built in the
+# one-row-group final.  ACF moments are EXACT integers (micro-cents
+# scaled by n), so the single double division per lag is bitwise
+# identical on both engines.
+# ---------------------------------------------------------------------------
+
+_DAILY_CENTS_CTE = """
+WITH d0 AS (SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS c FROM d0 GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+                                        (SELECT MAX(day) FROM daily))) AS day),
+x AS (SELECT s.day AS day, COALESCE(daily.c, 0) AS c
+      FROM spine s LEFT JOIN daily ON daily.day = s.day)
+"""
+
+_GAPFILL_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """
+SELECT day, c AS revenue_cents, (c = 0) AS is_gap FROM x ORDER BY day
+"""
+)
+
+
+def _daily_cents(sf_dir: str):
+    """(day, cents) partial sums over orders — shared by the gap-fill
+    and ACF queries below."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def days(t: pa.Table) -> pa.Table:
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day.astype(np.int64)), "c": pa.array(cents)})
+            .group_by(["day"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.Table.from_arrays([g.column("day"), g.column("c_sum")], names=["day", "c"])
+
+    return merge_partials(orders.map_batches(days, batch_format="pyarrow"), ["day"], {"c": "sum"})
+
+
+@register("daily_revenue_gapfill", oracle=_GAPFILL_ORACLE)
+def daily_revenue_gapfill(sf_dir: str):
+    """Dense date-spine gap fill: every calendar day between the first
+    and last order date, with zero-revenue days materialized and
+    flagged — the series-preparation staple before any time-series
+    model.  Daily sums ride the combiner; the spine join happens in
+    the day-cardinality final (calendar-bounded forever)."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        c = np.zeros(len(spine), np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        return pa.table(
+            {
+                "day": pa.array(spine),
+                "revenue_cents": pa.array(c),
+                "is_gap": pa.array(c == 0),
+            }
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+_ACF_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """,
+m AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM x),
+z AS (SELECT day, CAST((SELECT n FROM m) AS HUGEINT) * CAST(c AS HUGEINT)
+                  - CAST((SELECT s FROM m) AS HUGEINT) AS zc
+      FROM x),
+den AS (SELECT SUM(zc * zc) AS d FROM z),
+lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+num AS (SELECT l.lag AS lag, COALESCE(SUM(a.zc * b.zc), 0) AS nu
+        FROM lags l LEFT JOIN z a ON TRUE LEFT JOIN z b ON b.day = a.day + l.lag
+        GROUP BY 1)
+SELECT lag, ROUND(CAST(nu AS DOUBLE) / CAST((SELECT d FROM den) AS DOUBLE), 6) AS acf
+FROM num ORDER BY lag
+"""
+)
+
+
+@register("acf_daily_revenue", oracle=_ACF_ORACLE)
+def acf_daily_revenue(sf_dir: str):
+    """Autocorrelation (lags 1-7) of the gap-filled daily revenue
+    series — the weekly-seasonality fingerprint.  Mean-centering is
+    done in EXACT integer arithmetic (zc = n*cents - sum, Python ints
+    in the final / HUGEINT in the oracle), so each lag's acf is one
+    double division of two identical exact integers on both engines."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        c = np.zeros(hi - lo + 1, np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        n = len(c)
+        s = int(c.sum())
+        zc = [n * int(v) - s for v in c]  # exact python ints
+        den = sum(v * v for v in zc)
+        out_lag, out_acf = [], []
+        for k in range(1, 8):
+            nu = sum(zc[i] * zc[i + k] for i in range(n - k)) if k < n else 0
+            acf = float(nu) / float(den) if den else 0.0
+            out_lag.append(k)
+            out_acf.append(np.copysign(np.floor(abs(acf) * 1e6 + 0.5), acf) / 1e6)
+        return pa.table(
+            {"lag": pa.array(out_lag, pa.int64()), "acf": pa.array(out_acf, pa.float64())}
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution: each purchase
+# distributes 1,000,000 micro-credits over the user's touches in the
+# preceding 7 days — 40% first, 40% last, 20% split over the middles
+# (largest-remainder to the earliest).  ALL-INTEGER credits, so the
+# per-channel sums are order-free.
+# ---------------------------------------------------------------------------
+
+_UATTRIB_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+t AS (SELECT p.event_id AS pid, e.event_type AS ty,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts, e.event_id) AS r,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS m
+      FROM p JOIN events e ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 7 DAY AND e.ts < p.ts),
+credit AS (
+  SELECT ty, CASE
+      WHEN m = 1 THEN 1000000
+      WHEN m = 2 THEN 500000
+      WHEN r = 1 OR r = m THEN 400000
+      ELSE 200000 // (m - 2)
+           + CASE WHEN r - 1 <= 200000 % (m - 2) THEN 1 ELSE 0 END
+    END AS cr
+  FROM t
+  UNION ALL
+  SELECT 'direct' AS ty, 1000000 AS cr FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = p.user_id
+                    AND e.ts >= p.ts - INTERVAL 7 DAY AND e.ts < p.ts))
+SELECT ty AS attributed_type, CAST(SUM(cr) AS BIGINT) AS micro_credit,
+       COUNT(*) AS n_touches
+FROM credit GROUP BY 1
+"""
+
+
+@register("attribution_position_based", oracle=_UATTRIB_ORACLE)
+def attribution_position_based(sf_dir: str):
+    """U-shaped multi-touch attribution over the same 7-day purchase
+    windows as `attribution_first_touch`: 400k/400k micro-credits to
+    the first and last touch, 200k split across middles with the
+    largest-remainder rule (earliest middles get the +1 seats), single
+    touches take the full million, empty windows go to 'direct'.
+    Integer credits make the channel totals associativity-free.  One
+    hash(user) exchange; per-bucket searchsorted window probes; only
+    (type, credit, touches) partials leave the buckets."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+    W_US = 7 * 86400 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "eid": t.column("event_id"),
+                "bk": pa.array(bk.astype(np.int64)),
+            }
+        )
+
+    def attribute(df):
+        acc: dict[str, list[int]] = {}
+
+        def add(ty: str, cr: int):
+            e = acc.setdefault(ty, [0, 0])
+            e[0] += cr
+            e[1] += 1
+
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "eid"], kind="mergesort")
+            ts = g["ts"].to_numpy()
+            ty = g["event_type"].to_numpy()
+            is_p = ty == "purchase"
+            if not is_p.any():
+                continue
+            pts = ts[is_p]
+            lo = np.searchsorted(ts, pts - W_US, side="left")
+            hi = np.searchsorted(ts, pts, side="left")
+            for a, b in zip(lo, hi):
+                m = int(b - a)
+                if m == 0:
+                    add("direct", 1000000)
+                elif m == 1:
+                    add(ty[a], 1000000)
+                elif m == 2:
+                    add(ty[a], 500000)
+                    add(ty[a + 1], 500000)
+                else:
+                    add(ty[a], 400000)
+                    add(ty[b - 1], 400000)
+                    q, rem = divmod(200000, m - 2)
+                    for i in range(m - 2):
+                        add(ty[a + 1 + i], q + (1 if i + 1 <= rem else 0))
+        return pd.DataFrame(
+            {
+                "attributed_type": list(acc),
+                "micro_credit": pd.Series([v[0] for v in acc.values()], dtype="int64"),
+                "n_touches": pd.Series([v[1] for v in acc.values()], dtype="int64"),
+            }
+        )
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", attribute, P, batch_format="pandas"
+    )
+    return merge_partials(parts, ["attributed_type"], {"micro_credit": "sum", "n_touches": "sum"})
