@@ -4297,3 +4297,125 @@ def attribution_position_based(sf_dir: str):
         ev.map_batches(tag, batch_format="pyarrow"), "bk", attribute, P, batch_format="pandas"
     )
     return merge_partials(parts, ["attributed_type"], {"micro_credit": "sum", "n_touches": "sum"})
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: per part, the top-3 most similar
+# parts by co-purchase cosine — the classic "customers who bought X
+# also bought Y" recommender neighborhood.
+# ---------------------------------------------------------------------------
+
+_ITEMKNN_MINSUP = 2
+_ITEMKNN_K = 3
+
+_ITEMKNN_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+item AS (SELECT pk, COUNT(*) AS cnt FROM lp GROUP BY 1),
+p0 AS (SELECT a.pk AS pa_, b.pk AS pb, COUNT(*) AS co
+       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY 1, 2 HAVING COUNT(*) >= {_ITEMKNN_MINSUP}),
+sym AS (SELECT pa_ AS i, pb AS j, co FROM p0
+        UNION ALL SELECT pb AS i, pa_ AS j, co FROM p0),
+sc AS (SELECT i, j, co,
+              ROUND(CAST(co AS DOUBLE)
+                    / SQRT(CAST(ia.cnt AS DOUBLE) * CAST(ja.cnt AS DOUBLE)), 6) AS cosine
+       FROM sym JOIN item ia ON ia.pk = i JOIN item ja ON ja.pk = j),
+r AS (SELECT i, j, co, cosine,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rn
+      FROM sc)
+SELECT i AS part_i, j AS part_j, co AS support, cosine
+FROM r WHERE rn <= {_ITEMKNN_K}
+"""
+
+
+@register("item_item_cosine_topk", oracle=_ITEMKNN_ORACLE)
+def item_item_cosine_topk(sf_dir: str):
+    """Item-item cosine kNN over orders-as-baskets: cosine(i, j) =
+    co(i,j) / sqrt(n_i * n_j) on binary purchase vectors, top-3
+    partners per part, min co-support 2.  Same exchange as the basket
+    lift query: global (order, part) dedup + pair expansion inside one
+    hash(order) exchange (pairs bounded by lines-per-order, never the
+    part vocab), co-counts ride the combiner.  Item supports are
+    part-catalog sized -> broadcast into the scoring map; ranking uses
+    the ROUNDED cosine (one sqrt + one division of exact ints on both
+    engines, ties by partner id) so the top-k cut is engine-robust;
+    the per-part cut runs on the bucketed grouped-topk final."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        get_broadcast,
+        grouped_topk,
+        merge_partials,
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    P = auto_buckets(li.count())
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        bk = (uniq[:, 0].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"ok": pa.array(uniq[:, 0]), "pk": pa.array(uniq[:, 1]),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    deduped = li.map_batches(local_dedup, batch_format="pyarrow").materialize()
+
+    _COLS = {"part_a": "int64", "part_b": "int64", "n": "int64"}
+
+    def basket_pairs(df):
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _COLS.items()})
+        df = df.drop_duplicates(["ok", "pk"])  # global: all of an order is here
+        m = df.merge(df, on="ok")
+        m = m[m["pk_x"] < m["pk_y"]]
+        g = m.groupby(["pk_x", "pk_y"], as_index=False).size()
+        pairs = pd.DataFrame(
+            {"part_a": g["pk_x"], "part_b": g["pk_y"], "n": g["size"].astype("int64")}
+        )
+        gi = df.groupby("pk", as_index=False).size()
+        items = pd.DataFrame(
+            {"part_a": gi["pk"], "part_b": np.full(len(gi), -1, np.int64),
+             "n": gi["size"].astype("int64")}
+        )
+        return pd.concat([pairs, items], ignore_index=True)
+
+    pair_parts = bucket_map_groups(deduped, "bk", basket_pairs, P, batch_format="pandas")
+    merged = merge_partials(pair_parts, ["part_a", "part_b"], {"n": "sum"})
+
+    # part-catalog-sized support map (bounded by the part vocabulary)
+    items_tbl = (
+        merged.filter(expr="part_b == -1")
+        .select_columns(["part_a", "n"])
+        .to_pandas()
+    )
+    import ray
+
+    cnt_ref = (ray.put(dict(zip(items_tbl["part_a"], items_tbl["n"]))),)
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = get_broadcast(cnt_ref)
+        pa_ = t.column("part_a").to_numpy(zero_copy_only=False)
+        pb = t.column("part_b").to_numpy(zero_copy_only=False)
+        co = t.column("n").to_numpy(zero_copy_only=False)
+        keep = (pb != -1) & (co >= _ITEMKNN_MINSUP)
+        pa_, pb, co = pa_[keep], pb[keep], co[keep]
+        na = np.fromiter((cnt[v] for v in pa_), np.float64, len(pa_))
+        nb = np.fromiter((cnt[v] for v in pb), np.float64, len(pb))
+        cos = co.astype(np.float64) / np.sqrt(na * nb)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # DuckDB ROUND, positive domain
+        i = np.concatenate([pa_, pb])
+        j = np.concatenate([pb, pa_])
+        return pa.table(
+            {"part_i": pa.array(i, pa.int64()), "part_j": pa.array(j, pa.int64()),
+             "support": pa.array(np.concatenate([co, co]), pa.int64()),
+             "cosine": pa.array(np.concatenate([cos, cos]), pa.float64())}
+        )
+
+    scored = merged.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, ["part_i"], [("cosine", False), ("part_j", True)], _ITEMKNN_K,
+        n_buckets=P,
+    )

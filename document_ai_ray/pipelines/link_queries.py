@@ -1531,3 +1531,102 @@ def ppr_from_host(sf_dir: str):
     return pa.table(
         {"host": pa.array(hosts, pa.string()), "ppr": pa.array(out, pa.float64())}
     )
+
+
+# -- Resource-allocation link prediction -------------------------------------
+
+_RA_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM k),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> ''),
+idg AS (SELECT dst, COUNT(*) AS m FROM edges GROUP BY 1),
+pairs AS (SELECT a.src AS host_a, b.src AS host_b, 1000000000 // i.m AS wgt
+          FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+          JOIN idg i ON i.dst = a.dst)
+SELECT host_a, host_b, CAST(SUM(wgt) AS BIGINT) AS ra_nano, COUNT(*) AS n_common
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("resource_allocation_linkpred", oracle=_RA_ORACLE)
+def resource_allocation_linkpred(sf_dir: str):
+    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) over
+    the source-host out-link graph: for every host pair sharing >= 1
+    common out-neighbor, RA = sum over common neighbors w of
+    1/indeg(w).  Each term is the EXACT integer 10^9 // indeg (integer
+    division on both engines), so the per-pair sums are order-free —
+    no cross-engine float accumulation.  Same single hash(dst)
+    exchange as co-citation: an edge's destination owns its bucket, so
+    indeg and the pair expansion are both bucket-local; only
+    (pair, weight) partials ride the combiner."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        distinct_rows,
+        merge_partials,
+    )
+    from document_ai_ray.stages.links import href_host, page_outlinks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    links = page_outlinks(_link_pages(docs, src_host_url=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = [href_host(u) for u in t.column("url").to_pylist()]
+        dst = [href_host(h) for h in t.column("href").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = distinct_rows(
+        links.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"]
+    )
+    P = auto_buckets(edges.count())
+
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        bk = [stable64(d) % P for d in t.column("dst").to_pylist()]
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"host_a": "object", "host_b": "object", "ra": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        # indeg is exact here: every edge of a dst hashes to this bucket
+        df = df.merge(df.groupby("dst", as_index=False).size(), on="dst")
+        df["wgt"] = (10**9 // df["size"]).astype("int64")
+        m = df.merge(df, on="dst")
+        m = m[m["src_x"] < m["src_y"]]
+        g = m.groupby(["src_x", "src_y"], as_index=False).agg(
+            ra=("wgt_x", "sum"), n=("wgt_x", "size")
+        )
+        return pd.DataFrame(
+            {"host_a": g["src_x"], "host_b": g["src_y"],
+             "ra": g["ra"].astype("int64"), "n": g["n"].astype("int64")}
+        )
+
+    parts = bucket_map_groups(
+        edges.map_batches(dst_bucket, batch_format="pyarrow"),
+        "bk",
+        pairs_in_bucket,
+        P,
+        batch_format="pandas",
+    )
+    merged = merge_partials(parts, ["host_a", "host_b"], {"ra": "sum", "n": "sum"})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host_a": t.column("host_a"),
+                "host_b": t.column("host_b"),
+                "ra_nano": t.column("ra"),
+                "n_common": t.column("n"),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")
