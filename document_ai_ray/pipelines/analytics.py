@@ -4419,3 +4419,187 @@ def item_item_cosine_topk(sf_dir: str):
         scored, ["part_i"], [("cosine", False), ("part_j", True)], _ITEMKNN_K,
         n_buckets=P,
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: the single best threshold on order price predicting
+# o_orderstatus = 'F', by weighted Gini impurity over prefix sums of
+# the sorted (cents -> class counts) grid.  All moments are exact
+# integers; each candidate's score is two identical double divisions
+# plus one add on both engines, so the argmax is deterministic.
+# ---------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+t AS (SELECT cents, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM o GROUP BY 1),
+w AS (SELECT cents,
+             CAST(SUM(n) OVER (ORDER BY cents) AS BIGINT) AS l,
+             CAST(SUM(p) OVER (ORDER BY cents) AS BIGINT) AS lp,
+             CAST((SELECT SUM(n) FROM t) AS BIGINT) AS nn,
+             CAST((SELECT SUM(p) FROM t) AS BIGINT) AS pp
+      FROM t),
+c AS (SELECT cents, l, lp, nn - l AS r, pp - lp AS rp, nn FROM w WHERE nn - l > 0),
+g AS (SELECT cents, l, r, nn,
+             CAST(lp * lp + (l - lp) * (l - lp) AS DOUBLE) / CAST(l AS DOUBLE) AS u,
+             CAST(rp * rp + (r - rp) * (r - rp) AS DOUBLE) / CAST(r AS DOUBLE) AS v
+      FROM c)
+SELECT cents AS threshold_cents, l AS n_left, r AS n_right,
+       ROUND(((CAST(l AS DOUBLE) - u) + (CAST(r AS DOUBLE) - v)) / CAST(nn AS DOUBLE), 6)
+         AS weighted_gini
+FROM g ORDER BY u + v DESC, cents LIMIT 1
+"""
+
+
+@register("stump_split_orders", oracle=_STUMP_ORACLE)
+def stump_split_orders(sf_dir: str):
+    """Optimal decision stump (CART's split-finding inner loop) on
+    o_totalprice for the o_orderstatus='F' label: per-threshold class
+    counts ride the combiner keyed on exact integer cents; the finish
+    sorts the grid once and scans prefix sums.  The candidate grid is
+    bounded by the price domain (a 100 TB run would pre-quantize the
+    grid, same shape); the score (lp^2+ln^2)/L + (rp^2+rn^2)/R is
+    exact-int divisions, so argmax + the tie-break (lowest threshold)
+    are engine-identical."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+
+    def grid(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        y = (pc.equal(t.column("o_orderstatus"), "F")).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"cents": pa.array(cents), "y": pa.array(y.astype(np.int64))})
+            .group_by(["cents"])
+            .aggregate([("y", "sum"), ([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("cents"), g.column("count_all"), g.column("y_sum")],
+            names=["cents", "n", "p"],
+        )
+
+    merged = merge_partials(
+        orders.map_batches(grid, batch_format="pyarrow"), ["cents"], {"n": "sum", "p": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("cents").reset_index(drop=True)
+        n = df["n"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        L = np.cumsum(n)
+        lp = np.cumsum(p)
+        NN, PP = int(L[-1]), int(lp[-1])
+        keep = (NN - L) > 0
+        cents = df["cents"].to_numpy(np.int64)[keep]
+        L, lp = L[keep], lp[keep]
+        R, rp = NN - L, PP - lp
+        u = (lp * lp + (L - lp) * (L - lp)).astype(np.float64) / L.astype(np.float64)
+        v = (rp * rp + (R - rp) * (R - rp)).astype(np.float64) / R.astype(np.float64)
+        i = int(np.lexsort((cents, -(u + v)))[0])
+        wg = ((float(L[i]) - u[i]) + (float(R[i]) - v[i])) / float(NN)
+        wg = float(np.floor(wg * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "threshold_cents": pa.array([int(cents[i])], pa.int64()),
+                "n_left": pa.array([int(L[i])], pa.int64()),
+                "n_right": pa.array([int(R[i])], pa.int64()),
+                "weighted_gini": pa.array([wg], pa.float64()),
+            }
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# HBOS-style histogram outliers: equi-width histogram over event value,
+# events falling in bins rarer than N // 1000 flagged.  Bin indexing is
+# the identical float expression on both engines; everything else is
+# integer counts.
+# ---------------------------------------------------------------------------
+
+_HBOS_BINS = 20
+
+_HBOS_ORACLE = f"""
+WITH m AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n FROM events),
+b AS (SELECT event_id, value,
+             LEAST(CAST(FLOOR((value - vmin) * {_HBOS_BINS}.0 / (vmax - vmin)) AS BIGINT),
+                   {_HBOS_BINS - 1}) AS bin
+      FROM events, m),
+h AS (SELECT bin, COUNT(*) AS bin_count FROM b GROUP BY 1)
+SELECT b.event_id, b.value, b.bin, h.bin_count
+FROM b JOIN h ON h.bin = b.bin, m
+WHERE h.bin_count <= n // 1000
+"""
+
+
+@register("hbos_event_outliers", oracle=_HBOS_ORACLE)
+def hbos_event_outliers(sf_dir: str):
+    """Histogram-based outlier detection (HBOS, Goldstein/Dengel 2012,
+    reduced to the rare-bin flag): 20 equi-width bins over the
+    heavy-tailed event value, events in bins holding <= N/1000 of the
+    mass flagged.  Three streaming passes: min/max/count combiner,
+    bin-count combiner (20-row final), then a broadcast of the 20
+    counts into the flagging map — nothing corpus-sized ever leaves
+    the tasks.  Requires vmax > vmin (guaranteed by the corpus)."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vmin": pa.array([float(v.min())]),
+                "vmax": pa.array([float(v.max())]),
+                "n": pa.array([len(v)], pa.int64()),
+                "one": pa.array([1], pa.int64()),
+            }
+        )
+
+    stats = (
+        merge_partials(
+            ev.map_batches(mm, batch_format="pyarrow"),
+            ["one"],
+            {"vmin": "min", "vmax": "max", "n": "sum"},
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    vmin, vmax, n_total = float(stats["vmin"]), float(stats["vmax"]), int(stats["n"])
+
+    def bins(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            np.floor((v - vmin) * float(_HBOS_BINS) / (vmax - vmin)).astype(np.int64),
+            _HBOS_BINS - 1,
+        )
+        g = pa.table({"bin": pa.array(b)}).group_by(["bin"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("bin"), g.column("count_all")], names=["bin", "c"])
+
+    hist = (
+        merge_partials(ev.map_batches(bins, batch_format="pyarrow"), ["bin"], {"c": "sum"})
+        .to_pandas()
+    )
+    counts = np.zeros(_HBOS_BINS, np.int64)
+    counts[hist["bin"].to_numpy()] = hist["c"].to_numpy()
+    thr = n_total // 1000
+    rare = counts <= thr  # bin -> is-outlier lookup, 20 entries
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            np.floor((v - vmin) * float(_HBOS_BINS) / (vmax - vmin)).astype(np.int64),
+            _HBOS_BINS - 1,
+        )
+        keep = rare[b]
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "value": t.column("value").filter(pa.array(keep)),
+                "bin": pa.array(b[keep]),
+                "bin_count": pa.array(counts[b[keep]]),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pyarrow")
