@@ -1654,3 +1654,34 @@ def referential_integrity_report(sf_dir: str):
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+@register("orc_roundtrip", oracle=_WDS_ORACLE)
+def orc_roundtrip(sf_dir: str):
+    """Value-identity through the ORC columnar exchange format (the
+    Hive-ecosystem sibling of Parquet): documents -> per-batch ORC
+    shards -> read_binary_files + in-task pyarrow.orc decode ->
+    value-checked against the source table.  Shard-parallel in both
+    directions; the manifest consume drives the distributed write."""
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.sources.columnar import read_orc, write_orc_shards
+
+    out_dir = scratch_dir("orc_rt")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    paths = [r["path"] for r in write_orc_shards(docs, out_dir).take_all()]
+    return read_orc(paths)
+
+
+@register("ipc_roundtrip", oracle=_WDS_ORACLE)
+def ipc_roundtrip(sf_dir: str):
+    """Value-identity through the Arrow IPC file format (Feather v2) —
+    the zero-copy spill/interchange format between Arrow engines.
+    Same shard-parallel shape as the ORC/tar roundtrips; on a real
+    deployment the read side maps the shards zero-copy."""
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.sources.columnar import read_ipc, write_ipc_shards
+
+    out_dir = scratch_dir("ipc_rt")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    paths = [r["path"] for r in write_ipc_shards(docs, out_dir).take_all()]
+    return read_ipc(paths)
