@@ -1016,3 +1016,154 @@ def media_gradient_pixel_stats(sf_dir: str):
         .map_batches(gen, batch_format="pyarrow")
         .map_batches(decode_stats, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL AUDIO decode: closed-form PCM clips through the
+# 16-bit WAV codec.  The sample law AND the encoder's int16
+# quantization (truncation toward zero of x*32767) are both
+# SQL-expressible, so DuckDB replays the exact decoded integers while
+# the engine round-trips real RIFF/WAVE bytes — the audio sibling of
+# media_gradient_pixel_stats.
+# ---------------------------------------------------------------------------
+
+_N_WAVCLIPS = 40
+
+_WAVSTATS_ORACLE = f"""
+WITH clips AS (SELECT i AS media_id, 400 + (i % 5) * 120 AS n FROM range({_N_WAVCLIPS}) t(i)),
+s AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS k FROM clips),
+v AS (SELECT media_id, n,
+             CAST(TRUNC((((media_id * 7 + k * 13) % 2001) - 1000.0) / 1000.0 * 32767.0)
+                  AS BIGINT) AS smp
+      FROM s)
+SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(smp) AS BIGINT) AS sum_s,
+       CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+       CAST(MAX(smp) AS BIGINT) AS max_s
+FROM v GROUP BY 1
+"""
+
+
+@register("media_wav_sample_stats", oracle=_WAVSTATS_ORACLE)
+def media_wav_sample_stats(sf_dir: str):
+    """Encode sawtooth-law PCM clips with the repo's real 16-bit WAV
+    codec, decode them back in a separate stage, and report per-clip
+    integer sample stats — which the oracle recomputes from the law
+    plus the encoder's trunc(x*32767) quantization.  The decoder's
+    int16/32768 float32 normalization is exactly invertible (int16
+    fits float32's mantissa), so a wrong byte anywhere in the RIFF
+    round-trip shifts a sum and fails the hash.  sf_dir unused (the
+    corpus is the formula)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.stages.multimodal import decode_wav, encode_wav
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for i in batch.column("id").to_pylist():
+            n = 400 + (i % 5) * 120
+            k = np.arange(n, dtype=np.int64)
+            m = (i * 7 + k * 13) % 2001
+            x = (m - 1000.0) / 1000.0
+            ids.append(i)
+            payloads.append(encode_wav(x, 8000))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def decode_stats(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "n_samples": [], "sum_s": [], "sum_abs": [], "max_s": []}
+        for i, b in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            s, _rate = decode_wav(b)
+            v = np.rint(s.astype(np.float64) * 32768.0).astype(np.int64)
+            rows["media_id"].append(i)
+            rows["n_samples"].append(len(v))
+            rows["sum_s"].append(int(v.sum()))
+            rows["sum_abs"].append(int(np.abs(v).sum()))
+            rows["max_s"].append(int(v.max()))
+        return pa.table({c: pa.array(vals, pa.int64()) for c, vals in rows.items()})
+
+    return (
+        rd.range(_N_WAVCLIPS, override_num_blocks=4)
+        .map_batches(gen, batch_format="pyarrow")
+        .map_batches(decode_stats, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL VIDEO-frame decode: closed-form animated GIFs
+# (multi-frame, LZW-compressed, palette-quantized) — frame pixels
+# follow a web-safe-palette-aligned law (multiples of 51), so the
+# quantizing encoder is exactly invertible and DuckDB replays every
+# frame's pixel sum from generate_series.
+# ---------------------------------------------------------------------------
+
+_N_GIFCLIPS = 36
+
+_GIFSTATS_ORACLE = f"""
+WITH clips AS (SELECT i AS media_id, 12 + (i % 4) * 4 AS w, 10 + (i % 3) * 4 AS h,
+                      2 + i % 3 AS nf
+               FROM range({_N_GIFCLIPS}) t(i)),
+fr AS (SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS frame FROM clips),
+px AS (SELECT media_id, w, h, frame, xx.x AS x, yy.y AS y
+       FROM fr,
+            LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
+            LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy)
+SELECT media_id, frame, w, h,
+       CAST(SUM(((x * 2 + y * 3 + frame * 5) % 6) * 51) AS BIGINT) AS sum_v
+FROM px GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("media_gif_pixel_stats", oracle=_GIFSTATS_ORACLE)
+def media_gif_pixel_stats(sf_dir: str):
+    """Encode animated multi-frame GIFs (variable-width LZW, palette
+    quantization) from a web-safe-aligned pixel law, demux + decode
+    every frame back, and report per-(clip, frame) pixel sums that the
+    oracle recomputes from the law alone — the first value-hash check
+    on the TEMPORAL (multi-frame) decode path: a wrong frame count,
+    frame order, or any LZW byte shifts a sum and fails the hash.
+    sf_dir unused (the corpus is the formula)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_ai_ray.stages.multimodal import decode_gif, encode_gif
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for i in batch.column("id").to_pylist():
+            w, h, nf = 12 + (i % 4) * 4, 10 + (i % 3) * 4, 2 + i % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = []
+            for f in range(nf):
+                v = ((xx * 2 + yy * 3 + f * 5) % 6).astype(np.uint8) * 51
+                frames.append(np.stack([v, v, v], -1))
+            ids.append(i)
+            payloads.append(encode_gif(frames))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def decode_stats(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "frame": [], "w": [], "h": [], "sum_v": []}
+        for i, b in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            for f, px in enumerate(decode_gif(b)):
+                rows["media_id"].append(i)
+                rows["frame"].append(f)
+                rows["w"].append(px.shape[1])
+                rows["h"].append(px.shape[0])
+                rows["sum_v"].append(int(px[..., 0].astype(np.int64).sum()))
+        return pa.table({c: pa.array(vals, pa.int64()) for c, vals in rows.items()})
+
+    return (
+        rd.range(_N_GIFCLIPS, override_num_blocks=4)
+        .map_batches(gen, batch_format="pyarrow")
+        .map_batches(decode_stats, batch_format="pyarrow")
+    )
