@@ -4603,3 +4603,258 @@ def hbos_event_outliers(sf_dir: str):
         )
 
     return ev.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness: per calendar day, distinct active users over
+# distinct monthly actives — the product-analytics engagement ratio.
+# Distinct sets ride the global-dedup exchange; only day- and
+# month-cardinality counts reach the final; one double division per
+# day, both operands exact ints.
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH d AS (SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  (EXTRACT(year FROM ts) - 1970) * 12 + EXTRACT(month FROM ts) - 1
+                    AS month_idx,
+                  user_id
+           FROM events),
+dau AS (SELECT day, month_idx, COUNT(*) AS dau FROM d GROUP BY 1, 2),
+mau AS (SELECT month_idx, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY 1)
+SELECT dau.day, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau ON mau.month_idx = dau.month_idx
+"""
+
+
+@register("dau_mau_stickiness", oracle=_STICKY_ORACLE)
+def dau_mau_stickiness(sf_dir: str):
+    """Daily-active / monthly-active stickiness per day.  Per-batch
+    (day, month, user) dedup partials -> global distinct exchange
+    (consumed twice: day counts + per-month distinct users, so it is
+    materialized once) -> day-cardinality final joins the tiny month
+    map and performs the one rounded division per day."""
+    from document_ai_ray.pipelines.ops import distinct_rows, partial_group_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def triple(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = ts // (86400 * 10**6)
+        month = ts.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        key = np.stack([day, month, u], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"day": pa.array(uniq[:, 0]), "month_idx": pa.array(uniq[:, 1]),
+             "user_id": pa.array(uniq[:, 2])}
+        )
+
+    dd = distinct_rows(
+        ev.map_batches(triple, batch_format="pyarrow"), ["day", "month_idx", "user_id"]
+    ).materialize()
+
+    dau = partial_group_agg(dd, ["day", "month_idx"], count_alias="dau")
+    mau_pairs = distinct_rows(
+        dd.select_columns(["month_idx", "user_id"]), ["month_idx", "user_id"]
+    )
+    mau = partial_group_agg(mau_pairs, ["month_idx"], count_alias="mau").to_pandas()
+    mau_map = dict(zip(mau["month_idx"], mau["mau"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df["month_idx"].map(mau_map).to_numpy(np.int64)
+        d = df["dau"].to_numpy(np.int64)
+        s = d.astype(np.float64) / m.astype(np.float64)
+        s = np.floor(s * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"day": pa.array(df["day"], pa.int64()),
+             "dau": pa.array(d), "mau": pa.array(m),
+             "stickiness": pa.array(s, pa.float64())}
+        )
+
+    return dau.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert: exact (lower) median + mean of the
+# first-signup -> first-subsequent-purchase delay across converting
+# users, on the distributed exact-rank substrate.
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+pu AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+       FROM events e JOIN su ON su.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > su.s_ts GROUP BY 1),
+d AS (SELECT su.user_id, epoch_us(pu.p_ts) - epoch_us(su.s_ts) AS delta_us
+      FROM su JOIN pu ON pu.user_id = su.user_id),
+r AS (SELECT user_id, delta_us,
+             ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(delta_us) OVER () AS BIGINT) AS s
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n_converted,
+       delta_us AS median_delta_us,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_seconds
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+@register("funnel_time_to_convert", oracle=_TTC_ORACLE)
+def funnel_time_to_convert(sf_dir: str):
+    """Signup->purchase conversion delay: first signup per user, first
+    strictly-later purchase, exact lower-median of the delays via
+    `with_group_ranks` (distributed sort + offset-merged ranks — no
+    task holds the converting-user set), mean as one double division
+    of exact integer sum/count.  One hash(user) exchange produces the
+    per-user delays; the median row self-selects by rank == (n-1)//2
+    using the substrate's attached group totals."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        partial_group_agg,
+        with_group_ranks,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"), value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_type": t.column("event_type"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def deltas(df):
+        cols = {"user_id": "int64", "delta_us": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        s = df[df["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == "purchase"]
+        p = p.merge(s.rename("s_ts"), left_on="user_id", right_index=True)
+        p = p[p["ts"] > p["s_ts"]]
+        if len(p) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        first = p.groupby("user_id", as_index=False).agg(
+            p_ts=("ts", "min"), s_ts=("s_ts", "min")
+        )
+        return pd.DataFrame(
+            {"user_id": first["user_id"].astype("int64"),
+             "delta_us": (first["p_ts"] - first["s_ts"]).astype("int64")}
+        )
+
+    dl = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", deltas, P, batch_format="pandas"
+    ).materialize()
+
+    stats = (
+        partial_group_agg(
+            dl.map_batches(
+                lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["one"],
+            {"delta_us": "sum_us"},
+            count_alias="n",
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    n, sum_us = int(stats["n"]), int(stats["sum_us"])
+
+    ranked = with_group_ranks(
+        dl.map_batches(
+            lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        "one",
+        ["delta_us", "user_id"],
+    )
+    med = ranked.filter(expr=f"__rank == {(n - 1) // 2}").to_pandas()
+    mean_s = float(sum_us) / float(n) / 1000000.0
+    mean_s = float(np.floor(mean_s * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        [{"n_converted": n,
+          "median_delta_us": int(med["delta_us"].iloc[0]),
+          "mean_seconds": mean_s}]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: revenue share per region through the TPC-H
+# customer -> nation -> region dimension chain.
+# ---------------------------------------------------------------------------
+
+_REGSHARE_ORACLE = """
+WITH oc AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, o_custkey
+            FROM orders),
+j AS (SELECT r.r_name, oc.cents FROM oc
+      JOIN customer c ON c.c_custkey = oc.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+g AS (SELECT r_name, CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM j GROUP BY 1),
+t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tot FROM g)
+SELECT r_name AS region, revenue_cents,
+       ROUND(CAST(revenue_cents AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS revenue_share
+FROM g, t
+"""
+
+
+@register("revenue_share_by_region", oracle=_REGSHARE_ORACLE)
+def revenue_share_by_region(sf_dir: str):
+    """Percent-of-total (ratio-to-report) revenue per region: orders
+    resolve customer -> nation -> region through dim-sized broadcast
+    maps (the repo's broadcast-join convention for TPC-H dims; a
+    fact-sized dim would move to the shuffle/skew join), region cent
+    sums ride the combiner, and the 5-row final computes each share as
+    one double division of exact ints.  Orders with orphan custkeys
+    drop on both engines (inner-join semantics)."""
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast, partial_group_agg
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    c2r = {c: n2r[n] for c, n in zip(cust["c_custkey"], cust["c_nationkey"]) if n in n2r}
+    rname = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    c2r_ref = (ray.put(c2r),)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_region(t: pa.Table) -> pa.Table:
+        m = get_broadcast(c2r_ref)
+        ck = t.column("o_custkey").to_pylist()
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        rk = np.fromiter((m.get(c, -1) for c in ck), np.int64, len(ck))
+        keep = rk >= 0
+        return pa.table(
+            {"rk": pa.array(rk[keep]), "cents": pa.array(cents[keep])}
+        )
+
+    g = partial_group_agg(
+        orders.map_batches(to_region, batch_format="pyarrow"), ["rk"], {"cents": "revenue_cents"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        tot = int(df["revenue_cents"].sum())
+        share = df["revenue_cents"].to_numpy(np.int64).astype(np.float64) / float(tot)
+        share = np.floor(share * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"region": pa.array([rname[k] for k in df["rk"]], pa.string()),
+             "revenue_cents": pa.array(df["revenue_cents"], pa.int64()),
+             "revenue_share": pa.array(share, pa.float64())}
+        )
+
+    return g.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
