@@ -4858,3 +4858,171 @@ def revenue_share_by_region(sf_dir: str):
         )
 
     return g.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative purchase revenue per signup-cohort
+# month x age-month, normalized per cohort user — the classic cohort
+# triangle.  Revenue rides as integer cents; the dense age spine and
+# the single division per cell live in the cohort-cardinality final.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH me AS (SELECT user_id, event_type, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 // 7 AS m
+            FROM events),
+co AS (SELECT user_id, MIN(m) AS cohort FROM me GROUP BY 1),
+nc AS (SELECT cohort, COUNT(*) AS n_users FROM co GROUP BY 1),
+rev AS (SELECT co.cohort, me.m - co.cohort AS age,
+               CAST(SUM(CAST(FLOOR(me.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM me JOIN co ON co.user_id = me.user_id
+        WHERE me.event_type = 'purchase'
+        GROUP BY 1, 2),
+mx AS (SELECT MAX(m) AS mmax FROM me),
+spine AS (SELECT nc.cohort AS cohort, unnest(generate_series(0, mmax - nc.cohort)) AS age
+          FROM nc, mx),
+cum AS (SELECT s.cohort, s.age,
+               CAST(SUM(COALESCE(rev.cents, 0))
+                    OVER (PARTITION BY s.cohort ORDER BY s.age) AS BIGINT) AS cum_cents
+        FROM spine s LEFT JOIN rev ON rev.cohort = s.cohort AND rev.age = s.age)
+SELECT c.cohort, c.age, c.cum_cents, n.n_users,
+       ROUND(CAST(c.cum_cents AS DOUBLE) / CAST(n.n_users AS DOUBLE) / 100.0, 6)
+         AS ltv_per_user
+FROM cum c JOIN nc n ON n.cohort = c.cohort
+"""
+
+
+@register("cohort_ltv_curve", oracle=_LTV_ORACLE)
+def cohort_ltv_curve(sf_dir: str):
+    """Cohort lifetime-value triangle: cohort = epoch-WEEK of the
+    user's first event, age = weeks since (the corpus spans ~5 weeks), cell = cumulative purchase cents
+    per cohort user.  ONE hash(user) exchange derives each user's
+    cohort (all their events co-reside) and emits two partial streams
+    from the same pass — per-cohort user counts (age = -1 markers) and
+    per-(cohort, age) cent sums; the dense spine, cumsum and division
+    run on the week-squared-bounded final."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        m = ts // (86400 * 10**6) // 7
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"), "m": pa.array(m),
+             "event_type": t.column("event_type"), "value": t.column("value"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    _COLS = {"cohort": "int64", "age": "int64", "cents": "int64", "n": "int64"}
+
+    def partials(df):
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in _COLS.items()})
+        co = df.groupby("user_id")["m"].min().rename("cohort")
+        nc = co.value_counts()
+        users = pd.DataFrame(
+            {"cohort": nc.index.astype("int64"), "age": np.full(len(nc), -1, np.int64),
+             "cents": np.zeros(len(nc), np.int64), "n": nc.to_numpy().astype("int64")}
+        )
+        p = df[df["event_type"] == "purchase"].merge(
+            co, left_on="user_id", right_index=True
+        )
+        if len(p):
+            p["age"] = (p["m"] - p["cohort"]).astype("int64")
+            p["cents"] = np.floor(p["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            g = p.groupby(["cohort", "age"], as_index=False)["cents"].sum()
+            g["n"] = np.zeros(len(g), np.int64)
+            users = pd.concat([users, g[["cohort", "age", "cents", "n"]]], ignore_index=True)
+        return users
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", partials, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["cohort", "age"], {"cents": "sum", "n": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nc = dict(zip(df.loc[df["age"] == -1, "cohort"], df.loc[df["age"] == -1, "n"]))
+        rev = df[df["age"] >= 0]
+        mmax = int((rev["cohort"] + rev["age"]).max()) if len(rev) else max(nc)
+        out = {"cohort": [], "age": [], "cum_cents": [], "n_users": [], "ltv_per_user": []}
+        for cohort in sorted(nc):
+            n_users = int(nc[cohort])
+            cells = dict(
+                zip(rev.loc[rev["cohort"] == cohort, "age"],
+                    rev.loc[rev["cohort"] == cohort, "cents"])
+            )
+            cum = 0
+            for age in range(0, mmax - cohort + 1):
+                cum += int(cells.get(age, 0))
+                ltv = float(cum) / float(n_users) / 100.0
+                out["cohort"].append(cohort)
+                out["age"].append(age)
+                out["cum_cents"].append(cum)
+                out["n_users"].append(n_users)
+                out["ltv_per_user"].append(float(np.floor(abs(ltv) * 1e6 + 0.5) / 1e6))
+        return pa.table(
+            {"cohort": pa.array(out["cohort"], pa.int64()),
+             "age": pa.array(out["age"], pa.int64()),
+             "cum_cents": pa.array(out["cum_cents"], pa.int64()),
+             "n_users": pa.array(out["n_users"], pa.int64()),
+             "ltv_per_user": pa.array(out["ltv_per_user"], pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily revenue: the median of all pairwise
+# slopes over the gap-filled day series — outlier-days cannot move it.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """,
+p AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM x a JOIN x b ON b.day > a.day),
+r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn, COUNT(*) OVER () AS np
+      FROM p)
+SELECT CAST(np AS BIGINT) AS n_pairs, ROUND(slope, 6) AS median_slope_cents_per_day
+FROM r WHERE rn = (np + 1) // 2
+"""
+)
+
+
+@register("theil_sen_trend", oracle=_THEILSEN_ORACLE)
+def theil_sen_trend(sf_dir: str):
+    """Theil-Sen estimator over the dense daily revenue series: lower
+    median of all C(n,2) pairwise slopes.  Daily cents ride the
+    combiner; the pair expansion is calendar-bounded (n days ~ 2.4k ->
+    ~3M slopes, a few MB) and runs in the one final task — each slope
+    is one double division of exact ints, and the median selection by
+    value is engine-identical.  A multi-decade series would sample
+    pairs (the standard randomized Theil-Sen), same shape."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        c = np.zeros(hi - lo + 1, np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        n = len(c)
+        ii, jj = np.triu_indices(n, k=1)
+        slopes = (c[jj] - c[ii]).astype(np.float64) / (jj - ii).astype(np.float64)
+        k = (len(slopes) - 1) // 2
+        med = float(np.partition(slopes, k)[k])
+        med = float(np.copysign(np.floor(abs(med) * 1e6 + 0.5), med) / 1e6)
+        return pa.table(
+            {"n_pairs": pa.array([len(slopes)], pa.int64()),
+             "median_slope_cents_per_day": pa.array([med], pa.float64())}
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
