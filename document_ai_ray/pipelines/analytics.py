@@ -5026,3 +5026,84 @@ def theil_sen_trend(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user debounce (stream throttling): keep the first click, then
+# the next click >= 300 s after the LAST KEPT one — a data-dependent
+# chain no window function expresses; the oracle replays it with a
+# recursive CTE stepping one kept event per user per iteration.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 300_000_000
+
+_DEBOUNCE_ORACLE = f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE event_type = 'click'),
+kept AS (
+  SELECT user_id,
+         MIN([ts_us, event_id])[1] AS ts_us,
+         MIN([ts_us, event_id])[2] AS event_id
+  FROM base GROUP BY user_id
+  UNION ALL
+  SELECT b.user_id,
+         MIN([b.ts_us, b.event_id])[1] AS ts_us,
+         MIN([b.ts_us, b.event_id])[2] AS event_id
+  FROM kept k JOIN base b
+    ON b.user_id = k.user_id AND b.ts_us >= k.ts_us + {_DEBOUNCE_US}
+  GROUP BY b.user_id
+)
+SELECT user_id, event_id, ts_us FROM kept
+"""
+
+
+@register("events_debounce", oracle=_DEBOUNCE_ORACLE)
+def events_debounce(sf_dir: str):
+    """5-minute per-user click debounce (the rate-limiting / dedup
+    throttle every event collector runs): under (ts, event_id) order,
+    keep an event iff it is >= 300 s after the previously KEPT one —
+    state that depends on its own output, so it is a per-key
+    sequential scan, not a window.  One hash(user) exchange; each
+    bucket scans its users' sorted clicks once; integer microsecond
+    comparisons only."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts_us": t.column("ts").cast(pa.int64()),
+             "event_id": t.column("event_id"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def debounce(df):
+        cols = {"user_id": "int64", "event_id": "int64", "ts_us": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        keep = np.zeros(len(df), bool)
+        last_u = None
+        last_kept = 0
+        for i in range(len(df)):
+            if u[i] != last_u:
+                last_u, last_kept, keep[i] = u[i], ts[i], True
+            elif ts[i] >= last_kept + _DEBOUNCE_US:
+                last_kept, keep[i] = ts[i], True
+        return pd.DataFrame(
+            {"user_id": u[keep], "event_id": eid[keep], "ts_us": ts[keep]}
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", debounce, P, batch_format="pandas"
+    )
