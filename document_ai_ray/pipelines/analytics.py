@@ -5107,3 +5107,95 @@ def events_debounce(sf_dir: str):
     return bucket_map_groups(
         ev.map_batches(tag, batch_format="pyarrow"), "bk", debounce, P, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling sliding-window DISTINCT: per event, distinct users in the
+# trailing hour — a windowed aggregate no per-key partitioning serves
+# (the window crosses every key).  Scale shape: HALO REPLICATION —
+# each event ships to its own hour bucket AND the next one, so every
+# bucket holds exactly the (hour-1, hour] span its anchors need and
+# the per-bucket two-pointer scan is exact with no global state.
+# ---------------------------------------------------------------------------
+
+_ROLLDIST_ORACLE = """
+SELECT a.event_id, COUNT(DISTINCT b.user_id) AS n_users_1h
+FROM events a JOIN events b
+  ON b.ts <= a.ts AND b.ts > a.ts - INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+@register("rolling_distinct_users_1h", oracle=_ROLLDIST_ORACLE)
+def rolling_distinct_users_1h(sf_dir: str):
+    """Trailing-1h distinct active users at every event: the sliding
+    window crosses user keys, so the exchange partitions TIME instead —
+    events replicate to their hour bucket plus the following one (2x
+    halo, bounded by window/bucket ratio), each bucket sorts once and
+    answers its own anchors with a two-pointer distinct scan.  Counts
+    are exact integers; window = (ts - 1h, ts]."""
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    # hour span -> bucket count (bounded: one bucket per hour of data)
+    span = ev.map_batches(
+        lambda t: pa.table(
+            {"lo": pa.array([int(pc.min(t.column("ts")).cast(pa.int64()).as_py())]),
+             "hi": pa.array([int(pc.max(t.column("ts")).cast(pa.int64()).as_py())]),
+             "one": pa.array([1], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    mm = merge_partials(span, ["one"], {"lo": "min", "hi": "max"}).to_pandas().iloc[0]
+    h0 = int(mm["lo"]) // HOUR_US
+    n_hours = int(mm["hi"]) // HOUR_US - h0 + 1
+    # coarsen to <= 64 buckets: halo stays one WINDOW (not one bucket),
+    # so the replication factor only shrinks as buckets widen
+    g = max(1, -(-n_hours // 64))
+    P = (n_hours - 1) // g + 1
+
+    def halo(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        hr = ts // HOUR_US - h0
+        hb = hr // g
+        # native copy: anchor in its own bucket; halo copy: member-only
+        # in the next bucket, only for events within 1 h of its edge
+        nxt = (hr + 1) // g
+        keep2 = (nxt != hb) & (nxt < P)
+        return pa.table(
+            {"event_id": pa.array(np.concatenate([eid, eid[keep2]])),
+             "user_id": pa.array(np.concatenate([u, u[keep2]])),
+             "ts_us": pa.array(np.concatenate([ts, ts[keep2]])),
+             "anchor": pa.array(
+                 np.concatenate([np.ones(len(ts), bool), np.zeros(int(keep2.sum()), bool)])
+             ),
+             "bk": pa.array(np.concatenate([hb, nxt[keep2]]))}
+        )
+
+    def window_scan(df):
+        cols = {"event_id": "int64", "n_users_1h": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy()
+        users = df["user_id"].to_numpy()
+        anchors = df[df["anchor"]]
+        a_ts = anchors["ts_us"].to_numpy()
+        lo = np.searchsorted(ts, a_ts - HOUR_US, side="right")
+        hi = np.searchsorted(ts, a_ts, side="right")
+        n = [len(set(users[a:b])) for a, b in zip(lo, hi)]
+        return pd.DataFrame(
+            {"event_id": anchors["event_id"].to_numpy(),
+             "n_users_1h": pd.Series(n, dtype="int64")}
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(halo, batch_format="pyarrow"), "bk", window_scan, P,
+        batch_format="pandas",
+    )
