@@ -3331,3 +3331,164 @@ def unigram_perplexity_corpus(sf_dir: str):
         )
 
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier, FULLY oracle-checked:
+# per-(word, class) Laplace log-likelihoods are quantized to integer
+# MICRO-NATS (floor(1e6 * ln(p)) — glibc log on identical doubles is
+# identical), so every document score is an order-free integer sum and
+# the argmax is engine-exact, unlike float log accumulation.
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH w AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
+v AS (SELECT COUNT(DISTINCT word) AS vsz FROM tok),
+cl AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+nd AS (SELECT lang AS c, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+pr AS (SELECT nd.c,
+              CAST(FLOOR(1000000 * LN(CAST(nd.n_docs AS DOUBLE) / nn.n)) AS BIGINT)
+                AS prior_l
+       FROM nd, nn),
+wc AS (SELECT word, lang AS c, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+dt AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+sc AS (SELECT dt.doc_id, cl.c,
+              CAST(SUM(dt.cnt
+                       * CAST(FLOOR(1000000 * LN((COALESCE(wc.n, 0) + 1.0)
+                                                 / (cl.n_tok + v.vsz))) AS BIGINT))
+                   AS BIGINT)
+              + ANY_VALUE(pr.prior_l) AS score
+       FROM dt CROSS JOIN cl CROSS JOIN v
+       LEFT JOIN wc ON wc.word = dt.word AND wc.c = cl.c
+       JOIN pr ON pr.c = cl.c
+       GROUP BY 1, 2),
+pred AS (SELECT doc_id, c,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+         FROM sc)
+SELECT d.lang AS true_lang, p.c AS pred_lang, COUNT(*) AS n
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+WHERE p.rn = 1 GROUP BY 1, 2
+"""
+
+
+@register("nb_langid_confusion", oracle=_NB_ORACLE)
+def nb_langid_confusion(sf_dir: str):
+    """Train a multinomial naive Bayes on (lang -> word counts) over
+    the whole corpus (distributed bucketed counts), broadcast the
+    (vocab x classes) integer micro-nat likelihood matrix once, and
+    score every document in one vectorized np.add.at pass (token ->
+    L[word_idx, :] accumulation — no per-token Python).  Prediction =
+    argmax(prior + sum), ties broken by class name; the oracle replays
+    the entire spec (Laplace smoothing, quantization, argmax) in SQL.
+    Reported as the (true, predicted) confusion so the driver hash
+    pins both the model and the classifications."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        get_broadcast,
+        merge_partials,
+    )
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        outs = []
+        df = t.to_pandas()
+        for lang, g in df.groupby("lang"):
+            vc = word_value_counts(pa.array(g["text"]))
+            outs.append(
+                vc.append_column("lang", pa.array([lang] * len(vc), pa.string()))
+            )
+        out = pa.concat_tables(outs) if outs else pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "lang": pa.array([], pa.string())}
+        )
+        bucket = pa.array(
+            [crc_bucket(w, P) for w in out.column("word").to_pylist()], pa.int32()
+        )
+        return out.append_column("bucket", bucket)
+
+    def bucket_sum(df):
+        return df.groupby(["word", "lang"], as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "bucket", bucket_sum, P, batch_format="pandas",
+    )
+
+    # model assembly: vocab x classes — vocabulary-sized, never corpus-sized
+    wc: dict[tuple, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        wc.update(
+            zip(zip(b.column("word").to_pylist(), b.column("lang").to_pylist()),
+                b.column("n").to_pylist())
+        )
+    classes = sorted({c for _, c in wc})
+    vocab = sorted({w for w, _ in wc})
+    widx = {w: i for i, w in enumerate(vocab)}
+    vsz = len(vocab)
+    n_tok = {c: 0 for c in classes}
+    for (w, c), n in wc.items():
+        n_tok[c] += n
+    L = np.empty((vsz, len(classes)), np.int64)
+    for j, c in enumerate(classes):
+        denom = n_tok[c] + vsz
+        l0 = math.floor(1000000 * math.log(1.0 / denom))
+        L[:, j] = l0
+        for (w, cc), n in wc.items():
+            if cc == c:
+                L[widx[w], j] = math.floor(1000000 * math.log((n + 1.0) / denom))
+    # class priors from doc counts
+    nd = docs.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby("lang", as_index=False).size().rename(columns={"size": "n"}),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    ndf = merge_partials(nd, ["lang"], {"n": "sum"}).to_pandas()
+    n_total = int(ndf["n"].sum())
+    prior = np.array(
+        [math.floor(1000000 * math.log(float(ndf.set_index("lang")["n"][c]) / n_total))
+         for c in classes],
+        np.int64,
+    )
+    model_ref = (ray.put({"widx": widx, "L": L, "prior": prior, "classes": classes}),)
+
+    def classify(t: pa.Table) -> pa.Table:
+        m = get_broadcast(model_ref, tag="nb_langid")
+        widx_, L_, prior_, classes_ = m["widx"], m["L"], m["prior"], m["classes"]
+        lists = pc.split_pattern(t.column("text"), " ")
+        n_per_row = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per_row)
+        flat = pc.list_flatten(lists).to_pandas()
+        mask = (flat != "").to_numpy()
+        w_i = flat[mask].map(widx_).to_numpy(np.int64)  # full-corpus vocab: no OOV
+        scores = np.tile(prior_, (len(t), 1))
+        np.add.at(scores, row_idx[mask], L_[w_i])
+        # argmax with class-name tiebreak = first max under stable order
+        pred = np.asarray(classes_, object)[np.argmax(scores, axis=1)]
+        df = pd.DataFrame(
+            {"true_lang": t.column("lang").to_pylist(), "pred_lang": pred}
+        ).groupby(["true_lang", "pred_lang"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    return merge_partials(
+        docs.map_batches(classify, batch_format="pyarrow"), ["true_lang", "pred_lang"],
+        {"n": "sum"},
+    )
