@@ -2377,3 +2377,168 @@ def zorder_pruned_scan(sf_dir: str):
         return t.filter(pa.array(m)).select(["o_orderkey", "o_custkey", "o_totalprice"])
 
     return back.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum: the 100-TB migration-equality tool
+# (verify a copy/restore/engine-swap without sorting anything).  Each
+# row contributes the top 60 bits of the md5 of its canonical string;
+# the commutative integer sum makes the digest independent of block
+# order, task order and partitioning.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = """
+WITH r AS (SELECT CAST('0x' || substr(md5(  -- 15 hex chars = 60 bits, fits BIGINT
+                CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                || '|' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                || '|' || o_orderstatus || '|' || o_orderpriority
+                || '|' || CAST(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS VARCHAR)
+           ), 1, 15) AS BIGINT) AS v
+           FROM orders)
+SELECT COUNT(*) AS n_rows, CAST(SUM(v) % 9223372036854775808 AS BIGINT) AS checksum
+FROM r
+"""
+
+
+@register("table_checksum_orders", oracle=_CHECKSUM_ORACLE)
+def table_checksum_orders(sf_dir: str):
+    """Content checksum of the orders table: md5 of each row's
+    canonical pipe-joined string (ints and integer cents only — no
+    float formatting ambiguity), top 15 hex chars summed mod 2^63.
+    Pure combiner shape — per-batch partial sums, one tiny final; the
+    digest is invariant to every layout choice, which is the point."""
+    import hashlib
+
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        s = 0
+        for ok, ck, ce, st, pr, d in zip(
+            t.column("o_orderkey").to_pylist(), t.column("o_custkey").to_pylist(),
+            cents, t.column("o_orderstatus").to_pylist(),
+            t.column("o_orderpriority").to_pylist(), day,
+        ):
+            h = hashlib.md5(f"{ok}|{ck}|{ce}|{st}|{pr}|{d}".encode()).hexdigest()
+            s += int(h[:15], 16)
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             "n_rows": pa.array([t.num_rows], pa.int64()),
+             "s_lo": pa.array([s % (1 << 62)], pa.int64()),
+             "s_hi": pa.array([s >> 62], pa.int64())}
+        )
+
+    merged = merge_partials(
+        orders.map_batches(partial, batch_format="pyarrow"), ["one"],
+        {"n_rows": "sum", "s_lo": "sum", "s_hi": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = (int(t.column("s_hi")[0].as_py()) << 62) + int(t.column("s_lo")[0].as_py())
+        return pa.table(
+            {"n_rows": t.column("n_rows"),
+             "checksum": pa.array([total % (1 << 63)], pa.int64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exchange-skew report: the load census of the engine's OWN hash
+# exchange (Knuth multiplicative, mod-2^64 wrap, mod P) — the oracle
+# replays the exact hash in HUGEINT arithmetic, so the driver hash
+# pins the partitioner itself.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH b AS (SELECT (CAST(user_id AS HUGEINT) * 2654435761)
+                  % 18446744073709551616 % 32 AS bucket,
+                  user_id
+           FROM events)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM b GROUP BY 1
+"""
+
+
+@register("exchange_skew_report", oracle=_SKEW_ORACLE)
+def exchange_skew_report(sf_dir: str):
+    """Per-bucket load census of the hash(user) exchange every
+    events-keyed operator in this engine rides (bucket = u * 2654435761
+    mod 2^64 mod 32): rows and distinct keys per bucket — the
+    observability view a 100 TB operator checks before blaming a slow
+    stage on skew.  Row counts ride the combiner; distinct keys ride
+    the (bucket, user) dedup exchange."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import distinct_rows, merge_partials, partial_group_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = ((u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(32)).astype(np.int64)
+        return pa.table({"bucket": pa.array(bk), "user_id": t.column("user_id")})
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow").materialize()
+    n_ev = partial_group_agg(tagged, ["bucket"], count_alias="n_events")
+    n_us = partial_group_agg(
+        distinct_rows(tagged, ["bucket", "user_id"]), ["bucket"], count_alias="n_users"
+    ).to_pandas()
+    us_map = dict(zip(n_us["bucket"], n_us["n_users"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bucket": t.column("bucket"), "n_events": t.column("n_events"),
+             "n_users": pa.array([int(us_map[b]) for b in bk], pa.int64())}
+        )
+
+    return n_ev.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization: the GDPR-safe keyed rename that keeps
+# joins working (same user -> same pseudonym, across tables and runs).
+# ---------------------------------------------------------------------------
+
+_PSEUDO_ORACLE = """
+SELECT event_id, substr(md5('pepper-v1|' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS pseudo_user
+FROM events
+"""
+
+
+@register("pseudonymize_users", oracle=_PSEUDO_ORACLE)
+def pseudonymize_users(sf_dir: str):
+    """Keyed-hash pseudonymization of user ids (md5 with a versioned
+    pepper, 16 hex chars): referential integrity survives (equal ids
+    map equally everywhere) while raw identifiers never leave the
+    task.  Stateless vectorized batch map — the privacy sibling of
+    `gdpr_delete_events` and `k_anonymity_report`."""
+    import hashlib
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ps = [
+            hashlib.md5(f"pepper-v1|{u}".encode()).hexdigest()[:16]
+            for u in t.column("user_id").to_pylist()
+        ]
+        return pa.table(
+            {"event_id": t.column("event_id"), "pseudo_user": pa.array(ps, pa.string())}
+        )
+
+    return ev.map_batches(scrub, batch_format="pyarrow")
