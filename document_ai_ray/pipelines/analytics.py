@@ -5199,3 +5199,126 @@ def rolling_distinct_users_1h(sf_dir: str):
         ev.map_batches(halo, batch_format="pyarrow"), "bk", window_scan, P,
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-accuracy + randomness diagnostics on the gap-filled daily
+# revenue series.  Absolute-error masses are exact integer cents, so
+# MASE is one double division; the runs-test z uses only identical
+# single expressions over exact integer run/sign counts.
+# ---------------------------------------------------------------------------
+
+_MASE_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """,
+l AS (SELECT day, c,
+             LAG(c, 1) OVER (ORDER BY day) AS c1,
+             LAG(c, 7) OVER (ORDER BY day) AS c7
+      FROM x),
+e AS (SELECT CAST(SUM(ABS(c - c7)) AS BIGINT) AS sae7, COUNT(*) AS n7
+      FROM l WHERE c7 IS NOT NULL),
+d AS (SELECT CAST(SUM(ABS(c - c1)) AS BIGINT) AS sae1, COUNT(*) AS n1
+      FROM l WHERE c1 IS NOT NULL)
+SELECT e.sae7 AS seasonal_abs_err_cents, d.sae1 AS naive_abs_err_cents,
+       CAST(e.n7 AS BIGINT) AS n_seasonal, CAST(d.n1 AS BIGINT) AS n_naive,
+       ROUND((CAST(e.sae7 AS DOUBLE) / e.n7) / (CAST(d.sae1 AS DOUBLE) / d.n1), 6)
+         AS mase
+FROM e, d
+"""
+)
+
+
+@register("seasonal_naive_mase", oracle=_MASE_ORACLE)
+def seasonal_naive_mase(sf_dir: str):
+    """MASE of the weekly seasonal-naive forecast (y_hat_t = y_{t-7})
+    against the one-step naive baseline (y_{t-1}) over the dense daily
+    revenue series: the standard scale-free forecast benchmark.  Both
+    absolute-error masses are exact integer cents accumulated on the
+    calendar-bounded final; the ratio is computed with the identical
+    (sum/n)/(sum/n) association on both engines."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        c = np.zeros(hi - lo + 1, np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        sae7 = int(np.abs(c[7:] - c[:-7]).sum())
+        sae1 = int(np.abs(c[1:] - c[:-1]).sum())
+        n7, n1 = len(c) - 7, len(c) - 1
+        mase = (float(sae7) / n7) / (float(sae1) / n1)
+        mase = float(np.floor(mase * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {"seasonal_abs_err_cents": pa.array([sae7], pa.int64()),
+             "naive_abs_err_cents": pa.array([sae1], pa.int64()),
+             "n_seasonal": pa.array([n7], pa.int64()),
+             "n_naive": pa.array([n1], pa.int64()),
+             "mase": pa.array([mase], pa.float64())}
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+_RUNS_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """,
+l AS (SELECT day, c - LAG(c) OVER (ORDER BY day) AS d FROM x),
+s AS (SELECT day, CASE WHEN d > 0 THEN 1 ELSE 0 END AS up FROM l
+      WHERE d IS NOT NULL AND d <> 0),
+r AS (SELECT up, CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                        OR LAG(up) OVER (ORDER BY day) <> up THEN 1 ELSE 0 END AS new_run
+      FROM s),
+m AS (SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+             CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down
+      FROM r)
+SELECT n_runs, n_up, n_down,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / SQRT(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))), 6)
+         AS z_score
+FROM m
+"""
+)
+
+
+@register("runs_test_daily_revenue", oracle=_RUNS_ORACLE)
+def runs_test_daily_revenue(sf_dir: str):
+    """Wald-Wolfowitz runs test on the up/down moves of daily revenue
+    (zero moves dropped): are consecutive days independent?  Run and
+    sign counts are exact integers off the same calendar-bounded
+    final; the z-score is one identical closed-form expression on both
+    engines."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        c = np.zeros(hi - lo + 1, np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        d = np.diff(c)
+        up = (d[d != 0] > 0).astype(np.int64)
+        n_runs = int(1 + (up[1:] != up[:-1]).sum()) if len(up) else 0
+        n1, n2 = int(up.sum()), int(len(up) - up.sum())
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+        )
+        z = (float(n_runs) - mu) / np.sqrt(var)
+        z = float(np.copysign(np.floor(abs(z) * 1e6 + 0.5), z) / 1e6)
+        return pa.table(
+            {"n_runs": pa.array([n_runs], pa.int64()),
+             "n_up": pa.array([n1], pa.int64()),
+             "n_down": pa.array([n2], pa.int64()),
+             "z_score": pa.array([z], pa.float64())}
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
