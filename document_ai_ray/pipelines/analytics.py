@@ -5322,3 +5322,122 @@ def runs_test_daily_revenue(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention: survival analysis over user lifetimes with
+# right-censoring.  Every at-risk/death count is an exact integer; the
+# survival product multiplies the identical (1 - d/n) factors in the
+# identical ascending-time order on both engines (DuckDB window
+# product() vs np.cumprod).
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_DAYS = 180
+
+_KM_ORACLE = f"""
+WITH e AS (SELECT o_custkey AS user_id,
+                  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day FROM orders),
+u AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l FROM e GROUP BY 1),
+mx AS (SELECT MAX(day) AS dmax FROM e),
+t AS (SELECT l - f AS t,
+             CASE WHEN l <= dmax - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS death
+      FROM u, mx),
+g AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(death) AS BIGINT) AS c
+      FROM t GROUP BY 1),
+n AS (SELECT t, d,
+             CAST((SELECT COUNT(*) FROM u)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM g),
+s AS (SELECT t, d, n_risk,
+             product(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t) AS surv
+      FROM n WHERE d > 0)
+SELECT t AS t_days, n_risk AS n_at_risk, d AS n_deaths, ROUND(surv, 6) AS survival
+FROM s
+"""
+
+
+@register("kaplan_meier_retention", oracle=_KM_ORACLE)
+def kaplan_meier_retention(sf_dir: str):
+    """Kaplan-Meier survival curve over CUSTOMER ordering lifetimes
+    (t = last-order day - first-order day over the 6.5-year orders
+    span): a customer with no order in the final {h} observation days
+    churned (death at t), anyone ordering near the boundary is
+    right-censored.  Per-customer (first, last) rides one
+    hash(custkey) exchange; only (t, deaths, censored)
+    partials leave the buckets; the at-risk reverse-cumsum and the
+    ordered survival product run on the lifetime-cardinality final
+    (bounded by the observation window in days).""".format(h=_KM_HORIZON_DAYS)
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
+    ev = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    P = auto_buckets(ev.count())
+
+    # global observation end (one streaming min/max pass)
+    mm = merge_partials(
+        ev.map_batches(
+            lambda t: pa.table(
+                {"one": pa.array([1], pa.int64()),
+                 "hi": pa.array(
+                     [int(pc.max(t.column("o_orderdate")).cast(pa.int64()).as_py())],
+                     pa.int64(),
+                 )}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"], {"hi": "max"},
+    ).to_pandas()
+    dmax = int(mm["hi"].iloc[0]) // (86400 * 10**6)
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"user_id": pa.array(u), "day": pa.array(day),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def lifetimes(df):
+        cols = {"t": "int64", "d": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({col: pd.Series([], dtype=dt) for col, dt in cols.items()})
+        g = df.groupby("user_id")["day"].agg(["min", "max"])
+        t = (g["max"] - g["min"]).to_numpy(np.int64)
+        death = (g["max"].to_numpy(np.int64) <= dmax - _KM_HORIZON_DAYS).astype(np.int64)
+        out = pd.DataFrame({"t": t, "death": death}).groupby("t", as_index=False).agg(
+            d=("death", "sum"), c=("death", lambda x: int(len(x) - x.sum()))
+        )
+        return pd.DataFrame(
+            {"t": out["t"].astype("int64"), "d": out["d"].astype("int64"),
+             "c": out["c"].astype("int64")}
+        )
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", lifetimes, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["t"], {"d": "sum", "c": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("t").reset_index(drop=True)
+        total = int((df["d"] + df["c"]).sum())
+        ahead = (df["d"] + df["c"]).cumsum().shift(1, fill_value=0).to_numpy(np.int64)
+        n_risk = total - ahead
+        death_rows = df["d"].to_numpy(np.int64) > 0
+        d = df["d"].to_numpy(np.int64)[death_rows]
+        nr = n_risk[death_rows]
+        surv = np.cumprod(1.0 - d.astype(np.float64) / nr.astype(np.float64))
+        surv = np.floor(surv * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"t_days": pa.array(df["t"].to_numpy(np.int64)[death_rows]),
+             "n_at_risk": pa.array(nr), "n_deaths": pa.array(d),
+             "survival": pa.array(surv, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
