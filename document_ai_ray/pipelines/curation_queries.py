@@ -1685,3 +1685,53 @@ def ipc_roundtrip(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     paths = [r["path"] for r in write_ipc_shards(docs, out_dir).take_all()]
     return read_ipc(paths)
+
+
+@register("zip_roundtrip", oracle=_WDS_ORACLE)
+def zip_roundtrip(sf_dir: str):
+    """Value-identity through ZIP archives (deflate members, the
+    crawl-delivery container): documents -> per-batch ZIP shards with
+    {doc_id}.txt/.json members -> read_binary_files + in-task unzip —
+    the compressed sibling of the WebDataset tar roundtrip."""
+    import pyarrow as pa
+
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.sources.columnar import read_zip_shards, write_zip_shards
+
+    out_dir = scratch_dir("zip_rt")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    paths = [r["path"] for r in write_zip_shards(docs, out_dir).take_all()]
+    back = read_zip_shards(paths)
+    return back.map_batches(
+        lambda t: t.select(["doc_id", "text", "lang", "source"]),
+        batch_format="pyarrow",
+    )
+
+
+@register("jsonl_gz_roundtrip", oracle=_WDS_ORACLE)
+def jsonl_gz_roundtrip(sf_dir: str):
+    """Value-identity through gzip-compressed JSONL shards (the
+    log-pipeline interchange staple; ~5x smaller on the wire than the
+    plain JSONL roundtrip next to it).  Deterministic gzip bytes
+    (mtime=0); the read side streams through Arrow's JSON reader with
+    a gzip input stream — both directions shard-parallel."""
+    import pyarrow as pa
+
+    from document_ai_ray.functions.scratch import scratch_dir
+    from document_ai_ray.sources.columnar import read_jsonl_gz, write_jsonl_gz_shards
+
+    out_dir = scratch_dir("jsonlgz_rt")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    paths = [r["path"] for r in write_jsonl_gz_shards(docs, out_dir).take_all()]
+    back = read_jsonl_gz(paths)
+    return back.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "text": t.column("text").cast(pa.string()),
+                "lang": t.column("lang").cast(pa.string()),
+                "source": t.column("source").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
