@@ -848,3 +848,69 @@ def tfidf_text_knn(sf_dir: str):
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization of the embedding column — the standard
+# 4x storage/bandwidth cut before ANN serving.  Per-element quantize /
+# dequantize are identical double expressions on both engines; the
+# per-vector reductions (|q| mass, squared-error mass) are integer
+# sums, so nothing depends on accumulation order.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM el GROUP BY 1),
+q AS (SELECT el.vec_id,
+             CASE WHEN x >= 0 THEN FLOOR(ABS(x) / scale * 127.0 + 0.5)
+                  ELSE -FLOOR(ABS(x) / scale * 127.0 + 0.5) END AS qv,
+             x, scale
+      FROM el JOIN sc ON sc.vec_id = el.vec_id
+      WHERE scale > 0)
+SELECT vec_id,
+       ROUND(ANY_VALUE(scale), 6) AS scale,
+       CAST(SUM(CAST(ABS(qv) AS BIGINT)) AS BIGINT) AS sum_q_abs,
+       CAST(SUM(CAST(FLOOR((x - qv * scale / 127.0) * (x - qv * scale / 127.0) * 1e12
+                           + 0.5) AS BIGINT)) AS BIGINT) AS err_e12
+FROM q GROUP BY 1
+"""
+
+
+@register("embedding_int8_quantize", oracle=_QUANT_ORACLE)
+def embedding_int8_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization (scale = max |x|,
+    q = round(x/scale*127) half away from zero) with exact
+    reconstruction-error accounting: per-element squared errors are
+    floored into integer picounits before summing, so the per-vector
+    error mass is order-free.  One streaming vectorized pass — the
+    quantized tier a 100 TB ANN deployment serves from."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        assert (lens == d).all()
+        x = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x.reshape(-1, d)
+        scale = np.abs(x).max(axis=1)
+        keep = scale > 0
+        x, scale = x[keep], scale[keep]
+        aq = np.floor(np.abs(x) / scale[:, None] * 127.0 + 0.5)
+        qv = np.where(x >= 0, aq, -aq)
+        err = x - qv * scale[:, None] / 127.0
+        err_units = np.floor(err * err * 1e12 + 0.5).astype(np.int64)
+        sc6 = np.floor(scale * 1e6 + 0.5) / 1e6  # positive domain
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").filter(pa.array(keep)),
+                "scale": pa.array(sc6, pa.float64()),
+                "sum_q_abs": pa.array(np.abs(qv).sum(axis=1).astype(np.int64)),
+                "err_e12": pa.array(err_units.sum(axis=1)),
+            }
+        )
+
+    return emb.map_batches(quantize, batch_format="pyarrow")
