@@ -2542,3 +2542,183 @@ def pseudonymize_users(sf_dir: str):
         )
 
     return ev.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Business-day ship-delay histogram: weekday-only day counting via the
+# closed-form prefix f(x) = 5*((x+4)//7) + LEAST((x+4)%7, 5) (epoch
+# day 0 = Thursday; the +4 shift starts weeks on Sunday).  All-integer
+# arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_BDAY_ORACLE = """
+WITH j AS (SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS a,
+                  CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+f AS (SELECT (5 * ((b + 4) // 7) + LEAST((b + 4) % 7, 5))
+             - (5 * ((a + 4) // 7) + LEAST((a + 4) % 7, 5)) AS bd
+      FROM j WHERE b >= a)
+SELECT bd AS business_days, COUNT(*) AS n FROM f GROUP BY 1
+"""
+
+
+@register("ship_delay_business_days", oracle=_BDAY_ORACLE)
+def ship_delay_business_days(sf_dir: str):
+    """Order->ship delay measured in BUSINESS days (weekends excluded)
+    via the closed-form weekday-prefix function — no calendar table
+    shipped anywhere.  Same shuffle join as ship_delay_by_priority;
+    the (synthetic) lines shipping before their order date are dropped
+    on both engines; delay histogram rides the combiner."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import large_join, merge_partials
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = large_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def hist(t: pa.Table) -> pa.Table:
+        a = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        b = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        keep = b >= a
+        a, b = a[keep], b[keep]
+
+        def f(x):
+            return 5 * ((x + 4) // 7) + np.minimum((x + 4) % 7, 5)
+
+        bd = f(b) - f(a)
+        g = pa.table({"business_days": pa.array(bd)}).group_by(["business_days"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.Table.from_arrays(
+            [g.column("business_days"), g.column("count_all")], names=["business_days", "n"]
+        )
+
+    return merge_partials(
+        joined.map_batches(hist, batch_format="pyarrow"), ["business_days"], {"n": "sum"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: the sensitive-attribute sibling of
+# k_anonymity_report — quasi-identifier groups whose user set is too
+# small are re-identification risks even when k-anonymous.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+WITH g AS (SELECT event_type,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  COUNT(*) AS n_rows,
+                  COUNT(DISTINCT user_id) AS l_distinct
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, n_rows, l_distinct, l_distinct < {_LDIV_L} AS at_risk
+FROM g
+"""
+
+
+@register("l_diversity_report", oracle=_LDIV_ORACLE)
+def l_diversity_report(sf_dir: str):
+    """l-diversity over the (event_type, day) quasi-identifier with
+    user_id as the sensitive attribute: groups carrying fewer than
+    l=3 distinct users are flagged.  Distinct users ride the
+    (key, user) dedup exchange; row counts ride the combiner; the
+    group census is quasi-identifier-cardinality (bounded)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import distinct_rows, merge_partials, partial_group_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        return pa.table(
+            {"event_type": t.column("event_type"), "day": pa.array(day),
+             "user_id": t.column("user_id")}
+        )
+
+    kd = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+    rows = partial_group_agg(kd, ["event_type", "day"], count_alias="n_rows")
+    dist = partial_group_agg(
+        distinct_rows(kd, ["event_type", "day", "user_id"]),
+        ["event_type", "day"], count_alias="l_distinct",
+    ).to_pandas()
+    dmap = dict(zip(zip(dist["event_type"], dist["day"]), dist["l_distinct"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        ld = np.array([dmap[(e, d)] for e, d in zip(et, day)], np.int64)
+        return pa.table(
+            {"event_type": t.column("event_type"), "day": t.column("day"),
+             "n_rows": t.column("n_rows"), "l_distinct": pa.array(ld),
+             "at_risk": pa.array(ld < _LDIV_L)}
+        )
+
+    return rows.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion (variance-to-mean) of hourly event counts — the
+# Poisson-ness check: D = (n*Sxx - Sx^2) / ((n-1)*Sx), exact integers
+# until the one division.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour, COUNT(*) AS x
+           FROM events GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series((SELECT MIN(hour) FROM h),
+                                        (SELECT MAX(hour) FROM h))) AS hour),
+d AS (SELECT COALESCE(h.x, 0) AS x FROM spine s LEFT JOIN h ON h.hour = s.hour),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n_hours, sx AS n_events,
+       ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST((n - 1) AS BIGINT) * sx), 6)
+         AS dispersion_index
+FROM m
+"""
+
+
+@register("events_dispersion_index", oracle=_DISPERSION_ORACLE)
+def events_dispersion_index(sf_dir: str):
+    """Variance-to-mean ratio of hourly event counts over the dense
+    hour spine (1.0 = Poisson, >1 = bursty): integer count moments
+    ride the combiner, the spine fill and the single division run on
+    the calendar-bounded final."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        hr = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (3600 * 10**6)
+        g = pa.table({"hour": pa.array(hr)}).group_by(["hour"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("hour"), g.column("count_all")],
+                                    names=["hour", "x"])
+
+    merged = merge_partials(ev.map_batches(hours, batch_format="pyarrow"), ["hour"], {"x": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("hour")
+        lo, hi = int(df["hour"].min()), int(df["hour"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[df["hour"].to_numpy() - lo] = df["x"].to_numpy()
+        n = len(x)
+        sx = int(x.sum())
+        sxx = int((x.astype(object) * x.astype(object)).sum())
+        disp = float(n * sxx - sx * sx) / float((n - 1) * sx)
+        disp = float(np.floor(disp * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {"n_hours": pa.array([n], pa.int64()),
+             "n_events": pa.array([sx], pa.int64()),
+             "dispersion_index": pa.array([disp], pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

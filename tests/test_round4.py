@@ -1421,3 +1421,22 @@ def test_media_wav_law_integrity():
     b[100] ^= 0xFF  # flip a sample byte inside the data chunk
     s1, _ = decode_wav(bytes(b))
     assert abs(s0.astype(np.float64).sum() - s1.astype(np.float64).sum()) > 0
+
+
+def test_business_day_formula_matches_numpy():
+    """Closed-form weekday prefix vs np.busday_count over random spans."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(9000, 12000, 300)
+    b = a + rng.randint(0, 200, 300)
+
+    def f(x):
+        return 5 * ((x + 4) // 7) + np.minimum((x + 4) % 7, 5)
+
+    got = f(b) - f(a)
+    # np.busday_count counts weekdays in [a, b) -> shift to (a, b]
+    want = np.busday_count(
+        (a + 1).astype("datetime64[D]"), (b + 1).astype("datetime64[D]")
+    )
+    assert (got == want).all()
