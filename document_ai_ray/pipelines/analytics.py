@@ -5153,9 +5153,14 @@ def rolling_distinct_users_1h(sf_dir: str):
     mm = merge_partials(span, ["one"], {"lo": "min", "hi": "max"}).to_pandas().iloc[0]
     h0 = int(mm["lo"]) // HOUR_US
     n_hours = int(mm["hi"]) // HOUR_US - h0 + 1
-    # coarsen to <= 64 buckets: halo stays one WINDOW (not one bucket),
-    # so the replication factor only shrinks as buckets widen
-    g = max(1, -(-n_hours // 64))
+    # bucket count tracks DATA VOLUME (per-task memory flat at 100 TB)
+    # but never exceeds one bucket per hour: the halo guarantee needs
+    # bucket span >= the 1 h window.  Halo cost stays one WINDOW, so
+    # the replication factor only shrinks as buckets widen.
+    from document_ai_ray.functions.scale import auto_buckets
+
+    P0 = min(n_hours, auto_buckets(ev.count()))
+    g = max(1, -(-n_hours // P0))
     P = (n_hours - 1) // g + 1
 
     def halo(t: pa.Table) -> pa.Table:

@@ -2722,3 +2722,74 @@ def events_dispersion_index(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words dedup: word-order-insensitive exact dedup (catches
+# shuffled-word paraphrases content hashing misses).  Same hash-bucket
+# shape as dedup_exact_docs; the key is md5 of the sorted token
+# multiset.
+# ---------------------------------------------------------------------------
+
+_BOW_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_reverse(
+             list_filter(string_split(text, ' '), x -> x != '')), ' ')
+  FROM documents WHERE doc_id % 10 = 0),
+k AS (SELECT doc_id,
+             md5(array_to_string(list_sort(
+                 list_filter(string_split(text, ' '), x -> x != '')), ' ')) AS bow
+      FROM corpus)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size FROM k GROUP BY bow
+"""
+
+
+@register("dedup_bag_of_words", oracle=_BOW_ORACLE)
+def dedup_bag_of_words(sf_dir: str):
+    """Order-insensitive exact dedup: the key is md5 over the SORTED
+    token multiset, so `a b c` and `c a b` collapse — the cheap
+    paraphrase tier between content-hash dedup and MinHash.  The
+    corpus carries in-query word-REVERSED variants for every 10th doc
+    (the oracle replays the derivation), so the collapse is actually
+    exercised: every variant folds into its base's group.  Local
+    min/count combiner per batch, hash(key) bucket finish; only
+    (digest, min_id, count) triples ever shuffle."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = 64
+
+    def key_local(t: pa.Table) -> pa.Table:
+        ids, ks = [], []
+        for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            words = [w for w in (x or "").split(" ") if w]
+            key = hashlib.md5(" ".join(sorted(words)).encode("utf-8")).hexdigest()
+            ids.append(i)
+            ks.append(key)
+            if i % 10 == 0:  # word-reversed variant, same multiset
+                ids.append(i + 1000000)
+                ks.append(key)
+        tt = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "bow": pa.array(ks, pa.string())}
+        )
+        g = tt.group_by("bow").aggregate([("doc_id", "min"), ([], "count_all")])
+        bucket = pa.array([int(x[:8], 16) % P for x in g.column("bow").to_pylist()], pa.int32())
+        return pa.Table.from_arrays(
+            [g.column("doc_id_min"), g.column("count_all"), g.column("bow"), bucket],
+            names=["doc_id", "n", "bow", "bucket"],
+        )
+
+    def per_bucket(df) -> "pd.DataFrame":
+        out = df.groupby("bow", as_index=False).agg(
+            doc_id=("doc_id", "min"), group_size=("n", "sum")
+        )
+        return out[["doc_id", "group_size"]]
+
+    return (
+        ds.map_batches(key_local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
