@@ -799,22 +799,31 @@ def phrase_blocklist_docs(sf_dir: str):
     """MULTIWORD phrase blocklist — the substring sibling of the
     word-set `badword_filter_docs` (policy blocklists are phrases more
     often than words: scam slogans, boilerplate disclaimers).
-    Non-overlapping left-to-right counts per phrase (str.count — the
-    identical semantics the oracle replays with DuckDB's replace-length
-    trick), summed per doc; one streaming pass, patterns shipped once
-    in the task closure (a real blocklist of 10^4+ phrases would move
-    to a broadcast + a compiled alternation/Aho-Corasick scan — same
-    shape, bigger constant)."""
+    Non-overlapping left-to-right counts per phrase (str.count
+    semantics — the oracle replays them with DuckDB's replace-length
+    trick), summed per doc.  The scan runs through the Aho-Corasick
+    automaton (`functions/multisearch.py`): ONE pass over each
+    document regardless of blocklist size, built once per worker —
+    the 10^4-phrase blocklist costs the same stream as this 4-phrase
+    one.  `count_nonoverlapping` is differential-tested equal to
+    str.count per pattern (tests/test_multisearch.py)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def scan(t):
         import numpy as np
         import pyarrow as pa
 
+        from document_ai_ray.functions.multisearch import AhoCorasick
+
+        global _BLOCK_AC
+        try:
+            ac = _BLOCK_AC  # built once per worker process
+        except NameError:
+            ac = _BLOCK_AC = AhoCorasick(_BLOCK_PHRASES)
         texts = t.column("text").to_pylist()
-        hits = np.zeros(len(texts), np.int64)
-        for ph in _BLOCK_PHRASES:
-            hits += np.fromiter((s.count(ph) for s in texts), np.int64, len(texts))
+        hits = np.fromiter(
+            (sum(ac.count_nonoverlapping(s or "")) for s in texts), np.int64, len(texts)
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
