@@ -1630,3 +1630,115 @@ def resource_allocation_linkpred(sf_dir: str):
         )
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+# -- Redirect-chain resolution (pointer jumping) -----------------------------
+
+_REDIR_ORACLE = """
+WITH RECURSIVE e AS (SELECT doc_id AS u, doc_id - (doc_id % 8) + (doc_id % 8 - 1) AS v
+                     FROM documents WHERE doc_id % 8 <> 0),
+walk AS (
+  SELECT u AS start, v AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.start, e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.cur
+)
+SELECT w.start AS doc_id, w.cur AS final_target, w.hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.cur)
+"""
+
+
+@register("resolve_redirect_chains", oracle=_REDIR_ORACLE)
+def resolve_redirect_chains(sf_dir: str):
+    """Transitive redirect resolution by POINTER JUMPING: each round
+    composes the mapping with itself (m <- m[m]) through a bucketed
+    hash join, so an L-hop chain resolves in ceil(log2 L) rounds of
+    bounded shuffles — the parallel-graph classic (no per-chain
+    walking anywhere).  The synthetic redirect graph chains every
+    non-multiple-of-8 doc one step down (chains of length 1-7); the
+    oracle walks the same edges with a recursive CTE.  Hop counts are
+    carried through the composition (hops(u) = hops(u) + hops(m(u)))
+    so the output also certifies the chain LENGTHS, not just the
+    endpoints."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+    P = auto_buckets(n_docs)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (d % 8) != 0
+        u = d[keep]
+        v = u - 1
+        return pa.table(
+            {"u": pa.array(u), "v": pa.array(v),
+             "hops": pa.array(np.ones(len(u), np.int64)),
+             "done": pa.array(np.zeros(len(u), bool))}
+        )
+
+    m = docs.map_batches(edges, batch_format="pyarrow").materialize()
+
+    # pointer jumping: join m against itself on v = u'.  A row whose
+    # target is terminal (no outgoing edge) freezes.  log2(7) < 3 ->
+    # at most 3 rounds here; the loop detects the fixpoint generically.
+    for _ in range(40):  # 2^40 hops >> any real redirect chain
+        if m.filter(expr="done == False").count() == 0:
+            break
+
+        def bucket_both(t: pa.Table) -> pa.Table:
+            # probe copy hashes on its TARGET v; build copy on its key u
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            bk_p = (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+            bk_b = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+            n = len(u)
+            both = pa.table(
+                {"u": pa.array(np.concatenate([u, u])),
+                 "v": pa.array(np.concatenate([v, v])),
+                 "hops": pa.array(
+                     np.concatenate([t.column("hops").to_numpy(zero_copy_only=False)] * 2)
+                 ),
+                 "done": pa.array(
+                     np.concatenate([t.column("done").to_numpy(zero_copy_only=False)] * 2)
+                 ),
+                 "is_build": pa.array(
+                     np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
+                 ),
+                 "bk": pa.array(
+                     np.concatenate([bk_p, bk_b]).astype(np.int64)
+                 )}
+            )
+            return both
+
+        def compose(df: pd.DataFrame) -> pd.DataFrame:
+            left = df[~df["is_build"]][["u", "v", "hops", "done"]]
+            right = df[df["is_build"]][["u", "v", "hops"]].rename(
+                columns={"u": "u2", "v": "v2", "hops": "hops2"}
+            )
+            j = left.merge(right, left_on="v", right_on="u2", how="left")
+            hit = j["u2"].notna() & ~j["done"]
+            j.loc[hit, "v"] = j.loc[hit, "v2"]
+            j.loc[hit, "hops"] = j.loc[hit, "hops"] + j.loc[hit, "hops2"]
+            j.loc[~hit, "done"] = True  # target is terminal: frozen
+            return pd.DataFrame(
+                {"u": j["u"].astype("int64"), "v": j["v"].astype("int64"),
+                 "hops": j["hops"].astype("int64"), "done": j["done"].astype(bool)}
+            )
+
+        m = bucket_map_groups(
+            m.map_batches(bucket_both, batch_format="pyarrow"), "bk", compose, P,
+            batch_format="pandas",
+        ).materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("u"), "final_target": t.column("v"),
+             "hops": t.column("hops")}
+        )
+
+    return m.map_batches(rename, batch_format="pyarrow")

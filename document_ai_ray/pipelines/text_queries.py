@@ -3492,3 +3492,79 @@ def nb_langid_confusion(sf_dir: str):
         docs.map_batches(classify, batch_format="pyarrow"), ["true_lang", "pred_lang"],
         {"n": "sum"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval: A AND B AND NOT C over token membership, with the
+# query terms chosen BY RULE from the corpus vocabulary (frequency
+# ranks 10/20/30, ties by word) — the oracle replays term selection
+# and evaluation, so nothing is hardcoded.
+# ---------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+vc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1),
+rk AS (SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS r FROM vc),
+q AS (SELECT MAX(CASE WHEN r = 10 THEN word END) AS ta,
+             MAX(CASE WHEN r = 20 THEN word END) AS tb,
+             MAX(CASE WHEN r = 30 THEN word END) AS tc
+      FROM rk)
+SELECT w.doc_id, q.ta AS term_a, q.tb AS term_b, q.tc AS term_c
+FROM w, q
+WHERE list_contains(w.ws, q.ta) AND list_contains(w.ws, q.tb)
+  AND NOT list_contains(w.ws, q.tc)
+"""
+
+
+@register("boolean_retrieval_docs", oracle=_BOOL_ORACLE)
+def boolean_retrieval_docs(sf_dir: str):
+    """Boolean AND/AND-NOT retrieval: query terms are the corpus's
+    10th/20th/30th most frequent words (deterministic rule, replayed
+    by the oracle), evaluated as token-set membership in one streaming
+    pass.  Vocabulary ranks ride the bucketed word-count exchange; the
+    three terms broadcast in the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        bucket = pa.array([crc_bucket(w, P) for w in g.column("word").to_pylist()], pa.int32())
+        return g.append_column("bucket", bucket)
+
+    def bucket_sum(df):
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"), "bucket", bucket_sum, P,
+        batch_format="pandas",
+    ).to_pandas()  # vocabulary-sized
+    counts = counts.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+    ta, tb, tc = counts["word"].iloc[9], counts["word"].iloc[19], counts["word"].iloc[29]
+
+    def match(t: pa.Table) -> pa.Table:
+        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        keep = []
+        for x in texts:
+            toks = set((x or "").split(" "))
+            keep.append(ta in toks and tb in toks and tc not in toks)
+        k = pa.array(keep)
+        out_ids = t.column("doc_id").filter(k)
+        n = len(out_ids)
+        return pa.table(
+            {"doc_id": out_ids,
+             "term_a": pa.array([ta] * n, pa.string()),
+             "term_b": pa.array([tb] * n, pa.string()),
+             "term_c": pa.array([tc] * n, pa.string())}
+        )
+
+    return docs.map_batches(match, batch_format="pyarrow")
