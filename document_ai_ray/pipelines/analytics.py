@@ -5446,3 +5446,183 @@ def kaplan_meier_retention(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Rolling per-user median (ROWS 4 PRECEDING), discrete lower-median on
+# both engines — pure value selection, no float arithmetic at all.
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+SELECT event_id,
+       QUANTILE_DISC(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS rolling_median
+FROM events
+"""
+
+
+@register("events_rolling_median", oracle=_ROLLMED_ORACLE)
+def events_rolling_median(sf_dir: str):
+    """Trailing-5-event median of value per user (the robust sibling
+    of the ROWS-frame moving average): one hash(user) exchange, a
+    vectorized pandas rolling lower-quantile per bucket.  Discrete
+    selection only — the result is always one of the input doubles, so
+    no rounding is even needed."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"event_id": t.column("event_id"), "user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()), "value": t.column("value"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def roll(df):
+        cols = {"event_id": "int64", "rolling_median": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        med = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(5, min_periods=1)
+            .quantile(0.5, interpolation="lower")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(),
+             "rolling_median": med.to_numpy()}
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", roll, P, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis, 2006):
+# key = ln(u)/w with u a fixed md5-derived uniform — deterministic,
+# so the oracle draws the identical sample.
+# ---------------------------------------------------------------------------
+
+_ES_K = 50
+
+_ES_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                       AS BIGINT) AS wgt,
+                  (CAST('0x' || substr(md5('es-v1|' || CAST(doc_id AS VARCHAR)), 1, 13)
+                        AS BIGINT) + 1.0) / 4503599627370497.0 AS u
+           FROM documents),
+k AS (SELECT doc_id, wgt, LN(u) / wgt AS key FROM w WHERE wgt > 0),
+r AS (SELECT doc_id, wgt, key,
+             ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, wgt AS weight, ROUND(key, 6) AS es_key
+FROM r WHERE rn <= {_ES_K}
+"""
+
+
+@register("sample_weighted_without_replacement", oracle=_ES_ORACLE)
+def sample_weighted_without_replacement(sf_dir: str):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    take the top-k docs by ln(u)/weight where u is a deterministic
+    md5-uniform in (0, 1] (13 hex chars / 2^52) — the one-pass
+    distributed reservoir scheme (each task keeps a local top-k, the
+    tiny final merges them).  Weight = token count; the oracle draws
+    the identical sample because the randomness is the hash."""
+    import hashlib
+
+    from document_ai_ray.pipelines.ops import topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        wgt = np.array(
+            [len([w for w in (x or "").split(" ") if w]) for x in t.column("text").to_pylist()],
+            np.int64,
+        )
+        u = np.array(
+            [int(hashlib.md5(f"es-v1|{i}".encode()).hexdigest()[:13], 16) for i in ids],
+            np.float64,
+        )
+        u = (u + 1.0) / 4503599627370497.0
+        keep = wgt > 0
+        key = np.log(u[keep]) / wgt[keep]
+        k6 = np.copysign(np.floor(np.abs(key) * 1e6 + 0.5), key) / 1e6
+        return pa.table(
+            {"doc_id": pa.array(np.asarray(ids, np.int64)[keep]),
+             "weight": pa.array(wgt[keep]),
+             "es_key": pa.array(key, pa.float64()),
+             "es_key6": pa.array(k6, pa.float64())}
+        )
+
+    top = topk(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        [("es_key", True), ("doc_id", False)],
+        _ES_K,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "weight": t.column("weight"),
+             "es_key": t.column("es_key6")}
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding: each doc goes to the
+# shard maximizing md5(shard|doc) — the consistent-assignment scheme
+# whose reshuffle cost under shard add/remove is 1/N, not 1.
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+_HRW_ORACLE = f"""
+WITH s AS (SELECT UNNEST(generate_series(0, {_HRW_SHARDS - 1})) AS shard),
+h AS (SELECT d.doc_id, s.shard,
+             md5('hrw-v1|' || CAST(s.shard AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))
+               AS hx
+      FROM documents d, s),
+r AS (SELECT doc_id, shard, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY hx DESC, shard) AS rn
+      FROM h)
+SELECT doc_id, shard FROM r WHERE rn = 1
+"""
+
+
+@register("rendezvous_shard_assignment", oracle=_HRW_ORACLE)
+def rendezvous_shard_assignment(sf_dir: str):
+    """Rendezvous / highest-random-weight hashing over {n} shards:
+    per doc, argmax of md5('hrw-v1|shard|doc') — hex strings compare
+    lexicographically = numerically (fixed width), so the oracle's
+    ORDER BY replays the argmax exactly.  Stateless vectorized pass;
+    this is how a 100 TB pipeline pins cache/actor affinity without a
+    central directory.""".format(n=_HRW_SHARDS)
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            best = max(
+                range(_HRW_SHARDS),
+                key=lambda s: (hashlib.md5(f"hrw-v1|{s}|{i}".encode()).hexdigest(), -s),
+            )
+            out.append(best)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "shard": pa.array(out, pa.int64())}
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
