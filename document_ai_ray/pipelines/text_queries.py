@@ -3374,9 +3374,12 @@ WHERE p.rn = 1 GROUP BY 1, 2
 """
 
 
-@register("nb_langid_confusion", oracle=_NB_ORACLE)
-def nb_langid_confusion(sf_dir: str):
-    """Train a multinomial naive Bayes on (lang -> word counts) over
+def nb_predictions(sf_dir: str):
+    """Per-document multinomial-NB prediction Dataset
+    (doc_id, true_lang, pred_lang) — the substrate for
+    `nb_langid_confusion` and `classifier_agreement_kappa`.
+
+    Train a multinomial naive Bayes on (lang -> word counts) over
     the whole corpus (distributed bucketed counts), broadcast the
     (vocab x classes) integer micro-nat likelihood matrix once, and
     score every document in one vectorized np.add.at pass (token ->
@@ -3481,17 +3484,23 @@ def nb_langid_confusion(sf_dir: str):
         np.add.at(scores, row_idx[mask], L_[w_i])
         # argmax with class-name tiebreak = first max under stable order
         pred = np.asarray(classes_, object)[np.argmax(scores, axis=1)]
-        df = pd.DataFrame(
-            {"true_lang": t.column("lang").to_pylist(), "pred_lang": pred}
-        ).groupby(["true_lang", "pred_lang"], as_index=False).size()
-        return pa.Table.from_pandas(
-            df.rename(columns={"size": "n"}), preserve_index=False
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "true_lang": t.column("lang"),
+             "pred_lang": pa.array(pred.astype(str), pa.string())}
         )
 
-    return merge_partials(
-        docs.map_batches(classify, batch_format="pyarrow"), ["true_lang", "pred_lang"],
-        {"n": "sum"},
-    )
+    return docs.map_batches(classify, batch_format="pyarrow")
+
+
+@register("nb_langid_confusion", oracle=_NB_ORACLE)
+def nb_langid_confusion(sf_dir: str):
+    """(true, predicted) confusion rollup of the per-doc NB
+    predictions — see `nb_predictions` for the model spec."""
+    from document_ai_ray.pipelines.ops import merge_partials, partial_group_agg
+
+    preds = nb_predictions(sf_dir)
+    return partial_group_agg(preds, ["true_lang", "pred_lang"], count_alias="n")
 
 
 # ---------------------------------------------------------------------------
@@ -3568,3 +3577,139 @@ def boolean_retrieval_docs(sf_dir: str):
         )
 
     return docs.map_batches(match, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between the two INDEPENDENT oracle-checked language
+# classifiers (stopword heuristic vs naive Bayes) — chance-corrected
+# inter-annotator agreement, the model-governance staple.  The oracle
+# replays BOTH classifiers end-to-end and the kappa algebra.
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = (
+    _LANGID_PRED_CTE
+    + """,
+nw AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+       FROM documents),
+tok AS (SELECT doc_id, lang, unnest(ws) AS word FROM nw),
+v AS (SELECT COUNT(DISTINCT word) AS vsz FROM tok),
+cl AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+nd AS (SELECT lang AS c, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+ntot AS (SELECT COUNT(*) AS n FROM documents),
+pr AS (SELECT nd.c,
+              CAST(FLOOR(1000000 * LN(CAST(nd.n_docs AS DOUBLE) / ntot.n)) AS BIGINT)
+                AS prior_l
+       FROM nd, ntot),
+wc AS (SELECT word, lang AS c, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+dt AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+sc AS (SELECT dt.doc_id, cl.c,
+              CAST(SUM(dt.cnt
+                       * CAST(FLOOR(1000000 * LN((COALESCE(wc.n, 0) + 1.0)
+                                                 / (cl.n_tok + v.vsz))) AS BIGINT))
+                   AS BIGINT)
+              + ANY_VALUE(pr.prior_l) AS score
+       FROM dt CROSS JOIN cl CROSS JOIN v
+       LEFT JOIN wc ON wc.word = dt.word AND wc.c = cl.c
+       JOIN pr ON pr.c = cl.c
+       GROUP BY 1, 2),
+npred AS (SELECT doc_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+          FROM sc),
+joint AS (SELECT COALESCE(hp.pred_lang, 'und') AS pred_h, np2.c AS pred_nb
+          FROM documents d
+          LEFT JOIN p hp ON hp.doc_id = d.doc_id
+          JOIN npred np2 ON np2.doc_id = d.doc_id AND np2.rn = 1),
+cells AS (SELECT pred_h, pred_nb, COUNT(*) AS n FROM joint GROUP BY 1, 2),
+m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn_tot,
+             CAST(SUM(CASE WHEN pred_h = pred_nb THEN n ELSE 0 END) AS BIGINT) AS agree
+      FROM cells),
+px AS (SELECT CAST(SUM(h.rs * b.cs) AS BIGINT) AS cross_mass
+       FROM (SELECT pred_h AS k, CAST(SUM(n) AS BIGINT) AS rs FROM cells GROUP BY 1) h
+       JOIN (SELECT pred_nb AS k, CAST(SUM(n) AS BIGINT) AS cs FROM cells GROUP BY 1) b
+         ON b.k = h.k)
+SELECT nn_tot AS n_docs, agree AS n_agree,
+       ROUND((CAST(agree AS DOUBLE) / nn_tot
+              - CAST(cross_mass AS DOUBLE) / (CAST(nn_tot AS DOUBLE) * nn_tot))
+             / (1.0 - CAST(cross_mass AS DOUBLE) / (CAST(nn_tot AS DOUBLE) * nn_tot)), 6)
+         AS kappa
+FROM m, px
+"""
+)
+
+
+@register("classifier_agreement_kappa", oracle=_KAPPA_ORACLE)
+def classifier_agreement_kappa(sf_dir: str):
+    """Cohen's kappa between the stopword-heuristic langid and the
+    naive-Bayes langid over every document: both per-doc prediction
+    Datasets ride one hash(doc) exchange; only the (pred_h, pred_nb)
+    cell counts leave the buckets; the kappa algebra runs on exact
+    integers with the identical float expression on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+
+    h = langid_docs(sf_dir)
+    nbp = nb_predictions(sf_dir)
+    n_docs_hint = h.count()
+    P = auto_buckets(n_docs_hint)
+
+    def tag_h(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bk = (d.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "pred": t.column("pred_lang"),
+             "is_nb": pa.array(np.zeros(len(t), bool)),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def tag_nb(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bk = (d.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "pred": t.column("pred_lang"),
+             "is_nb": pa.array(np.ones(len(t), bool)),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    both = h.map_batches(tag_h, batch_format="pyarrow").union(
+        nbp.map_batches(tag_nb, batch_format="pyarrow")
+    )
+
+    def cells(df):
+        cols = {"pred_h": "object", "pred_nb": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=dt) for c, dt in cols.items()})
+        hh = df[~df["is_nb"]][["doc_id", "pred"]].rename(columns={"pred": "pred_h"})
+        nn = df[df["is_nb"]][["doc_id", "pred"]].rename(columns={"pred": "pred_nb"})
+        j = hh.merge(nn, on="doc_id")
+        g = j.groupby(["pred_h", "pred_nb"], as_index=False).size()
+        return pd.DataFrame(
+            {"pred_h": g["pred_h"], "pred_nb": g["pred_nb"],
+             "n": g["size"].astype("int64")}
+        )
+
+    merged = merge_partials(
+        bucket_map_groups(both, "bk", cells, P, batch_format="pandas"),
+        ["pred_h", "pred_nb"], {"n": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nn = int(df["n"].sum())
+        agree = int(df.loc[df["pred_h"] == df["pred_nb"], "n"].sum())
+        rs = df.groupby("pred_h")["n"].sum()
+        cs = df.groupby("pred_nb")["n"].sum()
+        cross = int(sum(int(rs[k]) * int(cs[k]) for k in rs.index if k in cs.index))
+        po = float(agree) / nn
+        pe = float(cross) / (float(nn) * nn)
+        kappa = (po - pe) / (1.0 - pe)
+        kappa = float(np.copysign(np.floor(abs(kappa) * 1e6 + 0.5), kappa) / 1e6)
+        return pa.table(
+            {"n_docs": pa.array([nn], pa.int64()),
+             "n_agree": pa.array([agree], pa.int64()),
+             "kappa": pa.array([kappa], pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
