@@ -5626,3 +5626,101 @@ def rendezvous_shard_assignment(sf_dir: str):
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill of the hourly mean-value series — the
+# time-series-preparation sibling of the zero-fill date spine.  Hourly
+# (cents, n) are exact ints; anchor means and the lerp are identical
+# double expressions on both engines.
+# ---------------------------------------------------------------------------
+
+_LERP_ORACLE = """
+WITH h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series((SELECT MIN(hour) FROM h),
+                                        (SELECT MAX(hour) FROM h))) AS hour),
+j AS (SELECT s.hour AS hour, h.cents, h.n,
+             CASE WHEN h.n IS NOT NULL
+                  THEN CAST(h.cents AS DOUBLE) / h.n / 100.0 END AS mv
+      FROM spine s LEFT JOIN h ON h.hour = s.hour),
+a AS (SELECT hour, mv,
+             LAST_VALUE(CASE WHEN mv IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (ORDER BY hour) AS h0,
+             LAST_VALUE(mv IGNORE NULLS) OVER (ORDER BY hour) AS v0,
+             FIRST_VALUE(CASE WHEN mv IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h1,
+             FIRST_VALUE(mv IGNORE NULLS)
+               OVER (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM j)
+SELECT hour, (mv IS NULL) AS interpolated,
+       ROUND(CASE WHEN mv IS NOT NULL THEN mv
+                  ELSE v0 + (v1 - v0) * (CAST(hour - h0 AS DOUBLE) / (h1 - h0)) END, 6)
+         AS mean_value
+FROM a
+"""
+
+
+@register("interpolate_hourly_values", oracle=_LERP_ORACLE)
+def interpolate_hourly_values(sf_dir: str):
+    """Dense hourly mean-event-value series with LINEAR interpolation
+    across empty hours (anchored on the nearest observed hours either
+    side; the corpus always has data at both spine ends).  Hour sums
+    ride the combiner as integer cents; the lerp v0 + (v1-v0) *
+    ((h-h0)/(h1-h0)) is the identical expression on both engines,
+    evaluated on the calendar-bounded final."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        hr = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (3600 * 10**6)
+        cents = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(
+            np.int64
+        )
+        g = (
+            pa.table({"hour": pa.array(hr), "cents": pa.array(cents)})
+            .group_by(["hour"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("hour"), g.column("cents_sum"), g.column("count_all")],
+            names=["hour", "cents", "n"],
+        )
+
+    merged = merge_partials(
+        ev.map_batches(hours, batch_format="pyarrow"), ["hour"], {"cents": "sum", "n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("hour").reset_index(drop=True)
+        lo, hi = int(df["hour"].min()), int(df["hour"].max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        have = np.zeros(len(spine), bool)
+        mv = np.full(len(spine), np.nan)
+        idx = df["hour"].to_numpy() - lo
+        have[idx] = True
+        mv[idx] = (
+            df["cents"].to_numpy(np.int64).astype(np.float64)
+            / df["n"].to_numpy(np.int64)
+            / 100.0
+        )
+        out = mv.copy()
+        obs = np.flatnonzero(have)
+        miss = np.flatnonzero(~have)
+        if len(miss):
+            left = obs[np.searchsorted(obs, miss, side="right") - 1]
+            right = obs[np.searchsorted(obs, miss, side="left")]
+            v0, v1 = mv[left], mv[right]
+            out[miss] = v0 + (v1 - v0) * (
+                (miss - left).astype(np.float64) / (right - left)
+            )
+        out6 = np.copysign(np.floor(np.abs(out) * 1e6 + 0.5), out) / 1e6
+        return pa.table(
+            {"hour": pa.array(spine), "interpolated": pa.array(~have),
+             "mean_value": pa.array(out6, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

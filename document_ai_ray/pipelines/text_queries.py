@@ -3713,3 +3713,84 @@ def classifier_agreement_kappa(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena share per source: the fraction of a source's
+# vocabulary seen exactly once — the classic vocabulary-richness /
+# OCR-noise signal (noisy sources have inflated hapax mass).
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                      AS word
+             FROM documents),
+wc AS (SELECT source, word, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+g AS (SELECT source, COUNT(*) AS vocab,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      FROM wc GROUP BY 1)
+SELECT source, vocab, hapax,
+       ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS hapax_share
+FROM g
+"""
+
+
+@register("hapax_share_by_source", oracle=_HAPAX_ORACLE)
+def hapax_share_by_source(sf_dir: str):
+    """Per-source hapax share: (source, word) counts ride the bucketed
+    word exchange (hash(word) — a word's counts for all sources
+    co-reside, so n==1 is decided in-bucket), then only
+    source-cardinality (vocab, hapax) partials merge; one division per
+    source in the final."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        outs = []
+        df = t.to_pandas()
+        for src, g in df.groupby("source"):
+            vc = word_value_counts(pa.array(g["text"]))
+            outs.append(vc.append_column("source", pa.array([src] * len(vc), pa.string())))
+        out = pa.concat_tables(outs) if outs else pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string())}
+        )
+        bucket = pa.array([crc_bucket(w, P) for w in out.column("word").to_pylist()], pa.int32())
+        return out.append_column("bucket", bucket)
+
+    def per_bucket(df):
+        g = df.groupby(["source", "word"], as_index=False)["n"].sum()
+        out = g.groupby("source", as_index=False).agg(
+            vocab=("n", "size"), hapax=("n", lambda x: int((x == 1).sum()))
+        )
+        return pd.DataFrame(
+            {"source": out["source"], "vocab": out["vocab"].astype("int64"),
+             "hapax": out["hapax"].astype("int64")}
+        )
+
+    merged = merge_partials(
+        bucket_map_groups(
+            docs.map_batches(partial_counts, batch_format="pyarrow"), "bucket", per_bucket, P,
+            batch_format="pandas",
+        ),
+        ["source"], {"vocab": "sum", "hapax": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("vocab").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t.column("hapax").to_numpy(zero_copy_only=False).astype(np.float64)
+        share = np.floor(h / v * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"source": t.column("source"), "vocab": t.column("vocab"),
+             "hapax": t.column("hapax"), "hapax_share": pa.array(share, pa.float64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
