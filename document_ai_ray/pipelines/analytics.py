@@ -5724,3 +5724,118 @@ def interpolate_hourly_values(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Freedman-Diaconis histogram: bin width 2*IQR/n^(1/3) with EXACT
+# discrete quantiles off the distributed rank substrate — the
+# statistically-sized histogram (robust to the heavy tail, unlike
+# fixed-k equi-width).
+# ---------------------------------------------------------------------------
+
+_FDHIST_ORACLE = """
+WITH m AS (SELECT COUNT(*) AS n, MIN(value) AS vmin,
+                  quantile_disc(value, 0.25) AS q25,
+                  quantile_disc(value, 0.75) AS q75
+           FROM events),
+h AS (SELECT n, vmin, 2.0 * (q75 - q25) / POWER(CAST(n AS DOUBLE), 1.0 / 3.0) AS bw
+      FROM m)
+SELECT CAST(FLOOR((value - vmin) / bw) AS BIGINT) AS bin, COUNT(*) AS n_rows
+FROM events, h GROUP BY 1
+"""
+
+
+@register("fd_histogram_values", oracle=_FDHIST_ORACLE)
+def fd_histogram_values(sf_dir: str):
+    """Freedman-Diaconis-binned histogram of event values: the IQR
+    comes from EXACT discrete quantiles (DuckDB's quantile_disc index
+    ceil(q*n)-1, selected by global rank on the distributed sort
+    substrate — pure value selection, tie-order-free), the bin width
+    2*IQR/cbrt(n) and the bin indexing are identical double
+    expressions, and the counts ride the combiner."""
+    from document_ai_ray.pipelines.ops import merge_partials, with_group_ranks
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    n = ev.count()
+    i25 = -(-25 * n // 100) - 1  # ceil(0.25*n) - 1, exact ints
+    i75 = -(-75 * n // 100) - 1
+
+    ranked = with_group_ranks(
+        ev.map_batches(
+            lambda t: pa.table(
+                {"one": pa.array([1] * len(t), pa.int64()), "value": t.column("value")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "one", ["value"],
+    )
+    qs = ranked.filter(expr=f"__rank == {i25} or __rank == {i75}").to_pandas()
+    q25, q75 = float(qs["value"].min()), float(qs["value"].max())
+
+    mm = merge_partials(
+        ev.map_batches(
+            lambda t: pa.table(
+                {"one": pa.array([1], pa.int64()),
+                 "vmin": pa.array([float(pc.min(t.column("value")).as_py())])}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"], {"vmin": "min"},
+    ).to_pandas()
+    vmin = float(mm["vmin"].iloc[0])
+    bw = 2.0 * (q75 - q25) / float(n) ** (1.0 / 3.0)
+
+    def bins(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor((v - vmin) / bw).astype(np.int64)
+        g = pa.table({"bin": pa.array(b)}).group_by(["bin"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g.column("bin"), g.column("count_all")],
+                                    names=["bin", "n_rows"])
+
+    return merge_partials(
+        ev.map_batches(bins, batch_format="pyarrow"), ["bin"], {"n_rows": "sum"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier return-rate league table — the fulfilment-quality census.
+# ---------------------------------------------------------------------------
+
+_SUPRET_ORACLE = """
+SELECT l_suppkey AS suppkey, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS return_rate
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("supplier_return_rate", oracle=_SUPRET_ORACLE)
+def supplier_return_rate(sf_dir: str):
+    """Per-supplier return rate over lineitem: integer (lines,
+    returned) partials ride the combiner keyed on the supplier
+    catalog (bounded), one division per supplier in the final."""
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64())
+        return pa.table({"suppkey": t.column("l_suppkey"), "ret": r})
+
+    agg = partial_group_agg(
+        li.map_batches(flags, batch_format="pyarrow"), ["suppkey"],
+        {"ret": "n_returned"}, count_alias="n_lines",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nr = t.column("n_returned").to_numpy(zero_copy_only=False).astype(np.float64)
+        nl = t.column("n_lines").to_numpy(zero_copy_only=False).astype(np.float64)
+        rate = np.floor(nr / nl * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"suppkey": t.column("suppkey"), "n_lines": t.column("n_lines"),
+             "n_returned": t.column("n_returned"),
+             "return_rate": pa.array(rate, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
