@@ -5839,3 +5839,103 @@ def supplier_return_rate(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 24 h Pearson correlation between the click and view hourly
+# count series — the co-movement monitor.  Window moments are EXACT
+# integer prefix sums; each window's r is the identical closed form on
+# both engines (zero-variance windows excluded on both sides).
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_ORACLE = """
+WITH h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series((SELECT MIN(hour) FROM h),
+                                        (SELECT MAX(hour) FROM h))) AS hour),
+d AS (SELECT s.hour AS hour, COALESCE(h.x, 0) AS x, COALESCE(h.y, 0) AS y
+      FROM spine s LEFT JOIN h ON h.hour = s.hour),
+w AS (SELECT hour,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS BIGINT) AS sx,
+             CAST(SUM(y) OVER win AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+      FROM d WINDOW win AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+f AS (SELECT hour, n,
+             n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+             n * sxy - sx * sy AS cxy
+      FROM w WHERE n = 24)
+SELECT hour,
+       ROUND(CAST(cxy AS DOUBLE) / (SQRT(CAST(vx AS DOUBLE)) * SQRT(CAST(vy AS DOUBLE))), 6)
+         AS rolling_r
+FROM f WHERE vx > 0 AND vy > 0
+"""
+
+
+@register("rolling_corr_click_view", oracle=_ROLLCORR_ORACLE)
+def rolling_corr_click_view(sf_dir: str):
+    """Trailing-24 h Pearson r between hourly click and view counts:
+    hourly pair counts ride the combiner; the dense spine, integer
+    prefix-sum window moments and the per-window closed form run on
+    the calendar-bounded final.  Only full 24 h windows with variance
+    on both sides are reported."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        hr = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (3600 * 10**6)
+        x = pc.cast(pc.equal(t.column("event_type"), "click"), pa.int64())
+        y = pc.cast(pc.equal(t.column("event_type"), "view"), pa.int64())
+        g = (
+            pa.table({"hour": pa.array(hr), "x": x, "y": y})
+            .group_by(["hour"])
+            .aggregate([("x", "sum"), ("y", "sum")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("hour"), g.column("x_sum"), g.column("y_sum")],
+            names=["hour", "x", "y"],
+        )
+
+    merged = merge_partials(
+        ev.map_batches(hours, batch_format="pyarrow"), ["hour"], {"x": "sum", "y": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("hour")
+        lo, hi = int(df["hour"].min()), int(df["hour"].max())
+        n_h = hi - lo + 1
+        x = np.zeros(n_h, np.int64)
+        y = np.zeros(n_h, np.int64)
+        idx = df["hour"].to_numpy() - lo
+        x[idx] = df["x"].to_numpy()
+        y[idx] = df["y"].to_numpy()
+
+        def win_sum(a):
+            c = np.concatenate([[0], np.cumsum(a)])
+            return c[24:] - c[:-24]  # trailing-24 sums for hours lo+23..hi
+
+        sx, sy = win_sum(x), win_sum(y)
+        sxx, syy, sxy = win_sum(x * x), win_sum(y * y), win_sum(x * y)
+        n = 24
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cxy = n * sxy - sx * sy
+        hours_out = np.arange(lo + 23, hi + 1, dtype=np.int64)
+        keep = (vx > 0) & (vy > 0)
+        r = cxy[keep].astype(np.float64) / (
+            np.sqrt(vx[keep].astype(np.float64)) * np.sqrt(vy[keep].astype(np.float64))
+        )
+        r = np.copysign(np.floor(np.abs(r) * 1e6 + 0.5), r) / 1e6
+        return pa.table(
+            {"hour": pa.array(hours_out[keep]), "rolling_r": pa.array(r, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

@@ -3794,3 +3794,62 @@ def hapax_share_by_source(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Shannon diversity of sources within each language: entropy of the
+# per-lang source distribution + the effective source count e^H — the
+# corpus-mix concentration gauge.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH c AS (SELECT lang, source, COUNT(*) AS k FROM documents GROUP BY 1, 2),
+n AS (SELECT lang, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.lang, ANY_VALUE(n.n) AS n_docs, COUNT(*) AS n_sources,
+       ROUND(-SUM((k / CAST(n.n AS DOUBLE)) * LN(k / CAST(n.n AS DOUBLE))), 6)
+         AS shannon_h,
+       ROUND(EXP(-SUM((k / CAST(n.n AS DOUBLE)) * LN(k / CAST(n.n AS DOUBLE)))), 6)
+         AS effective_sources
+FROM c JOIN n ON n.lang = c.lang
+GROUP BY c.lang
+"""
+
+
+@register("source_diversity_by_lang", oracle=_DIVERSITY_ORACLE)
+def source_diversity_by_lang(sf_dir: str):
+    """Shannon entropy (and its exponential, the effective source
+    count) of each language's source mix: (lang, source) counts ride
+    the combiner; the <=20-term entropy sums run in the tiny final
+    (the ~1e-15 cross-engine drift sits far under ROUND 6, same
+    precedent as char_entropy_docs)."""
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    counts = partial_group_agg(docs, ["lang", "source"], count_alias="k")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = {"lang": [], "n_docs": [], "n_sources": [], "shannon_h": [],
+               "effective_sources": []}
+        for lang, g in df.groupby("lang"):
+            k = g["k"].to_numpy(np.int64)
+            n = int(k.sum())
+            p = k / float(n)
+            h = float(-(p * np.log(p)).sum())
+            out["lang"].append(lang)
+            out["n_docs"].append(n)
+            out["n_sources"].append(len(k))
+            out["shannon_h"].append(float(np.floor(abs(h) * 1e6 + 0.5) / 1e6))
+            out["effective_sources"].append(float(np.floor(np.exp(h) * 1e6 + 0.5) / 1e6))
+        return pa.table(
+            {"lang": pa.array(out["lang"], pa.string()),
+             "n_docs": pa.array(out["n_docs"], pa.int64()),
+             "n_sources": pa.array(out["n_sources"], pa.int64()),
+             "shannon_h": pa.array(out["shannon_h"], pa.float64()),
+             "effective_sources": pa.array(out["effective_sources"], pa.float64())}
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
