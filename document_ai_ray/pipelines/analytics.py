@@ -5939,3 +5939,135 @@ def rolling_corr_click_view(sf_dir: str):
         )
 
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Daily composition drift: total-variation distance between each day's
+# event-type mix and the global mix — all-integer cross-multiplied
+# numerators, one division per day.
+# ---------------------------------------------------------------------------
+
+_TVD_ORACLE = """
+WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, event_type AS t
+           FROM events),
+dt AS (SELECT day, t, COUNT(*) AS n FROM e GROUP BY 1, 2),
+tt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM dt GROUP BY 1),
+dd AS (SELECT day, CAST(SUM(n) AS BIGINT) AS nd FROM dt GROUP BY 1),
+nn AS (SELECT CAST(SUM(nt) AS BIGINT) AS n FROM tt),
+x AS (SELECT dd.day, tt.t, COALESCE(dt.n, 0) AS ndt, tt.nt, dd.nd, nn.n
+      FROM dd CROSS JOIN tt CROSS JOIN nn
+      LEFT JOIN dt ON dt.day = dd.day AND dt.t = tt.t)
+SELECT day, ANY_VALUE(nd) AS n_events,
+       ROUND(CAST(SUM(ABS(ndt * n - nt * nd)) AS DOUBLE)
+             / (2.0 * ANY_VALUE(nd) * ANY_VALUE(n)), 6) AS tvd
+FROM x GROUP BY day
+"""
+
+
+@register("events_type_share_shift", oracle=_TVD_ORACLE)
+def events_type_share_shift(sf_dir: str):
+    """Per-day total-variation distance between the day's event-type
+    mix and the corpus mix (the composition-drift monitor next to the
+    PSI value-drift one): (day, type) counts ride the combiner; the
+    TVD numerator is an exact integer (|n_dt*N - n_t*N_d| summed over
+    the dense type set) so only one double division per day remains."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        g = (
+            pa.table({"day": pa.array(day), "t": t.column("event_type")})
+            .group_by(["day", "t"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("day"), g.column("t"), g.column("count_all")], names=["day", "t", "n"]
+        )
+
+    merged = merge_partials(ev.map_batches(counts, batch_format="pyarrow"), ["day", "t"], {"n": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        types = sorted(df["t"].unique())
+        nt = df.groupby("t")["n"].sum()
+        nd = df.groupby("day")["n"].sum()
+        N = int(df["n"].sum())
+        piv = df.pivot_table(index="day", columns="t", values="n", fill_value=0)
+        piv = piv.reindex(columns=types, fill_value=0).sort_index()
+        ndt = piv.to_numpy(np.int64)
+        ntv = nt.reindex(types).to_numpy(np.int64)
+        ndv = nd.reindex(piv.index).to_numpy(np.int64)
+        num = np.abs(ndt * N - ntv[None, :] * ndv[:, None]).sum(axis=1)
+        tvd = num.astype(np.float64) / (2.0 * ndv * N)
+        tvd = np.floor(tvd * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"day": pa.array(piv.index.to_numpy(np.int64)),
+             "n_events": pa.array(ndv),
+             "tvd": pa.array(tvd, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Per-customer median inter-order gap: the purchase-cadence metric —
+# lower-median (discrete selection) over day gaps, so no float
+# arithmetic at all.
+# ---------------------------------------------------------------------------
+
+_ORDGAP_ORACLE = """
+WITH o AS (SELECT o_custkey AS ck,
+                  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day FROM orders),
+g AS (SELECT ck, day - LAG(day) OVER (PARTITION BY ck ORDER BY day) AS gap FROM o),
+f AS (SELECT ck, gap FROM g WHERE gap IS NOT NULL)
+SELECT ck AS custkey, COUNT(*) AS n_gaps,
+       QUANTILE_DISC(gap, 0.5) AS median_gap_days
+FROM f GROUP BY 1
+"""
+
+
+@register("orders_median_gap_days", oracle=_ORDGAP_ORACLE)
+def orders_median_gap_days(sf_dir: str):
+    """Median days between consecutive orders per customer (ties in
+    order date collapse to zero-day gaps — kept, like the oracle's
+    LAG over the same day sort): one hash(custkey) exchange, per-bucket
+    vectorized diffs and DISCRETE lower-median selection (DuckDB's
+    quantile_disc index ceil(q*n)-1)."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    P = auto_buckets(orders.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86400 * 10**6
+        )
+        bk = (ck.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"ck": pa.array(ck), "day": pa.array(day), "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def med(df):
+        cols = {"custkey": "int64", "n_gaps": "int64", "median_gap_days": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["ck", "day"], kind="mergesort")
+        gaps = df.groupby("ck")["day"].diff().dropna()
+        if len(gaps) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = {"custkey": [], "n_gaps": [], "median_gap_days": []}
+        for ck, g in gaps.astype("int64").groupby(df.loc[gaps.index, "ck"]):
+            v = np.sort(g.to_numpy())
+            n = len(v)
+            out["custkey"].append(int(ck))
+            out["n_gaps"].append(n)
+            out["median_gap_days"].append(int(v[-(-n // 2) - 1]))  # ceil(n/2)-1
+        return pd.DataFrame(out)
+
+    return bucket_map_groups(
+        orders.map_batches(tag, batch_format="pyarrow"), "bk", med, P, batch_format="pandas"
+    )
