@@ -6071,3 +6071,133 @@ def orders_median_gap_days(sf_dir: str):
     return bucket_map_groups(
         orders.map_batches(tag, batch_format="pyarrow"), "bk", med, P, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped argmax: each event type's peak hour-of-day (ties to the
+# earliest hour) — all-integer counts, deterministic selection.
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH h AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 24 AS hour,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, hour, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hour) AS rn
+      FROM h)
+SELECT event_type, hour AS peak_hour, n AS peak_count FROM r WHERE rn = 1
+"""
+
+
+@register("events_peak_hour_by_type", oracle=_PEAK_ORACLE)
+def events_peak_hour_by_type(sf_dir: str):
+    """Per-type peak hour of day (grouped integer argmax, earliest
+    hour on ties): (type, hour) counts ride the combiner; the argmax
+    runs on the 5x24 final."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        hr = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (3600 * 10**6)
+        ) % 24
+        g = (
+            pa.table({"event_type": t.column("event_type"), "hour": pa.array(hr)})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("event_type"), g.column("hour"), g.column("count_all")],
+            names=["event_type", "hour", "n"],
+        )
+
+    merged = merge_partials(
+        ev.map_batches(counts, batch_format="pyarrow"), ["event_type", "hour"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "hour"], ascending=[False, True], kind="mergesort")
+        top = df.groupby("event_type", as_index=False).head(1)
+        return pa.table(
+            {"event_type": pa.array(top["event_type"], pa.string()),
+             "peak_hour": pa.array(top["hour"].to_numpy(np.int64)),
+             "peak_count": pa.array(top["n"].to_numpy(np.int64))}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation between token count and character count across
+# documents — EXACT integer moments (both variables integers), unlike
+# the float-moment corr_price_qty.
+# ---------------------------------------------------------------------------
+
+_WCCORR_ORACLE = """
+WITH d AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                       AS BIGINT) AS w,
+                  CAST(len(text) AS BIGINT) AS c
+           FROM documents),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(w * w) AS BIGINT) AS sww, CAST(SUM(c * c) AS BIGINT) AS scc,
+             CAST(SUM(w * c) AS BIGINT) AS swc
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(n * swc - sw * sc AS DOUBLE)
+             / (SQRT(CAST(n * sww - sw * sw AS DOUBLE))
+                * SQRT(CAST(n * scc - sc * sc AS DOUBLE))), 6) AS words_chars_r
+FROM m
+"""
+
+
+@register("words_chars_corr", oracle=_WCCORR_ORACLE)
+def words_chars_corr(sf_dir: str):
+    """Pearson r between per-doc token and character counts: both
+    variables are integers, so every shuffled moment partial is exact
+    and the one closed-form expression runs identically on both
+    engines (the length-sanity check of a text-stats suite)."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(lists)
+        nonempty = pc.not_equal(flat, "")
+        # per-row non-empty token counts, vectorized
+        n_per = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        w = np.bincount(row_idx[ne], minlength=len(t)).astype(np.int64)
+        c = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             "n": pa.array([len(t)], pa.int64()),
+             "sw": pa.array([int(w.sum())], pa.int64()),
+             "sc": pa.array([int(c.sum())], pa.int64()),
+             "sww": pa.array([int((w * w).sum())], pa.int64()),
+             "scc": pa.array([int((c * c).sum())], pa.int64()),
+             "swc": pa.array([int((w * c).sum())], pa.int64())}
+        )
+
+    merged = merge_partials(
+        docs.map_batches(moments, batch_format="pyarrow"), ["one"],
+        {"n": "sum", "sw": "sum", "sc": "sum", "sww": "sum", "scc": "sum", "swc": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = int(t.column("n")[0].as_py())
+        sw, sc = int(t.column("sw")[0].as_py()), int(t.column("sc")[0].as_py())
+        sww, scc = int(t.column("sww")[0].as_py()), int(t.column("scc")[0].as_py())
+        swc = int(t.column("swc")[0].as_py())
+        r = float(n * swc - sw * sc) / (
+            np.sqrt(float(n * sww - sw * sw)) * np.sqrt(float(n * scc - sc * sc))
+        )
+        r = float(np.copysign(np.floor(abs(r) * 1e6 + 0.5), r) / 1e6)
+        return pa.table(
+            {"n_docs": pa.array([n], pa.int64()),
+             "words_chars_r": pa.array([r], pa.float64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
