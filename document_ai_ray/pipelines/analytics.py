@@ -6201,3 +6201,82 @@ def words_chars_corr(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Realized-vs-retail price ratio per brand: how much of list price the
+# brand actually captures after negotiated discounts — two exact
+# integer cent masses per brand, one division.
+# ---------------------------------------------------------------------------
+
+_BRANDPRICE_ORACLE = """
+WITH j AS (SELECT p.p_brand AS brand,
+                  CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_cents,
+                  CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT) AS retail_cents
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT brand, COUNT(*) AS n_lines,
+       CAST(SUM(ext_cents) AS BIGINT) AS realized_cents,
+       CAST(SUM(retail_cents) AS BIGINT) AS retail_cents,
+       ROUND(CAST(SUM(ext_cents) AS DOUBLE) / CAST(SUM(retail_cents) AS DOUBLE), 6)
+         AS realized_ratio
+FROM j GROUP BY 1
+"""
+
+
+@register("brand_realized_price_ratio", oracle=_BRANDPRICE_ORACLE)
+def brand_realized_price_ratio(sf_dir: str):
+    """Per-brand realized/list price capture: lineitem resolves its
+    part through the catalog-sized broadcast map (brand + retail
+    cents), both cent masses ride the combiner as exact ints, one
+    division per brand in the final."""
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast, partial_group_agg
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"]).to_pandas()
+    pmap = {
+        int(k): (b, int(np.floor(rp * 100 + 0.5)))
+        for k, b, rp in zip(part["p_partkey"], part["p_brand"], part["p_retailprice"])
+    }
+    pref = (ray.put(pmap),)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def to_brand(t: pa.Table) -> pa.Table:
+        m = get_broadcast(pref, tag="brand_retail")
+        pk = t.column("l_partkey").to_pylist()
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        ext = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        brands = []
+        retail = np.empty(len(pk), np.int64)
+        for i, k in enumerate(pk):
+            b, rc = m[k]
+            brands.append(b)
+            retail[i] = rc
+        return pa.table(
+            {"brand": pa.array(brands, pa.string()),
+             "ext_cents": pa.array(ext),
+             "retail_cents": pa.array(retail * qty)}
+        )
+
+    agg = partial_group_agg(
+        li.map_batches(to_brand, batch_format="pyarrow"), ["brand"],
+        {"ext_cents": "realized_cents", "retail_cents": "retail_cents"},
+        count_alias="n_lines",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rc = t.column("realized_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        tc = t.column("retail_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.floor(rc / tc * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"brand": t.column("brand"), "n_lines": t.column("n_lines"),
+             "realized_cents": t.column("realized_cents"),
+             "retail_cents": t.column("retail_cents"),
+             "realized_ratio": pa.array(ratio, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
