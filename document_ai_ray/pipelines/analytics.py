@@ -6280,3 +6280,113 @@ def brand_realized_price_ratio(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Two reporting staples on exact integer masses: order-priority mix
+# per year, and the discount -> quantity effect curve.
+# ---------------------------------------------------------------------------
+
+_PRIOSHARE_ORACLE = """
+WITH y AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                  o_orderpriority AS priority
+           FROM orders),
+c AS (SELECT year, priority, COUNT(*) AS n FROM y GROUP BY 1, 2),
+t AS (SELECT year, CAST(SUM(n) AS BIGINT) AS ny FROM c GROUP BY 1)
+SELECT c.year, c.priority, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.ny AS DOUBLE), 6) AS share
+FROM c JOIN t ON t.year = c.year
+"""
+
+
+@register("priority_share_by_year", oracle=_PRIOSHARE_ORACLE)
+def priority_share_by_year(sf_dir: str):
+    """Order-priority mix per calendar year (the composition-over-time
+    report): (year, priority) counts ride the combiner; shares are one
+    division per cell in the (years x 5) final."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = 1970 + ts.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        g = (
+            pa.table({"year": pa.array(year), "priority": t.column("o_orderpriority")})
+            .group_by(["year", "priority"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("year"), g.column("priority"), g.column("count_all")],
+            names=["year", "priority", "n"],
+        )
+
+    merged = merge_partials(
+        orders.map_batches(counts, batch_format="pyarrow"), ["year", "priority"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ny = df.groupby("year")["n"].transform("sum").to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        share = np.floor(n.astype(np.float64) / ny.astype(np.float64) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"year": pa.array(df["year"].to_numpy(np.int64)),
+             "priority": pa.array(df["priority"], pa.string()),
+             "n": pa.array(n), "share": pa.array(share, pa.float64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+_DISCEFFECT_ORACLE = """
+WITH d AS (SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS discount_cents,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem)
+SELECT discount_cents, COUNT(*) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+FROM d GROUP BY 1
+"""
+
+
+@register("discount_quantity_effect", oracle=_DISCEFFECT_ORACLE)
+def discount_quantity_effect(sf_dir: str):
+    """Average line quantity per discount level (the promo-effect
+    curve): discounts quantize to exact integer cents (11 buckets),
+    quantity sums are exact ints, one division per bucket."""
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    li = read_table(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        dc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table({"discount_cents": pa.array(dc), "qty": pa.array(qty)})
+            .group_by(["discount_cents"])
+            .aggregate([("qty", "sum"), ([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g.column("discount_cents"), g.column("qty_sum"), g.column("count_all")],
+            names=["discount_cents", "total_qty", "n_lines"],
+        )
+
+    merged = merge_partials(
+        li.map_batches(buckets, batch_format="pyarrow"), ["discount_cents"],
+        {"total_qty": "sum", "n_lines": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tq = t.column("total_qty").to_numpy(zero_copy_only=False).astype(np.float64)
+        nl = t.column("n_lines").to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.floor(tq / nl * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"discount_cents": t.column("discount_cents"),
+             "n_lines": t.column("n_lines"), "total_qty": t.column("total_qty"),
+             "avg_qty": pa.array(avg, pa.float64())}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
