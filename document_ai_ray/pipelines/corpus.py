@@ -94,9 +94,9 @@ tok AS (SELECT doc_id, clean_text,
                END AS n_ws_tokens
         FROM clean)
 SELECT doc_id, clean_text, n_ws_tokens,
-       COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
+       CAST(COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {BUILD_SHARD_TOKENS} AS shard
+         // {BUILD_SHARD_TOKENS} AS BIGINT) AS shard
 FROM tok
 """
 

@@ -203,7 +203,7 @@ flagged AS (
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n_windows,
-         SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS dup_windows
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
   FROM flagged GROUP BY doc_id
 )
 SELECT d.doc_id,

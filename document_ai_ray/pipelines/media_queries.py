@@ -929,9 +929,9 @@ px AS (SELECT media_id, w, h, xx.x AS x, yy.y AS y
             LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy)
 SELECT media_id, w, h,
-       SUM(x * 255 // (w - 1)) AS sum_r,
-       SUM(y * 255 // (h - 1)) AS sum_g,
-       SUM((x + y) % 256) AS sum_b
+       CAST(SUM(x * 255 // (w - 1)) AS BIGINT) AS sum_r,
+       CAST(SUM(y * 255 // (h - 1)) AS BIGINT) AS sum_g,
+       CAST(SUM((x + y) % 256) AS BIGINT) AS sum_b
 FROM px GROUP BY 1, 2, 3
 """
 

@@ -819,7 +819,7 @@ def range_join_price_bands(sf_dir: str):
     SELECT CASE WHEN l.k IS NULL THEN 'right_only'
                 WHEN r.k IS NULL THEN 'left_only'
                 ELSE 'both' END AS side,
-           COUNT(*) AS n, COALESCE(SUM(l.n_ord), 0) AS n_orders
+           COUNT(*) AS n, CAST(COALESCE(SUM(l.n_ord), 0) AS BIGINT) AS n_orders
     FROM l FULL OUTER JOIN r ON l.k = r.k
     GROUP BY 1
     """,

@@ -534,9 +534,9 @@ WITH toks AS (
          END AS n_ws_tokens
   FROM documents)
 SELECT doc_id, n_ws_tokens,
-       COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
+       CAST(COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {_SHARD_TOKENS} AS shard
+         // {_SHARD_TOKENS} AS BIGINT) AS shard
 FROM toks
 """
 
@@ -2276,7 +2276,7 @@ _FLESCH_ORACLE = r"""
 WITH wd AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w
             FROM documents),
 sy AS (SELECT doc_id, COUNT(*) AS n_words,
-              SUM(GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)) AS n_syll
+              CAST(SUM(GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)) AS BIGINT) AS n_syll
        FROM wd GROUP BY doc_id),
 se AS (SELECT doc_id, GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
        FROM documents)

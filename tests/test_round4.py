@@ -34,11 +34,11 @@ def test_registry_orders_unsampled_queries_first():
 
     names = list(registry.queries())
     oracles = registry.oracle_sql()
-    assert names[:3] == list(registry._PRIORITY)
+    assert names[: len(registry._PRIORITY)] == list(registry._PRIORITY)
     first50 = names[:50]
-    # the sample window must be dominated by queries with no r1-r3
+    # the sample window must be dominated by queries with no r1-r4
     # driver evidence, and (priority entries aside) all oracle-checked
-    fresh = [n for n in first50 if n not in registry._DRIVER_SAMPLED_R1_R3]
+    fresh = [n for n in first50 if n not in registry._DRIVER_SAMPLED_R1_R4]
     assert len(fresh) >= 45, f"only {len(fresh)} never-sampled queries in the first 50"
     assert all(n in oracles for n in first50 if n not in registry._PRIORITY)
     # ordering must not lose or duplicate anything

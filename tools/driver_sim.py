@@ -44,7 +44,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    body = df.to_csv(index=False, float_format="%.6g")
+    # dtype-strict: the real driver's hash distinguishes int64 from
+    # float64 (560 vs 560.0) — "%.6g" alone collapses them, which masked
+    # the HUGEINT-oracle defect for two rounds.  Hash dtype.kind per
+    # column (int-vs-float matters; int32-vs-int64 doesn't).
+    kinds = ",".join(f"{c}:{df[c].dtype.kind}" for c in df.columns)
+    body = kinds + "\n" + df.to_csv(index=False, float_format="%.6g")
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
