@@ -126,17 +126,90 @@ def dedup_keep_canonical(sf_dir: str):
     return keep_canonical(assigned)
 
 
-@register("simhash_near_dup_pairs")
+# SimHash oracle: replay the 64-bit signature bit-for-bit in SQL.
+# doc_simhash's token hash is the big-endian first 8 bytes of
+# md5(bigram) — parsed here as two 32-bit halves ('0x'+8 hex CASTs to
+# BIGINT, never HUGEINT).  Per-doc per-bit votes: bit j is set iff
+# 2*SUM(bit_j over bigrams) > COUNT(bigrams) (Charikar's acc > 0).
+# Banding is deterministic — a pair is a candidate iff ANY of the 8
+# 8-bit blocks is equal — so the emitted pair set (hamming <= 10) and
+# the stride-sampled recall replay are both exact, not probabilistic.
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS k, w
+  FROM toks WHERE len(w) >= 2),
+hh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w[k] || ' ' || w[k+1]), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(w[k] || ' ' || w[k+1]), 9, 8) AS BIGINT) AS lo
+  FROM big),
+votes AS (
+  SELECT doc_id, bits.j AS j,
+         SUM(CASE WHEN bits.j < 32 THEN (lo >> bits.j) & 1
+                  ELSE (hi >> (bits.j - 32)) & 1 END) AS s,
+         COUNT(*) AS n
+  FROM hh, (SELECT unnest(generate_series(0, 63)) AS j) bits
+  GROUP BY doc_id, bits.j),
+sig0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < 32 AND 2 * s > n
+                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN j >= 32 AND 2 * s > n
+                       THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS BIGINT) AS hi
+  FROM votes GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, COALESCE(s0.lo, 0) AS lo, COALESCE(s0.hi, 0) AS hi
+  FROM documents d LEFT JOIN sig0 s0 USING (doc_id)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+           AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (((a.lo >>  0) & 255) = ((b.lo >>  0) & 255)
+      OR ((a.lo >>  8) & 255) = ((b.lo >>  8) & 255)
+      OR ((a.lo >> 16) & 255) = ((b.lo >> 16) & 255)
+      OR ((a.lo >> 24) & 255) = ((b.lo >> 24) & 255)
+      OR ((a.hi >>  0) & 255) = ((b.hi >>  0) & 255)
+      OR ((a.hi >>  8) & 255) = ((b.hi >>  8) & 255)
+      OR ((a.hi >> 16) & 255) = ((b.hi >> 16) & 255)
+      OR ((a.hi >> 24) & 255) = ((b.hi >> 24) & 255))
+    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 10),
+stride AS (SELECT GREATEST(1, COUNT(*) // 512) AS st FROM documents),
+samp AS (SELECT s.* FROM sig s, stride WHERE s.doc_id % stride.st = 0),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 10),
+fnd AS (
+  SELECT c.id_a, c.id_b FROM cand c, stride
+  WHERE c.id_a % stride.st = 0 AND c.id_b % stride.st = 0),
+rec AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN 1.0
+              ELSE (SELECT COUNT(*) FROM ex JOIN fnd USING (id_a, id_b)) * 1.0
+                   / (SELECT COUNT(*) FROM ex) END AS recall)
+SELECT c.id_a, c.id_b, c.hamming, ROUND(rec.recall, 6) AS recall
+FROM cand c, rec
+"""
+
+
+@register("simhash_near_dup_pairs", oracle=_SIMHASH_ORACLE)
 def simhash_near_dup_pairs(sf_dir: str):
-    """SimHash banding near-dup pairs (rows-only: no SQL analogue of
-    the 64-bit fingerprint), with an in-pipeline RECALL GATE so the
-    driver's row check is meaningful: a seeded systematic doc sample's
+    """SimHash banding near-dup pairs, ORACLE-CHECKED (r5 promotion,
+    verdict item #4): doc_simhash's token hash is md5-derived, so the
+    oracle replays the full 64-bit signature, the 8x8-bit banding AND
+    the hamming <= 10 verify in SQL — the pair set is deterministic
+    (banding is pure pigeonhole, not probabilistic sampling).  The
+    in-pipeline RECALL GATE stays: a seeded systematic doc sample's
     exact all-pairs hamming set (bounded ~512 docs — scale-safe) is
     compared against the banded output restricted to the sample, and
-    every emitted row carries that recall estimate.  Documented floor:
-    recall >= 0.9 (pairs with hamming <= n_blocks-1 are CAUGHT BY
-    PIGEONHOLE, so misses can only come from the 8..10 tail);
-    asserted in tests/test_dedup.py as well."""
+    every emitted row carries that recall estimate (replayed by the
+    oracle too).  Documented floor: recall >= 0.9 (pairs with hamming
+    <= n_blocks-1 are CAUGHT BY PIGEONHOLE, so misses can only come
+    from the 8..10 tail); asserted in tests/test_dedup.py as well."""
     import numpy as np
     import pyarrow as pa
 
@@ -181,6 +254,7 @@ def simhash_near_dup_pairs(sf_dir: str):
         recall = len(found & exact) / len(exact)
     else:
         recall = 1.0                              # no sampled ground-truth pairs
+    pdf["hamming"] = pdf["hamming"].astype("int64")  # popcount64 is uint64
     pdf["recall"] = np.round(recall, 6)
     return pdf
 

@@ -870,10 +870,27 @@ def minhash_lsh_pairs(
 
 def doc_simhash(text: str | None, n: int = 2) -> int:
     """64-bit SimHash of a document's word n-grams (the fingerprint
-    `simhash_pairs` bands; exposed for recall gating and online use)."""
+    `simhash_pairs` bands; exposed for recall gating and online use).
+
+    Token hashes are the big-endian first 8 bytes of md5 — exactly
+    ``int(md5(tok).hexdigest()[:16], 16)`` — so a DuckDB oracle can
+    replay the full signature bit-for-bit (two CAST('0x'||substr(md5,
+    ..)) 32-bit halves + per-bit vote sums); see the
+    `simhash_near_dup_pairs` oracle in pipelines/dedup_queries.py."""
+    import hashlib
+    import struct
+
     toks = (text or "").split()
     th = np.fromiter(
-        (stable64(" ".join(toks[k : k + n])) for k in range(max(0, len(toks) - n + 1))),
+        (
+            struct.unpack(
+                ">Q",
+                hashlib.md5(
+                    " ".join(toks[k : k + n]).encode("utf-8", "surrogatepass")
+                ).digest()[:8],
+            )[0]
+            for k in range(max(0, len(toks) - n + 1))
+        ),
         dtype=np.uint64,
     )
     return simhash64(th)
