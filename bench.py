@@ -78,7 +78,13 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     rows: dict[str, int] = {}
     for name in names:
         t0 = time.time()
-        rows[name] = _consume(qs[name](sf_dir))
+        res = qs[name](sf_dir)
+        if name == SCALING_QUERY:
+            # the synth-corpus query is a per-lang census since r5 (5
+            # rows); docs processed = sum of its n_pages cells
+            rows[name] = int(sum(r["n_pages"] for r in res.take_all()))
+        else:
+            rows[name] = _consume(res)
         dt = round(time.time() - t0, 3)
         # repeated names -> best-of-k (noise-robust steady-state timing)
         times[name] = min(times.get(name, dt), dt)

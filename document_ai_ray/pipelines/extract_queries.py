@@ -164,20 +164,78 @@ def extract_pdf_roundtrip(sf_dir: str):
     return extract_pipeline(pages).select_columns(["url", "extracted_text"])
 
 
-@register("extract_synth_corpus")
-def extract_synth_corpus(sf_dir: str):
-    """Extraction+validation over the DISTRIBUTED synthetic corpus
-    (generation happens inside tasks; nothing driver-side).  Row count
-    via $BENCH_SYNTH_N (default 20k for the driver's correctness pass;
-    bench.py --scaling sets 400k so compute dominates startup).
-    Rows-only check (sf_dir unused)."""
+# Synth-corpus census oracle: lang (i%5), the PDF payload classes
+# (i%100 in {3,53,83}) and the page index i itself are pure arithmetic
+# over the generator's row id (synth.py:gen_page), so a per-lang census
+# of (row count, index checksum, pdf count) replays exactly in SQL.
+# sum_i is the strong cell: any page the extraction pipeline drops,
+# duplicates or mis-routes shifts a lang's index sum.  (validated /
+# pred_lang are NOT mod-constant at 20k pages — link-farm langid and
+# truncation-class validation are content-dependent — so they stay out
+# of the oracle; the validator battery is oracle-checked on
+# extract_flagship_full instead.)
+_SYNTH_PDF_MODS = "3,53,83"
+
+
+def _synth_census_oracle() -> str:
     import os
 
+    n = int(os.environ.get("BENCH_SYNTH_N", "20000"))
+    return f"""
+    WITH p AS (SELECT i, i % 100 AS m,
+                      ['en','fr','de','es','it'][CAST(i % 5 AS INTEGER) + 1] AS lang
+               FROM range({n}) t(i))
+    SELECT lang,
+           COUNT(*) AS n_pages,
+           CAST(SUM(i) AS BIGINT) AS sum_i,
+           CAST(SUM(CASE WHEN m IN ({_SYNTH_PDF_MODS}) THEN 1 ELSE 0 END) AS BIGINT) AS n_pdf
+    FROM p GROUP BY lang
+    """
+
+
+@register("extract_synth_corpus", oracle=_synth_census_oracle())
+def extract_synth_corpus(sf_dir: str):
+    """Extraction+validation over the DISTRIBUTED synthetic corpus
+    (generation happens inside tasks; nothing driver-side), reduced to
+    a per-lang census the oracle replays from the generator's i%5 /
+    i%100 arithmetic — ORACLE-CHECKED since r5 (verdict item #8: the
+    scaling workload itself now carries a driver-checkable row).  A
+    page dropped, duplicated or mis-langed anywhere in the generate ->
+    extract -> validate chain shifts n_pages or the sum_i index
+    checksum; a content-type sniff/charset-repair regression shifts
+    n_pdf.  Corpus size via $BENCH_SYNTH_N (default 20k; bench.py
+    --scaling sets 400k so compute dominates startup — the census
+    aggregate is 5 rows and adds nothing to the measured stage).
+    sf_dir unused."""
+    import os
+
+    import pyarrow.compute as pc
+
     from document_ai_ray.pipelines.extract import extract_pipeline
+    from document_ai_ray.pipelines.ops import partial_group_agg
     from document_ai_ray.synth import pages_dataset
 
     n = int(os.environ.get("BENCH_SYNTH_N", "20000"))
-    return extract_pipeline(pages_dataset(n, parallelism=max(64, n // 2000)))
+    res = extract_pipeline(pages_dataset(n, parallelism=max(64, n // 2000)))
+
+    def census_cols(t: pa.Table) -> pa.Table:
+        # url = https://site{k}.example/{lang}/page{i}
+        i = pc.cast(
+            pc.replace_substring_regex(t.column("url"), r"^.*page", ""), pa.int64()
+        )
+        is_pdf = pc.cast(
+            pc.equal(t.column("content_type"), "application/pdf"), pa.int64()
+        )
+        return pa.table(
+            {"lang": t.column("lang"), "i": i, "is_pdf": is_pdf}
+        )
+
+    return partial_group_agg(
+        res.map_batches(census_cols, batch_format="pyarrow"),
+        ["lang"],
+        {"i": "sum_i", "is_pdf": "n_pdf"},
+        count_alias="n_pages",
+    )
 
 
 @register(

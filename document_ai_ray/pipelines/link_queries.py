@@ -983,12 +983,57 @@ def host_degree_hist(sf_dir: str):
     )
 
 
-@register("kcore_hosts")
+def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled k-core peeling as DuckDB SQL (MATERIALIZED CTEs — each
+    round references the previous alive set several times, the same
+    inlining hazard as `_pagerank_oracle`).  a_r = hosts whose degree
+    over edges with BOTH ends in a_{r-1} is >= k; once a_r == a_{r-1}
+    further rounds are no-ops, so unrolling past convergence is safe
+    (engine raises past 64 rounds; these host graphs converge in a
+    handful — verified at sf0.001/0.01/0.1)."""
+    its = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        cur = f"a{r}"
+        its.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT host FROM (
+    SELECT e.u AS host FROM und e
+    WHERE e.u IN (SELECT host FROM {prev}) AND e.v IN (SELECT host FROM {prev})
+    UNION ALL
+    SELECT e.v FROM und e
+    WHERE e.u IN (SELECT host FROM {prev}) AND e.v IN (SELECT host FROM {prev})
+  ) GROUP BY host HAVING COUNT(*) >= {k})""")
+        prev = cur
+    return f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+kk AS (SELECT source, unnest(generate_series(1, LEAST(len(ws), {_N_WORDS}))) AS i, ws FROM w),
+e0 AS (SELECT source || '.example' AS src,
+              regexp_replace(lower(ws[i]), '[^a-z0-9]', '', 'g') AS slug FROM kk),
+de AS (SELECT DISTINCT src, slug || '.example' AS dst FROM e0 WHERE slug <> ''),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM de WHERE src <> dst),
+a0 AS MATERIALIZED (SELECT u AS host FROM und UNION SELECT v FROM und),
+{",".join(its)}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT e.u AS host FROM und e
+  WHERE e.u IN (SELECT host FROM {prev}) AND e.v IN (SELECT host FROM {prev})
+  UNION ALL
+  SELECT e.v FROM und e
+  WHERE e.u IN (SELECT host FROM {prev}) AND e.v IN (SELECT host FROM {prev})
+) GROUP BY host
+"""
+
+
+@register("kcore_hosts", oracle=_kcore_oracle())
 def kcore_hosts_query(sf_dir: str):
-    """3-core of the undirected host graph (rows-only: the peeling
-    fixpoint has no SQL analogue; pinned by a dense-reference equality
-    test in tests/test_links.py).  Every emitted member carries its
-    in-core degree — self-evidencing: all core_degree >= 3."""
+    """3-core of the undirected host graph, ORACLE-CHECKED (r5
+    promotion): the peeling fixpoint is replayed in DuckDB as unrolled
+    MATERIALIZED CTEs (`_kcore_oracle` — the `_pagerank_oracle`
+    pattern), on the same SQL-reconstructible edge table.  Also pinned
+    by a dense-reference equality test in tests/test_links.py.  Every
+    emitted member carries its in-core degree — all core_degree >= 3."""
     from document_ai_ray.stages.links import href_host, kcore_hosts, page_outlinks
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])

@@ -34,13 +34,78 @@ def _media_dataset():
     return rd.range(N_MEDIA, override_num_blocks=8).map_batches(gen, batch_format="pyarrow")
 
 
-@register("media_decode_features")
+# Decode-features oracle: the SYNM payload body is the arithmetic law
+# (media_id*31 + j*7) % 256 and DecodeMedia's features are per-chunk
+# byte means / 255 over np.array_split(body, 16), so each chunk SUM is
+# an exact integer recoverable from the float32 feature
+# (round(feat * 255 * chunk_len) — the WAV-quantization inversion
+# pattern).  The oracle replays the law + the array_split boundaries:
+# with r = n%16, L = n//16 the first r chunks have L+1 bytes.
+_DECODE_FEATURES_ORACLE = f"""
+WITH m AS (SELECT i AS media_id, 24 * ((i % 8) + 1) AS n,
+                  CASE WHEN i % 3 = 0 THEN 'audio/synthetic'
+                       ELSE 'image/synthetic' END AS media_type
+           FROM range({N_MEDIA}) t(i)),
+pos AS (SELECT media_id, media_type, n,
+               unnest(generate_series(0, n - 1)) AS p
+        FROM m),
+ch AS (SELECT media_id, media_type, n,
+              (media_id * 31 + p * 7) % 256 AS b,
+              CASE WHEN p < (n % 16) * ((n // 16) + 1)
+                   THEN p // ((n // 16) + 1)
+                   ELSE (n % 16) + (p - (n % 16) * ((n // 16) + 1)) // (n // 16)
+              END AS chunk
+       FROM pos)
+SELECT media_id, media_type, CAST(n + 16 AS BIGINT) AS n_bytes,
+       CAST(chunk AS BIGINT) AS chunk, CAST(SUM(b) AS BIGINT) AS chunk_sum
+FROM ch GROUP BY media_id, media_type, n, chunk
+"""
+
+
+@register("media_decode_features", oracle=_DECODE_FEATURES_ORACLE)
 def media_decode_features(sf_dir: str):
     """Decode + fixed-dim feature extraction over the synthetic media
-    table (actor pool, byte-capped batches; sf_dir unused)."""
-    from document_ai_ray.stages.multimodal import media_features
+    table (actor pool, byte-capped batches; sf_dir unused) —
+    ORACLE-CHECKED since r5: the decoded float32 feature vector is
+    inverted back to exact integer per-chunk byte sums
+    (round(feat * 255 * chunk_len)), which the oracle recomputes from
+    the payload's arithmetic byte law — a wrong byte anywhere in the
+    encode -> actor-pool decode -> feature chain shifts a sum."""
+    import numpy as np
 
-    return media_features(_media_dataset())
+    from document_ai_ray.stages.multimodal import DecodeMedia, media_features
+
+    dim = DecodeMedia.FEATURE_DIM
+
+    def to_chunk_sums(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        types = t.column("media_type").to_pylist()
+        nb = t.column("n_bytes").to_pylist()
+        feats = t.column("features").to_pylist()
+        out = {"media_id": [], "media_type": [], "n_bytes": [], "chunk": [], "chunk_sum": []}
+        for mid, mt, b, f in zip(ids, types, nb, feats):
+            n = b - 16                              # header is 16 bytes
+            r, base = n % dim, n // dim
+            lens = np.array([base + 1] * r + [base] * (dim - r), np.int64)
+            sums = np.rint(np.asarray(f, np.float64) * 255.0 * lens).astype(np.int64)
+            out["media_id"].extend([mid] * dim)
+            out["media_type"].extend([mt] * dim)
+            out["n_bytes"].extend([b] * dim)
+            out["chunk"].extend(range(dim))
+            out["chunk_sum"].extend(sums.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "media_type": pa.array(out["media_type"], pa.string()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "chunk": pa.array(out["chunk"], pa.int64()),
+                "chunk_sum": pa.array(out["chunk_sum"], pa.int64()),
+            }
+        )
+
+    return media_features(_media_dataset()).map_batches(
+        to_chunk_sums, batch_format="pyarrow"
+    )
 
 
 @register("media_resize_then_decode")

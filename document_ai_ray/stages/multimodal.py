@@ -615,10 +615,16 @@ _MAGIC = b"SYNM"  # synthetic media payload: SYNM | u32 w | u32 h | u32 sr | dat
 
 
 def make_media_payload(media_id: int, width: int, height: int, sample_rate: int = 0) -> bytes:
-    """Deterministic synthetic payload the fake decoder understands."""
-    rng = np.random.RandomState(media_id & 0x7FFFFFFF)
+    """Deterministic synthetic payload the fake decoder understands.
+
+    Body byte j is the arithmetic law ``(media_id*31 + j*7) % 256`` —
+    SQL-replayable on purpose, so the `media_decode_features` oracle
+    can recompute the decoded chunk sums from the law alone (the
+    `media_gradient_pixel_stats` pattern)."""
     n = max(16, (width * height) // 64)
-    return _MAGIC + struct.pack("<III", width, height, sample_rate) + rng.bytes(n)
+    j = np.arange(n, dtype=np.int64)
+    body = ((media_id * 31 + j * 7) % 256).astype(np.uint8)
+    return _MAGIC + struct.pack("<III", width, height, sample_rate) + body.tobytes()
 
 
 class DecodeMedia:
