@@ -163,6 +163,19 @@ DEDUP_SCALE_QUERIES = [
     "embedding_near_dup_pairs",
 ]
 
+# Web-graph family for the 10x scale evidence (r4 verdict #7): the
+# replicated corpus grows the host graph ~linearly (dst hosts are
+# per-word slugs, so the replica-letter word prefix gives every replica
+# a disjoint dst-host vocabulary; src hosts — the handful of shared
+# `source` values — stay the realistic shared-hub tier), letting the
+# sparse-partial / host-sized-driver-state claims be measured, not
+# argued.
+GRAPH_SCALE_QUERIES = [
+    "pagerank_hosts",
+    "hits_hosts",
+    "kcore_hosts",
+]
+
 
 def _rss_sampler(stop, peak):
     """Background thread: every 0.2 s sum VmRSS over this process +
@@ -278,8 +291,15 @@ def build_scaled_corpus(sf_dir: str, factor: int) -> str:
     return out
 
 
-def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
-    """1x vs factor-x wall + peak RSS for the dedup/ANN family.  The
+def run_dedup_scale(
+    sf_dir: str,
+    num_cpus: int,
+    factor: int = 10,
+    queries: list | None = None,
+    metric: str = "dedup_scale",
+) -> dict:
+    """1x vs factor-x wall + peak RSS for a pipeline family (dedup/ANN
+    by default; `--graph-scale` passes the web-graph family).  The
     scale claim being evidenced: auto_buckets grows bucket counts
     linearly with the input, so per-task (per-bucket) work is flat and
     wall should scale ~linearly while peak memory grows far slower
@@ -290,6 +310,7 @@ def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
 
     from document_ai_ray.functions.scale import DEFAULT_ROWS_PER_BUCKET, auto_buckets
 
+    names = queries if queries is not None else DEDUP_SCALE_QUERIES
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
@@ -298,7 +319,7 @@ def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
     qs = registry.queries()
     scaled_dir = build_scaled_corpus(sf_dir, factor)
     # untimed warmup at the small sibling (worker spawn, imports)
-    for name in DEDUP_SCALE_QUERIES:
+    for name in names:
         _consume(qs[name](_warmup_dir(sf_dir)))
 
     out: dict = {}
@@ -308,7 +329,7 @@ def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
 
         n_docs[label] = rd.read_parquet(os.path.join(d, "documents.parquet")).count()
         per = {}
-        for name in DEDUP_SCALE_QUERIES:
+        for name in names:
             stop, peak = threading.Event(), [0]
             th = threading.Thread(target=_rss_sampler, args=(stop, peak), daemon=True)
             th.start()
@@ -328,16 +349,16 @@ def run_dedup_scale(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
         out[label] = per
     ratios = {
         n: round(out[f"{factor}x"][n]["wall_sec"] / max(out["1x"][n]["wall_sec"], 1e-9), 2)
-        for n in DEDUP_SCALE_QUERIES
+        for n in names
     }
     mem_ratios = {
         n: round(
             out[f"{factor}x"][n]["peak_rss_mib"] / max(out["1x"][n]["peak_rss_mib"], 1e-9), 2
         )
-        for n in DEDUP_SCALE_QUERIES
+        for n in names
     }
     return {
-        "metric": f"dedup_scale_{factor}x",
+        "metric": f"{metric}_{factor}x",
         "unit": "sec",
         "factor": factor,
         "num_cpus": num_cpus,
@@ -370,9 +391,14 @@ def main() -> None:
         hi = int(os.environ.get("SCALING_CPUS_HI", "16"))
         print(json.dumps(run_scaling(sf_dir, lo, hi)))
         return
-    if "--dedup-scale" in args:
+    if "--dedup-scale" in args or "--graph-scale" in args:
         factor = int(os.environ.get("DEDUP_SCALE_FACTOR", "10"))
-        print(json.dumps(run_dedup_scale(sf_dir, num_cpus, factor)))
+        if "--graph-scale" in args:
+            out = run_dedup_scale(sf_dir, num_cpus, factor,
+                                  queries=GRAPH_SCALE_QUERIES, metric="graph_scale")
+        else:
+            out = run_dedup_scale(sf_dir, num_cpus, factor)
+        print(json.dumps(out))
         import ray
 
         if ray.is_initialized():

@@ -849,6 +849,8 @@ def bucket_map_groups(
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    if _exchange_spy is not None:
+        _exchange_spy(bucket_col, n_buckets)
     blocks = ds.to_arrow_refs()
     if len(blocks) * n_buckets > _EXCHANGE_MAX_REFS:
         grouped = ds.groupby(bucket_col)
@@ -893,6 +895,11 @@ def bucket_map_groups(
 
 # n_blocks x n_buckets ref-inventory cap for the manual exchange
 _EXCHANGE_MAX_REFS = 1 << 20
+
+# test/discovery hook (tools/find_exchange_users.py, determinism sweep):
+# when set, called as _exchange_spy(bucket_col, n_buckets) on every
+# bucket_map_groups crossing regardless of which module bound the fn
+_exchange_spy = None
 
 
 def with_prefix_max(

@@ -195,6 +195,11 @@ def _jaccard_dense(
     all_cols: list[list[int]] = []
     for ref in grams.map_batches(incidence, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0 and "id" not in t.schema.names:
+            # Ray's map_batches SKIPS empty input blocks, so an upstream
+            # 0-row block with an EMPTY schema passes through incidence
+            # untouched (hit at off-scale sfs with high parallelism)
+            continue
         all_ids.extend(t.column("id").to_pylist())
         all_cols.extend(t.column("cols").to_pylist())
     n_docs = len(all_ids)

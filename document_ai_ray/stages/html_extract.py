@@ -429,22 +429,46 @@ def _fused_parse(rawdata: str) -> list[Block]:
         start_tag = None          # set to emit a start tag event
         end_tag = None            # set to emit an end tag event
         data_seg = None           # set to emit a raw data event
+        sm = None
         if cdata_elem is None:
-            sm = simple_match(rawdata, i)                     # common-case fast path
-        else:
-            sm = None
-        if sm is not None:
-            # groups 1/2/3 == start/sc/end — one C call instead of three
-            s_tag, sc, e_tag = sm.group(1, 2, 3)
-            if e_tag is not None:
-                end_tag = e_tag.lower()
-            else:
-                start_tag = tag = s_tag.lower()
-                if sc:
-                    end_tag = tag
-                elif tag in ("script", "style"):
-                    cdata_elem = tag
-            k = sm.end()
+            # string-ops fast path for the dominant attribute-free
+            # shapes <name> / </name> (ASCII letter + alnums, no ws, no
+            # self-close — ~78% of tags on web boilerplate): one bounded
+            # find + isascii/isalnum in place of the regex engine.  It
+            # only ACCEPTS when its end position and verdict provably
+            # coincide with the stdlib tokenization (the '>' found is
+            # the tag end because an alnum-only body can contain no
+            # quote that could hide a '>'); anything else falls through
+            # to _SIMPLE_TAG / the exact branch chain.
+            gt = find_lt(">", i + 1, i + 66)
+            if gt != -1:
+                body = rawdata[i + 1 : gt]
+                if body:
+                    if body[0] == "/":
+                        nm = body[1:]
+                        if nm and nm.isascii() and nm.isalnum() and not nm[0].isdigit():
+                            end_tag = nm if nm.islower() else nm.lower()
+                            k = gt + 1
+                    elif body.isascii() and body.isalnum() and not body[0].isdigit():
+                        start_tag = tag = body if body.islower() else body.lower()
+                        if tag in ("script", "style"):
+                            cdata_elem = tag
+                        k = gt + 1
+            if start_tag is None and end_tag is None:
+                sm = simple_match(rawdata, i)                 # common-case regex path
+        if sm is not None or start_tag is not None or end_tag is not None:
+            if sm is not None:
+                # groups 1/2/3 == start/sc/end — one C call instead of three
+                s_tag, sc, e_tag = sm.group(1, 2, 3)
+                if e_tag is not None:
+                    end_tag = e_tag.lower()
+                else:
+                    start_tag = tag = s_tag.lower()
+                    if sc:
+                        end_tag = tag
+                    elif tag in ("script", "style"):
+                        cdata_elem = tag
+                k = sm.end()
             # fall through to the shared event emission below
             if start_tag is not None:
                 if start_tag in SKIP_TAGS:

@@ -47,3 +47,29 @@ def test_no_hugeint_oracle_columns(planner):
         "oracles emitting HUGEINT columns (driver hash-fail: pandas renders "
         f"HUGEINT as float64, engine emits int64) — CAST(... AS BIGINT): {bad}"
     )
+
+
+def test_jaccard_dense_skips_schema_less_empty_block(ray_session):
+    """Ray's map_batches SKIPS empty input blocks, so an upstream 0-row
+    block with an EMPTY schema flows through the incidence map
+    untouched and reaches the driver-side collect loop (hit by
+    cross_corpus_decontaminate at sf0.001 under num_cpus=16 — the r5
+    exchange-discovery sweep's one real failure).  Reproduce the shape
+    directly: a grams dataset whose block list contains a schema-less
+    empty block must still score."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_ai_ray.stages.dedup import _jaccard_dense
+
+    full = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "grams": pa.array([[10, 11, 12], [10, 11, 12]], pa.list_(pa.int64())),
+        }
+    )
+    empty_schemaless = pa.table({})
+    ds = rd.from_arrow([full, empty_schemaless])
+    pairs = _jaccard_dense(ds, 0.5, vocab=[10, 11, 12]).to_pandas()
+    assert len(pairs) == 1
+    assert float(pairs["jaccard"].iloc[0]) == 1.0
