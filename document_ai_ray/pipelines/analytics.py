@@ -5506,6 +5506,86 @@ def events_rolling_median(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Hampel filter: rolling-window robust outlier flags — |x − med| >
+# k·1.4826·MAD over the trailing 5-event window, the robust sibling of
+# the z-score outlier screen.  Restricted to FULL (5-row, odd) windows
+# so both engines' medians are exact element selections (DuckDB's
+# windowed MEDIAN/MAD interpolate on even counts); the flag compares
+# identical IEEE expressions on both sides.
+# ---------------------------------------------------------------------------
+
+_HAMPEL_K = 3.0
+
+_HAMPEL_ORACLE = f"""
+WITH w AS (SELECT event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  MEDIAN(value) OVER win AS med,
+                  MAD(value) OVER win AS mad
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT event_id, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       CASE WHEN ABS(value - med) > {_HAMPEL_K} * 1.4826 * mad
+            THEN 1 ELSE 0 END AS is_outlier
+FROM w WHERE rn >= 5
+"""
+
+
+@register("events_hampel_outliers", oracle=_HAMPEL_ORACLE)
+def events_hampel_outliers(sf_dir: str):
+    """Per-user trailing-5 Hampel outlier flags: one hash(user)
+    exchange, then a fully vectorized sliding-window median/MAD per
+    bucket (numpy sliding_window_view — no per-window Python).  A
+    window is valid iff its 5 rows share one user, which after the
+    (user, ts, event_id) sort is exactly u[i-4] == u[i]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    P = auto_buckets(ev.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"event_id": t.column("event_id"), "user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()), "value": t.column("value"),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def hampel(df):
+        cols = {"event_id": "int64", "med": "float64", "mad": "float64",
+                "is_outlier": "int64"}
+        if len(df) < 5:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = df["value"].to_numpy(np.float64)
+        u = df["user_id"].to_numpy(np.int64)
+        W = sliding_window_view(v, 5)                      # (n-4, 5)
+        med = np.median(W, axis=1)
+        mad = np.median(np.abs(W - med[:, None]), axis=1)
+        valid = u[4:] == u[:-4]                            # whole window one user
+        x = v[4:]
+        flag = (np.abs(x - med) > _HAMPEL_K * 1.4826 * mad).astype(np.int64)
+
+        def rnd(a):
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy()[4:][valid],
+             "med": rnd(med[valid]), "mad": rnd(mad[valid]),
+             "is_outlier": flag[valid]}
+        )
+
+    return bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", hampel, P,
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling WITHOUT replacement (Efraimidis-Spirakis, 2006):
 # key = ln(u)/w with u a fixed md5-derived uniform — deterministic,
 # so the oracle draws the identical sample.

@@ -1916,6 +1916,182 @@ def lang_source_chi2(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Cramér's V over the same (lang, source) contingency table — the
+# normalized effect size the chi² screen feeds.  The chi² TOTAL is a
+# cross-engine float sum, so each cell term is quantized to integer
+# micro-units (floor(term·1e6 + 0.5), the nb_langid micro-nat trick)
+# and summed as exact int64 on both engines; V then derives from
+# identical integers.
+# ---------------------------------------------------------------------------
+
+_CRAMERS_ORACLE = """
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+ml AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1),
+ms AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+terms AS (SELECT CAST(FLOOR(
+            POWER(CAST(c.n AS DOUBLE) - CAST(ml.nl AS DOUBLE) * CAST(ms.ns AS DOUBLE) / total, 2)
+            / (CAST(ml.nl AS DOUBLE) * CAST(ms.ns AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT) AS mt
+          FROM c JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN t),
+s AS (SELECT CAST(SUM(mt) AS BIGINT) AS chi2_micro FROM terms),
+dims AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_source,
+                CAST(SUM(n) AS BIGINT) AS n_docs FROM c)
+SELECT n_docs, n_lang, n_source,
+       ROUND(CAST(chi2_micro AS DOUBLE) / 1e6, 6) AS chi2,
+       ROUND(SQRT((CAST(chi2_micro AS DOUBLE) / 1e6)
+             / (CAST(n_docs AS DOUBLE)
+                * GREATEST(LEAST(n_lang, n_source) - 1, 1))), 6) AS cramers_v
+FROM dims CROSS JOIN s
+"""
+
+
+@register("cramers_v_lang_source", oracle=_CRAMERS_ORACLE)
+def cramers_v_lang_source(sf_dir: str):
+    """Cramér's V effect size for lang×source association: the same
+    combiner-built contingency cells as `lang_source_chi2`, with the
+    chi² total formed from integer micro-terms (per-cell quantization,
+    exact int64 sum — no cross-engine float-sum order anywhere) and
+    V = sqrt(chi²/(N·(min(r,c)−1))) derived in the one-row final."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cells = partial_group_agg(docs, ["lang", "source"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        nl = df.groupby("lang")["n"].transform("sum").to_numpy(dtype=np.float64)
+        ns = df.groupby("source")["n"].transform("sum").to_numpy(dtype=np.float64)
+        total = float(df["n"].sum())
+        exp = nl * ns / total
+        mt = np.floor((df["n"].to_numpy(np.float64) - exp) ** 2 / exp * 1e6 + 0.5)
+        chi2_micro = int(mt.astype(np.int64).sum())
+        n_docs = int(df["n"].sum())
+        n_lang = int(df["lang"].nunique())
+        n_source = int(df["source"].nunique())
+        chi2 = chi2_micro / 1e6
+        v = np.sqrt(chi2 / (float(n_docs) * max(min(n_lang, n_source) - 1, 1)))
+
+        def rnd(x):
+            return float(np.floor(abs(x) * 1e6 + 0.5) * np.copysign(1.0, x)) / 1e6
+
+        return pa.table(
+            {"n_docs": pa.array([n_docs], pa.int64()),
+             "n_lang": pa.array([n_lang], pa.int64()),
+             "n_source": pa.array([n_source], pa.int64()),
+             "chi2": pa.array([rnd(chi2)], pa.float64()),
+             "cramers_v": pa.array([rnd(v)], pa.float64())}
+        )
+
+    # tiny-partials merge: the contingency table is n_lang x n_source rows
+    return cells.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández-Stolfo): the OTHER classic
+# entity-resolution blocking strategy next to key-equality blocks —
+# sort all records by name, compare each record only to its W sorted
+# successors.  Engine shape: one global rank (with_group_ranks on a
+# constant group), then rank-range buckets with a W-row HALO replicated
+# into the predecessor bucket (the rolling_distinct halo pattern), so
+# every rank-adjacent pair is co-resident in exactly one bucket and no
+# task ever sees more than one bucket of rows.
+# ---------------------------------------------------------------------------
+
+_SNM_W = 3
+_SNM_THRESHOLD = 0.9
+
+_SNM_ORACLE = f"""
+WITH r AS (SELECT p_partkey, p_name,
+                  ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
+           FROM part)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM r a JOIN r b ON b.rk >= a.rk + 1 AND b.rk <= a.rk + {_SNM_W}
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {_SNM_THRESHOLD}
+"""
+
+
+@register("sorted_neighborhood_pairs", oracle=_SNM_ORACLE)
+def sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood candidate pairs over part names with a
+    Jaro-Winkler accept gate (window {0}, threshold {1}): the oracle
+    compares UNROUNDED jw against the threshold, so this relies on
+    `functions.strings.jaro_winkler` being exact-float-equal to
+    DuckDB's (differentially pinned in tests/test_jw_bfs.py).""".format(
+        _SNM_W, _SNM_THRESHOLD
+    )
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.strings import jaro_winkler
+    from document_ai_ray.pipelines.ops import bucket_map_groups, with_group_ranks
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    B = 4096
+    n = parts.count()
+    P = max(1, -(-n // B))
+    W = _SNM_W
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", pa.array(np.zeros(len(t), np.int64)))
+
+    ranked = with_group_ranks(
+        parts.map_batches(prep, batch_format="pyarrow"), "__g", ["p_name", "p_partkey"]
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        rk = t.column("__rank").to_numpy(zero_copy_only=False)
+        keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        names = t.column("p_name").to_pylist()
+        out_rk, out_k, out_nm, out_bk, out_anchor = [], [], [], [], []
+        for r, k, nm in zip(rk, keys, names):
+            b = int(r // B)
+            out_rk.append(int(r)); out_k.append(int(k)); out_nm.append(nm)
+            out_bk.append(b); out_anchor.append(1)
+            if b > 0 and r % B < W:  # halo: tail-anchor targets of bucket b-1
+                out_rk.append(int(r)); out_k.append(int(k)); out_nm.append(nm)
+                out_bk.append(b - 1); out_anchor.append(0)
+        return pa.table(
+            {"rk": pa.array(out_rk, pa.int64()), "key": pa.array(out_k, pa.int64()),
+             "name": pa.array(out_nm, pa.string()), "bk": pa.array(out_bk, pa.int64()),
+             "anchor": pa.array(out_anchor, pa.int64())}
+        )
+
+    def pairs(df):
+        cols = {"key_a": "int64", "key_b": "int64", "jw": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values("rk", kind="mergesort").reset_index(drop=True)
+        rk = df["rk"].to_numpy(np.int64)
+        keys = df["key"].to_numpy(np.int64)
+        names = df["name"].to_list()
+        anchor = df["anchor"].to_numpy(np.int64)
+        ka, kb, sims = [], [], []
+        m = len(df)
+        for i in range(m):
+            if not anchor[i]:
+                continue
+            for d in range(1, W + 1):
+                j = i + d
+                if j >= m or rk[j] != rk[i] + d:
+                    break
+                s = jaro_winkler(names[i], names[j])
+                if s >= _SNM_THRESHOLD:
+                    ka.append(int(keys[i])); kb.append(int(keys[j]))
+                    sims.append(np.floor(s * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {"key_a": pd.array(ka, dtype="int64"), "key_b": pd.array(kb, dtype="int64"),
+             "jw": pd.array(sims, dtype="float64")}
+        )
+
+    return bucket_map_groups(
+        ranked.map_batches(route, batch_format="pyarrow"), "bk", pairs, P,
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-priority OLS trend of ship delay over calendar months — is
 # fulfilment getting slower?  x (month index) and y (delay days) are
 # both integers, so every shuffled regression moment is exact int64;

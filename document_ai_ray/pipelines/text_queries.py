@@ -2930,6 +2930,89 @@ def source_vocab_kl(sf_dir: str):
 # the classic topicality signal.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence terms per (source, observed top word) —
+# the SYMMETRIC, bounded sibling of source_vocab_kl, same per-cell
+# emission discipline: round each 0.5·p·ln(p/m)+0.5·q·ln(q/m) term,
+# never sum unrounded logs across the engine boundary.
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = f"""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT source, word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1, 2),
+gw AS (SELECT word, SUM(n) AS gn FROM c GROUP BY 1),
+top AS (SELECT word, gn FROM gw ORDER BY gn DESC, word LIMIT {_KL_TOP}),
+tw AS (SELECT CAST(SUM(gn) AS DOUBLE) AS gtot FROM top),
+sc AS (SELECT c.source, c.word, c.n, top.gn FROM c JOIN top USING (word)),
+st AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS stot FROM sc GROUP BY 1),
+pq AS (SELECT sc.source, sc.word,
+              CAST(sc.n AS DOUBLE) / st.stot AS p,
+              CAST(sc.gn AS DOUBLE) / gtot AS q
+       FROM sc JOIN st USING (source) CROSS JOIN tw)
+SELECT source, word,
+       ROUND(0.5 * p * LN(p / ((p + q) / 2))
+             + 0.5 * q * LN(q / ((p + q) / 2)), 6) AS js_term
+FROM pq
+"""
+
+
+@register("source_vocab_js", oracle=_JS_ORACLE)
+def source_vocab_js(sf_dir: str):
+    """JS(source ‖ corpus) contributions over the top-{0} global words
+    (observed cells; both distributions renormalized within the word
+    set, mixture m = (p+q)/2).  Same distributed shape as
+    `source_vocab_kl`: exact heavy-hitter word set, one pyarrow-kernel
+    counting scan into a {0}×n_sources combiner, one-task final.""".format(_KL_TOP)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    top = vocab_top_words(sf_dir).to_pandas().head(_KL_TOP)
+    gcnt = dict(zip(top["word"], top["n"].astype("int64")))
+    gtot = float(top["n"].sum())
+    wset = pa.array(sorted(gcnt), pa.string())
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs, words, ns = [], [], []
+        for s in pc.unique(t.column("source")).to_pylist():
+            sub = t.filter(pc.equal(t.column("source"), s))
+            vc = word_value_counts(sub.column("text"))
+            vc = vc.filter(pc.is_in(vc.column("word"), value_set=wset))
+            k = len(vc)
+            srcs.extend([s] * k)
+            words.extend(vc.column("word").to_pylist())
+            ns.extend(vc.column("n").to_pylist())
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()),
+             "word": pa.array(words, pa.string()),
+             "n": pa.array(ns, pa.int64())}
+        )
+
+    agg = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"), ["source", "word"], {"n": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        stot = df.groupby("source")["n"].transform("sum").astype("float64")
+        p = (df["n"].astype("float64") / stot).to_numpy()
+        q = (df["word"].map(gcnt).astype("float64") / gtot).to_numpy()
+        m = (p + q) / 2
+        term = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+        term = np.copysign(np.floor(np.abs(term) * 1e6 + 0.5), term) / 1e6
+        return pa.table(
+            {"source": pa.array(df["source"], pa.string()),
+             "word": pa.array(df["word"], pa.string()),
+             "js_term": pa.array(term, pa.float64())}
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
 _BURST_ORACLE = """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 cf AS (SELECT word, COUNT(*) AS cf FROM w WHERE word != '' GROUP BY 1),
