@@ -88,7 +88,19 @@ def merge_partials(
         ]
         return pa.Table.from_arrays(cols, names=names)
 
-    consolidated = partials.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
+    # num_cpus=0.5 deliberately BREAKS operator fusion with the
+    # upstream: Ray fuses compatible MapBatches chains and applies the
+    # DOWNSTREAM batch_size as the fused op's min bundle size, so this
+    # level's huge coalescing batch_size would otherwise bundle the
+    # whole upstream (including a heavy extraction pipeline) into ONE
+    # task — measured 20x throughput collapse on extract_synth_corpus
+    # (25k -> 1.2k docs/s) the round this combiner was attached to the
+    # extract chain.  The upstream partial map still fuses into its own
+    # producers (no plasma round-trip where it matters); only the tiny
+    # consolidation level is scheduled separately.
+    consolidated = partials.map_batches(
+        merge, batch_format="pyarrow", batch_size=chunk_rows, num_cpus=0.5
+    )
     return consolidated.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=1 << 30
     )
