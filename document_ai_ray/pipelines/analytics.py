@@ -2669,6 +2669,180 @@ def frequent_part_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# A-priori level 3: frequent BRAND triples over orders-as-baskets
+# (partkey baskets are support-1 sparse at every sf — the 25-brand
+# vocabulary gives real co-occurrence).  The engine runs the actual
+# Apriori shape: level-2 pass -> broadcast frequent-pair set ->
+# candidate triples generated ONLY where all three sub-pairs are
+# frequent (lossless prune: any frequent triple has frequent
+# sub-pairs, so the SQL oracle needs no prune).  Relative min-support
+# ceil(n_orders/100) in exact integer arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH lb AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders, (COUNT(DISTINCT ok) * 4 + 999) // 1000 AS minsup
+      FROM lb),
+tri AS (SELECT a.b AS brand_a, b.b AS brand_b, c.b AS brand_c,
+               COUNT(*) AS support
+        FROM lb a JOIN lb b ON a.ok = b.ok AND a.b < b.b
+                  JOIN lb c ON b.ok = c.ok AND b.b < c.b
+        GROUP BY 1, 2, 3),
+item AS (SELECT b, COUNT(*) AS cnt FROM lb GROUP BY 1)
+SELECT brand_a, brand_b, brand_c, support,
+       ROUND(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE) * CAST(ic.cnt AS DOUBLE)), 6)
+       AS lift3
+FROM tri JOIN item ia ON ia.b = brand_a JOIN item ib ON ib.b = brand_b
+         JOIN item ic ON ic.b = brand_c CROSS JOIN n
+WHERE support >= minsup
+"""
+
+
+@register("frequent_brand_triples", oracle=_TRI_ORACLE)
+def frequent_brand_triples(sf_dir: str):
+    """Frequent co-purchased brand triples with 3-way lift.  Shape:
+    broadcast part->brand map resolves items in-scan; per-batch
+    (order, brand) dedup partials -> hash(order) exchange finishes the
+    dedup globally (an order spanning batches must not double-count);
+    level-2 pair counts merge through a tiny combiner (<=C(25,2) keys)
+    and the surviving frequent-pair set broadcasts back for the
+    Apriori candidate prune; the pruned triple counts merge the same
+    way (<=C(25,3) keys) into a one-task lift final."""
+    import ray
+
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import (
+        bucket_map_groups,
+        get_broadcast,
+        merge_partials,
+    )
+    from document_ai_ray.sources.tables import read_table
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = (ray.put(dict(zip(part["p_partkey"], part["p_brand"]))),)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    P = auto_buckets(li.count())
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        bmap = get_broadcast(brand_ref)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = np.array([bmap[int(p)] for p in pk])
+        df = pd.DataFrame({"ok": ok, "b": b}).drop_duplicates()
+        bk = (df["ok"].to_numpy(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        return pa.table(
+            {"ok": pa.array(df["ok"].to_numpy(np.int64)),
+             "b": pa.array(df["b"].to_numpy(), pa.string()),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    # consumed three times (pairs, triples, n_orders) — materialize once
+    deduped = li.map_batches(local_dedup, batch_format="pyarrow").materialize()
+
+    n_orders = merge_partials(
+        deduped.map_batches(
+            lambda t: pa.table(
+                {"ok": t.column("ok"), "one": pa.array(np.ones(len(t), np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["ok"], {"one": "sum"},
+    ).count()
+    minsup = (n_orders * 4 + 999) // 1000
+
+    def basket_pairs(df):
+        cols = {"x": "object", "y": "object", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.drop_duplicates(["ok", "b"])  # global: all of an order is here
+        m = df.merge(df, on="ok")
+        m = m[m["b_x"] < m["b_y"]]
+        g = m.groupby(["b_x", "b_y"], as_index=False).size()
+        pairs = pd.DataFrame(
+            {"x": g["b_x"], "y": g["b_y"], "n": g["size"].astype("int64")}
+        )
+        # item-support markers (y = ""): distinct orders per brand —
+        # MUST be counted here, inside the hash(order) exchange, where
+        # the (ok, b) dedup is global; counting them off the
+        # batch-local `deduped` double-counts orders that span batches
+        # (the market-basket lift lesson) and deflates every lift3.
+        gi = df.groupby("b", as_index=False).size()
+        items = pd.DataFrame(
+            {"x": gi["b"], "y": np.full(len(gi), "", object),
+             "n": gi["size"].astype("int64")}
+        )
+        return pd.concat([pairs, items], ignore_index=True)
+
+    pairs_all = merge_partials(
+        bucket_map_groups(deduped, "bk", basket_pairs, P, batch_format="pandas"),
+        ["x", "y"], {"n": "sum"},
+    ).to_pandas()  # <= C(25,2) pair rows + 25 item rows
+    item_rows = pairs_all[pairs_all["y"] == ""]
+    item_cnt = dict(zip(item_rows["x"], item_rows["n"]))
+    pairs = pairs_all[pairs_all["y"] != ""]
+    freq_pairs = set(
+        zip(pairs.loc[pairs["n"] >= minsup, "x"], pairs.loc[pairs["n"] >= minsup, "y"])
+    )
+    fp_ref = (ray.put(freq_pairs),)
+
+    def basket_triples(df):
+        cols = {"brand_a": "object", "brand_b": "object", "brand_c": "object",
+                "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        fp = get_broadcast(fp_ref)
+        df = df.drop_duplicates(["ok", "b"])
+        out: dict = {}
+        for _, grp in df.groupby("ok", sort=False):
+            bs = sorted(grp["b"])
+            k = len(bs)
+            for i in range(k - 2):
+                for j in range(i + 1, k - 1):
+                    if (bs[i], bs[j]) not in fp:
+                        continue  # Apriori prune
+                    for l in range(j + 1, k):
+                        if (bs[i], bs[l]) in fp and (bs[j], bs[l]) in fp:
+                            key = (bs[i], bs[j], bs[l])
+                            out[key] = out.get(key, 0) + 1
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ks = list(out)
+        return pd.DataFrame(
+            {"brand_a": [k[0] for k in ks], "brand_b": [k[1] for k in ks],
+             "brand_c": [k[2] for k in ks],
+             "n": pd.array([out[k] for k in ks], dtype="int64")}
+        )
+
+    tri = merge_partials(
+        bucket_map_groups(deduped, "bk", basket_triples, P, batch_format="pandas"),
+        ["brand_a", "brand_b", "brand_c"], {"n": "sum"},
+    ).to_pandas()  # <= C(25,3) rows
+    tri = tri[tri["n"] >= minsup]
+    if len(tri) == 0:
+        return pa.table(
+            {"brand_a": pa.array([], pa.string()), "brand_b": pa.array([], pa.string()),
+             "brand_c": pa.array([], pa.string()), "support": pa.array([], pa.int64()),
+             "lift3": pa.array([], pa.float64())}
+        )
+    ca = tri["brand_a"].map(item_cnt).to_numpy(np.float64)
+    cb = tri["brand_b"].map(item_cnt).to_numpy(np.float64)
+    cc = tri["brand_c"].map(item_cnt).to_numpy(np.float64)
+    s = tri["n"].to_numpy(np.float64)
+    lift3 = s * float(n_orders) * float(n_orders) / (ca * cb * cc)
+    lift3 = np.copysign(np.floor(np.abs(lift3) * 1e6 + 0.5), lift3) / 1e6
+    return pa.table(
+        {"brand_a": pa.array(tri["brand_a"], pa.string()),
+         "brand_b": pa.array(tri["brand_b"], pa.string()),
+         "brand_c": pa.array(tri["brand_c"], pa.string()),
+         "support": pa.array(tri["n"].to_numpy(np.int64)),
+         "lift3": pa.array(lift3, pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skyline / Pareto frontier: customers not dominated on
 # (avg order value, n_orders), both maximized — the two axes genuinely
 # trade off (few large orders vs many small ones), so the frontier is

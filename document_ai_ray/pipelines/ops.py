@@ -114,7 +114,13 @@ def distinct_rows(ds: rd.Dataset, keys: list[str], chunk_rows: int = 1 << 20) ->
     def merge(t: pa.Table) -> pa.Table:
         return t.group_by(keys).aggregate([])
 
-    consolidated = ds.map_batches(merge, batch_format="pyarrow", batch_size=chunk_rows)
+    # num_cpus=0.5 breaks operator fusion with the upstream — see
+    # merge_partials: the huge coalescing batch_size would otherwise
+    # become the fused chain's min bundle size and serialize heavy
+    # producers into one task.
+    consolidated = ds.map_batches(
+        merge, batch_format="pyarrow", batch_size=chunk_rows, num_cpus=0.5
+    )
     # repartition(1): one block -> exactly one final dedup task (see
     # merge_partials)
     return consolidated.repartition(1).map_batches(

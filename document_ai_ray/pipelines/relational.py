@@ -1988,6 +1988,77 @@ def cramers_v_lang_source(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Wilson score intervals for per-source English-share — the
+# closed-form binomial CI every rate report should carry (unlike the
+# normal approximation it never leaves [0,1] and behaves at small n).
+# Pure per-group arithmetic from two exact integers (k, n), written as
+# the IDENTICAL IEEE expression on both engines, so no quantization
+# tricks are needed beyond the terminal ROUND.
+# ---------------------------------------------------------------------------
+
+_WILSON_ORACLE = """
+WITH s AS (SELECT source, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM documents GROUP BY 1)
+SELECT source, n AS n_docs, k AS n_en,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS p_en,
+       ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+              - 1.96 * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+              + 1.96 * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM s
+"""
+
+
+@register("source_en_rate_wilson", oracle=_WILSON_ORACLE)
+def source_en_rate_wilson(sf_dir: str):
+    """Per-source English share with 95% Wilson score bounds: one
+    combiner pass builds the exact (k, n) integers per source; the
+    source-count-sized final evaluates the interval with the same
+    expression shape as the oracle (z = 1.96 literal on both sides)."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+        return pa.table({"source": t.column("source"), "en": en})
+
+    agg = partial_group_agg(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["source"], {"en": "k"}, count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = k / n
+        half = 1.96 * np.sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
+        center = p + 1.96 * 1.96 / (2.0 * n)
+        denom = 1.0 + 1.96 * 1.96 / n
+        lo = (center - half) / denom
+        hi = (center + half) / denom
+
+        def rnd(a):
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table(
+            {"source": t.column("source"),
+             "n_docs": t.column("n"), "n_en": t.column("k"),
+             "p_en": pa.array(rnd(p), pa.float64()),
+             "wilson_lo": pa.array(rnd(lo), pa.float64()),
+             "wilson_hi": pa.array(rnd(hi), pa.float64())}
+        )
+
+    # tiny-partials merge: one row per source
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
 # Sorted-neighborhood blocking (Hernández-Stolfo): the OTHER classic
 # entity-resolution blocking strategy next to key-equality blocks —
 # sort all records by name, compare each record only to its W sorted

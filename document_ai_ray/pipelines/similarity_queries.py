@@ -914,3 +914,97 @@ def embedding_int8_quantize(sf_dir: str):
         )
 
     return emb.map_batches(quantize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid cosine matrix — the cluster-separation report an
+# embedding-dedup/ANN deployment reads before picking thresholds.
+# Centroid arithmetic is order-free: each element is floored into
+# integer micro-units per row, summed as exact int64 per (label, dim)
+# through the combiner, and the 10x64 integer table reaches one final
+# task that takes exact python-int dot products (the oracle's HUGEINT
+# twin); n cancels in cosine, so centroids never materialize as floats.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH el AS (SELECT label, unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+s AS (SELECT label, i,
+             CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sv
+      FROM el GROUP BY 1, 2),
+d AS (SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.sv AS HUGEINT) * b.sv) AS dot
+      FROM s a JOIN s b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2),
+nrm AS (SELECT label, SUM(CAST(sv AS HUGEINT) * sv) AS n2 FROM s GROUP BY 1)
+SELECT label_a, label_b,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+       AS cos_centroid
+FROM d JOIN nrm na ON na.label = label_a JOIN nrm nb ON nb.label = label_b
+"""
+
+
+@register("label_centroid_cosine", oracle=_CENTROID_ORACLE)
+def label_centroid_cosine(sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids.  One
+    vectorized pass emits (label, dim, micro-sum) partials (labels x 64
+    keys); the combiner merge is exact int64; the one-row-per-pair
+    final evaluates dots in arbitrary-precision python ints before the
+    single float division (mirrors the oracle's HUGEINT products —
+    int64 would overflow at ~2e19)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        assert (lens == d).all()
+        x = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(x * 1e6).astype(np.int64).reshape(-1, d)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        rows_l, rows_i, rows_s = [], [], []
+        for lb in uniq:
+            sv = q[labels == lb].sum(axis=0)
+            rows_l.extend([int(lb)] * d)
+            rows_i.extend(range(1, d + 1))
+            rows_s.extend(sv.tolist())
+        return pa.table(
+            {"label": pa.array(rows_l, pa.int64()), "i": pa.array(rows_i, pa.int64()),
+             "sv": pa.array(rows_s, pa.int64())}
+        )
+
+    agg = merge_partials(
+        emb.map_batches(partial, batch_format="pyarrow"), ["label", "i"], {"sv": "sum"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["label", "i"])
+        vecs = {
+            int(lb): [int(v) for v in g.sort_values("i")["sv"]]
+            for lb, g in df.groupby("label")
+        }
+        labs = sorted(vecs)
+        n2 = {lb: sum(v * v for v in vecs[lb]) for lb in labs}
+        la, lb_, cosv = [], [], []
+        for ai in range(len(labs)):
+            for bi in range(ai + 1, len(labs)):
+                a, b = labs[ai], labs[bi]
+                dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                c = float(dot) / (np.sqrt(float(n2[a])) * np.sqrt(float(n2[b])))
+                la.append(a); lb_.append(b)
+                cosv.append(np.copysign(np.floor(abs(c) * 1e6 + 0.5), c) / 1e6)
+        return pa.table(
+            {"label_a": pa.array(la, pa.int64()), "label_b": pa.array(lb_, pa.int64()),
+             "cos_centroid": pa.array(cosv, pa.float64())}
+        )
+
+    # tiny-partials merge: labels x dims rows
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)

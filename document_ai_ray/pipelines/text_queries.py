@@ -2931,6 +2931,132 @@ def source_vocab_kl(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea-Tarau): PageRank over the word
+# co-occurrence graph — top-100 vocabulary words are nodes, an
+# undirected weighted edge joins two DIFFERENT vocab words whenever
+# they appear within 4 positions in a document's token sequence.  The
+# engine reuses the links-family PageRank verbatim (sparse contribute/
+# merge partials, edges collapsed + materialized once); the oracle
+# reconstructs the identical edge table with generate_series position
+# indexing and replays the 10-iteration damped fixpoint as unrolled
+# MATERIALIZED CTEs (the pagerank_hosts oracle pattern — float drift
+# over 10 iterations is ~1e-15, far under the 1e-6 rounding grid).
+# ---------------------------------------------------------------------------
+
+_TR_WINDOW = 4
+_TR_VOCAB = 100
+_TR_ITERS = 10
+
+
+def _textrank_oracle(iters: int = _TR_ITERS, d: float = 0.85, round_to: int = 6) -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        its.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT h.host, h.outdeg,
+         {1.0 - d} / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.s, 0.0)
+                  + (SELECT COALESCE(SUM(rank), 0.0) FROM {prev} WHERE outdeg = 0.0)
+                    / (SELECT n FROM nn)) AS rank
+  FROM h
+  LEFT JOIN (SELECT e.dst AS host, SUM(e.w * r.rank / r.outdeg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.host GROUP BY 1) c
+  USING (host))""")
+        prev = cur
+    return f"""
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+posn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM wd),
+tok AS (SELECT doc_id, i, ws[i] AS w FROM posn WHERE ws[i] <> ''),
+cnts AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT w FROM cnts ORDER BY n DESC, w LIMIT {_TR_VOCAB}),
+kt AS (SELECT doc_id, i, w FROM tok JOIN vocab USING (w)),
+prs AS (SELECT a.w AS src, b.w AS dst FROM kt a JOIN kt b
+        ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {_TR_WINDOW}
+           AND a.w <> b.w),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (SELECT src, dst FROM prs UNION ALL SELECT dst AS src, src AS dst FROM prs)
+  GROUP BY 1, 2),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS host, SUM(w) AS outdeg FROM edges GROUP BY 1),
+h AS MATERIALIZED (
+  SELECT host, COALESCE(odeg.outdeg, 0.0) AS outdeg
+  FROM hosts LEFT JOIN odeg USING (host)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM h),
+r0 AS MATERIALIZED (SELECT host, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM h),
+{",".join(its)}
+SELECT host AS word, ROUND(rank, {round_to}) AS rank FROM {prev}
+"""
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(sf_dir: str):
+    """TextRank keywords: vectorized co-occurrence edge extraction
+    (split_pattern flatten -> position arithmetic from list offsets ->
+    shift-compare; two vocab words within window {0} are at most {0}
+    apart in the KEPT subsequence since positions strictly increase,
+    so shifts 1..{0} with an explicit distance check are exhaustive)
+    feeding `stages.links.pagerank_hosts` unchanged.""".format(_TR_WINDOW)
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from document_ai_ray.pipelines.ops import get_broadcast
+    from document_ai_ray.stages.links import pagerank_hosts
+
+    top = vocab_top_words(sf_dir).to_pandas().head(_TR_VOCAB)
+    vocab_list = list(top["word"])
+    vref = (ray.put(pd.Index(vocab_list)),)
+    vocab_arr = np.array(vocab_list, dtype=object)
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        vidx = get_broadcast(vref)
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        words = lists.values.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.arange(len(words), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        codes = vidx.get_indexer(words)  # -1 for OOV ('' is never in vocab)
+        keep = codes >= 0
+        dk, pk, ck = docidx[keep], pos[keep], codes[keep]
+        srcs, dsts = [], []
+        for s in range(1, _TR_WINDOW + 1):
+            if len(dk) <= s:
+                break
+            m = (dk[:-s] == dk[s:]) & ((pk[s:] - pk[:-s]) <= _TR_WINDOW) & (
+                ck[:-s] != ck[s:]
+            )
+            srcs.append(ck[:-s][m])
+            dsts.append(ck[s:][m])
+        if srcs and sum(len(a) for a in srcs):
+            a = np.concatenate(srcs)
+            b = np.concatenate(dsts)
+            return pa.table(
+                {"src": pa.array(np.concatenate([vocab_arr[a], vocab_arr[b]])),
+                 "dst": pa.array(np.concatenate([vocab_arr[b], vocab_arr[a]]))}
+            )
+        return pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+
+    edges = docs.map_batches(edges_batch, batch_format="pyarrow")
+    pr = pagerank_hosts(edges, iters=_TR_ITERS)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"word": t.column("host"), "rank": t.column("rank")})
+
+    return pr.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Jensen-Shannon divergence terms per (source, observed top word) —
 # the SYMMETRIC, bounded sibling of source_vocab_kl, same per-cell
 # emission discipline: round each 0.5·p·ln(p/m)+0.5·q·ln(q/m) term,

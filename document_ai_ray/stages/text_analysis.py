@@ -262,7 +262,11 @@ def approx_distinct_ngrams_per_lang(ds, n: int = 3, k: int = 256):
         return pa.Table.from_pylist(rows)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=1 << 20)
+    # num_cpus=0.5: fusion break (see ops.merge_partials) — the big
+    # coalescing batch_size must not become the upstream's bundle size
+    merged = partials.map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.5
+    )
     # repartition(1): exactly one final sketch-merge task (see
     # ops.merge_partials for why batch_size alone is not a guarantee)
     merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
@@ -611,7 +615,10 @@ def hll_distinct_words(ds) -> float:
         return pa.table({"regs": pa.array([hll_merge(regs).tobytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    merged = parts.map_batches(merge, batch_format="pyarrow", batch_size=1 << 20)
+    # num_cpus=0.5: fusion break (see ops.merge_partials)
+    merged = parts.map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.5
+    )
     merged = merged.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
     final = [np.frombuffer(b["regs"], dtype=np.uint8) for b in merged.take_all()]
     return hll_estimate(hll_merge(final))

@@ -67,6 +67,7 @@ _EXCHANGE_USERS = [
     "events_mannwhitney",
     "events_max_drawdown",
     "events_rolling_median",
+    "frequent_brand_triples",
     "frequent_part_pairs",
     "full_outer_join_sides",
     "funnel_time_to_convert",
@@ -116,6 +117,7 @@ _EXCHANGE_USERS = [
     "split_leakage_report",
     "substring_dedup_docs",
     "term_burstiness",
+    "textrank_keywords",
     "tfidf_top_terms",
     "triangle_count_graph",
     "unigram_logprob_docs",
