@@ -6644,3 +6644,342 @@ def discount_quantity_effect(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation of the hourly click/view count series at lags -3..+3
+# (the lead-lag diagnostic behind "do clicks anticipate views?").  All
+# Pearson moments are integer sums over the gap-filled hour spine, so
+# the only floats are one division and one sqrt — bit-identical on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH ev AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, event_type
+            FROM events WHERE event_type IN ('click', 'view')),
+spine AS (SELECT UNNEST(generate_series((SELECT MIN(h) FROM ev),
+                                        (SELECT MAX(h) FROM ev))) AS h),
+cx AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ev WHERE event_type = 'click' GROUP BY 1),
+cy AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ev WHERE event_type = 'view' GROUP BY 1),
+s AS (SELECT spine.h, COALESCE(cx.n, 0) AS x, COALESCE(cy.n, 0) AS y
+      FROM spine LEFT JOIN cx ON spine.h = cx.h LEFT JOIN cy ON spine.h = cy.h),
+lags AS (SELECT UNNEST(generate_series(-3, 3)) AS lag),
+p AS (SELECT l.lag, a.x, b2.y
+      FROM lags l JOIN s a ON TRUE JOIN s b2 ON b2.h = a.h + l.lag),
+m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1)
+SELECT lag, n AS n_pairs, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS r
+FROM m
+"""
+
+
+@register("events_crosscorr_lags", oracle=_XCORR_ORACLE)
+def events_crosscorr_lags(sf_dir: str):
+    """Hourly click-vs-view cross-correlation at lags -3..+3 h.  The
+    per-(hour, type) census rides the combiner exchange (the spine is
+    hours-sized, never events-sized); the seven lag correlations are
+    driver-side integer-moment arithmetic over that tiny series."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hour_col(t: pa.Table) -> pa.Table:
+        keep = pc_.is_in(t.column("event_type"), value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        micros = pc_.cast(t.column("ts"), pa.int64())
+        h = pc_.floor(pc_.divide(micros, 3600000000))
+        return pa.table({"h": pc_.cast(h, pa.int64()), "event_type": t.column("event_type")})
+
+    counts = partial_group_agg(
+        ev.map_batches(hour_col, batch_format="pyarrow"), ["h", "event_type"], count_alias="n"
+    ).take_all()  # hours-sized: <= 2 * corpus-span-in-hours rows
+    if not counts:
+        return pa.table({"lag": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64()),
+                         "sum_x": pa.array([], pa.int64()), "sum_y": pa.array([], pa.int64()),
+                         "sum_xy": pa.array([], pa.int64()), "r": pa.array([], pa.float64())})
+    h0 = min(r["h"] for r in counts)
+    h1 = max(r["h"] for r in counts)
+    n = int(h1 - h0 + 1)
+    x = np.zeros(n, np.int64)
+    y = np.zeros(n, np.int64)
+    for r in counts:
+        if r["event_type"] == "click":
+            x[r["h"] - h0] = r["n"]
+        else:
+            y[r["h"] - h0] = r["n"]
+    out = {"lag": [], "n_pairs": [], "sum_x": [], "sum_y": [], "sum_xy": [], "r": []}
+    for lag in range(-3, 4):
+        if lag >= 0:
+            xs, ys = x[: n - lag], y[lag:]
+        else:
+            xs, ys = x[-lag:], y[: n + lag]
+        np_ = len(xs)
+        sx, sy = int(xs.sum()), int(ys.sum())
+        sxy = int((xs * ys).sum())
+        sxx = int((xs * xs).sum())
+        syy = int((ys * ys).sum())
+        vx, vy = np_ * sxx - sx * sx, np_ * syy - sy * sy
+        if vx > 0 and vy > 0:
+            r_ = float(np_ * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            r_ = float(np.floor(abs(r_) * 1e6 + 0.5) * (1 if r_ >= 0 else -1) / 1e6)
+        else:
+            r_ = 0.0
+        out["lag"].append(lag)
+        out["n_pairs"].append(np_)
+        out["sum_x"].append(sx)
+        out["sum_y"].append(sy)
+        out["sum_xy"].append(sxy)
+        out["r"].append(r_)
+    return pa.table(
+        {"lag": pa.array(out["lag"], pa.int64()),
+         "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+         "sum_x": pa.array(out["sum_x"], pa.int64()),
+         "sum_y": pa.array(out["sum_y"], pa.int64()),
+         "sum_xy": pa.array(out["sum_xy"], pa.int64()),
+         "r": pa.array(out["r"], pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-state conditional entropy of the first-order clickstream Markov
+# chain (micro-nat integer arithmetic: H_s = sum_t n_st*(L(n_s)-L(n_st))
+# with L(x) = floor(1e6*ln(x)) — exact integers on both engines).
+# ---------------------------------------------------------------------------
+
+_MARKOV_ENTROPY_ORACLE = """
+WITH s AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+c AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_out FROM c GROUP BY 1),
+lterm AS (SELECT c.event_type, c.n, t.n_out,
+                 CAST(FLOOR(1000000 * LN(CAST(t.n_out AS DOUBLE))) AS BIGINT)
+               - CAST(FLOOR(1000000 * LN(CAST(c.n AS DOUBLE))) AS BIGINT) AS dl
+          FROM c JOIN tot t USING (event_type))
+SELECT event_type, MAX(n_out) AS n_out,
+       CAST(SUM(n * dl) AS BIGINT) AS h_micro_num,
+       ROUND(CAST(SUM(n * dl) AS DOUBLE) / (MAX(n_out) * 1000000.0), 6) AS h_cond_nats
+FROM lterm GROUP BY 1
+"""
+
+
+@register("markov_entropy_per_state", oracle=_MARKOV_ENTROPY_ORACLE)
+def markov_entropy_per_state(sf_dir: str):
+    """Conditional next-event entropy per state over the Markov
+    transition counts (how predictable is the next event after a
+    click?).  Rides the `event_transitions_markov` distributed
+    substrate; the entropy algebra runs on its 25-row output in
+    integer micro-nats (floor-of-ln terms, exact on both engines)."""
+    import math
+
+    import numpy as np
+
+    rows = event_transitions_markov(sf_dir).take_all()  # |types|^2 rows
+    n_out: dict[str, int] = {}
+    for r in rows:
+        n_out[r["event_type"]] = n_out.get(r["event_type"], 0) + int(r["n"])
+    L = lambda v: math.floor(1e6 * math.log(v))  # noqa: E731
+    h_num: dict[str, int] = {s: 0 for s in n_out}
+    for r in rows:
+        s = r["event_type"]
+        h_num[s] += int(r["n"]) * (L(n_out[s]) - L(int(r["n"])))
+    states = sorted(n_out)
+    return pa.table(
+        {"event_type": pa.array(states, pa.string()),
+         "n_out": pa.array([n_out[s] for s in states], pa.int64()),
+         "h_micro_num": pa.array([h_num[s] for s in states], pa.int64()),
+         "h_cond_nats": pa.array(
+             [float(np.floor(h_num[s] / (n_out[s] * 1e6) * 1e6 + 0.5) / 1e6) for s in states],
+             pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation: a 1000-doc labeling
+# budget split across language strata proportional to N_h * sigma_h of
+# document length.  The stratum weight is the INTEGER
+# floor(sqrt(n*sum(x^2) - sum(x)^2)) (= N_h*sigma_h up to the exact
+# integer moments), and seats go by the same all-integer
+# largest-remainder method as crawl_budget_alloc — no float-order risk
+# anywhere (sqrt is IEEE-correctly-rounded on both engines).
+# ---------------------------------------------------------------------------
+
+_NEYMAN_B = 1000
+
+_NEYMAN_ORACLE = """
+WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(LENGTH(text)) AS BIGINT) AS sx,
+                  CAST(SUM(CAST(LENGTH(text) AS BIGINT) * LENGTH(text)) AS BIGINT) AS sxx
+           FROM documents GROUP BY 1),
+w AS (SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS m
+      FROM s),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS sm FROM w),
+fl AS (SELECT lang, n, m, (1000 * m) // tot.sm AS fl, (1000 * m) % tot.sm AS rem
+       FROM w, tot),
+lo AS (SELECT CAST(1000 - SUM(fl) AS BIGINT) AS k FROM fl),
+rk AS (SELECT lang, n, m, fl, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r FROM fl)
+SELECT lang, n AS n_docs, m AS weight,
+       CAST(fl + CASE WHEN r <= lo.k THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM rk, lo
+"""
+
+
+@register("neyman_allocation_sample", oracle=_NEYMAN_ORACLE)
+def neyman_allocation_sample(sf_dir: str):
+    """Neyman-optimal stratified sampling quotas per language (budget
+    1000, weight = N_h*sigma_h of char length).  The char-length
+    moments ride the combiner exchange as exact int64 sums; the
+    5-stratum largest-remainder apportionment is driver-side integer
+    arithmetic."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc_.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lang": t.column("lang"), "x": pa.array(x), "xx": pa.array(x * x)})
+
+    agg = partial_group_agg(
+        docs.map_batches(moments, batch_format="pyarrow"),
+        ["lang"], {"x": "sx", "xx": "sxx"}, count_alias="n",
+    ).take_all()  # strata-sized
+    langs = sorted(r["lang"] for r in agg)
+    by = {r["lang"]: r for r in agg}
+    m = {}
+    for lg in langs:
+        r = by[lg]
+        m[lg] = math.floor(math.sqrt(float(r["n"] * r["sxx"] - r["sx"] * r["sx"])))
+    sm = sum(m.values())
+    fl = {lg: (_NEYMAN_B * m[lg]) // sm for lg in langs}
+    rem = {lg: (_NEYMAN_B * m[lg]) % sm for lg in langs}
+    leftover = _NEYMAN_B - sum(fl.values())
+    order = sorted(langs, key=lambda lg: (-rem[lg], lg))
+    quota = dict(fl)
+    for lg in order[:leftover]:
+        quota[lg] += 1
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "n_docs": pa.array([by[lg]["n"] for lg in langs], pa.int64()),
+         "weight": pa.array([m[lg] for lg in langs], pa.int64()),
+         "quota": pa.array([quota[lg] for lg in langs], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution: every same-user event in the 7
+# days before a purchase earns credit = purchase_cents * 2^-floor(days)
+# — computed in EXACT integer 1/64-cent units (the 7-day window keeps
+# the day gap in 0..6, so the decay is a right-shift, never a float).
+# ---------------------------------------------------------------------------
+
+_TDECAY_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT e.event_type,
+             p.cents * (64 >> CAST((epoch_us(p.ts) - epoch_us(e.ts)) // 86400000000 AS INTEGER))
+               AS units
+      FROM p JOIN events e ON e.user_id = p.user_id
+         AND e.ts > p.ts - INTERVAL 7 DAY AND e.ts < p.ts)
+SELECT event_type AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(units) AS BIGINT) AS credit_units,
+       ROUND(CAST(SUM(units) AS DOUBLE) / 64.0, 2) AS credit_cents
+FROM c GROUP BY 1
+"""
+
+
+@register("attribution_time_decay", oracle=_TDECAY_ORACLE)
+def attribution_time_decay(sf_dir: str):
+    """Time-decay multi-touch attribution over the same 7-day windows
+    as `attribution_first_touch`: each prior same-user touch earns the
+    purchase's cent value decayed by 2^-days — integer 1/64-cent units
+    end to end (the window bounds the shift to 0..6), merged with the
+    combiner exchange.  STRICT window open end: a touch exactly 7 days
+    old would need a fractional unit and is excluded by construction
+    on both sides."""
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials
+    from document_ai_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    P = auto_buckets(ev.count())
+    W_US = 7 * 86400 * 10**6
+    DAY_US = 86400 * 10**6
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        bk = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(P)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).astype(np.int64)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_type": t.column("event_type"),
+             "eid": t.column("event_id"),
+             "cents": pa.array(cents),
+             "bk": pa.array(bk.astype(np.int64))}
+        )
+
+    def credit(df):
+        empty = pd.DataFrame({"touch_type": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64"),
+                              "units": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        acc_n: dict[str, int] = {}
+        acc_u: dict[str, int] = {}
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "eid"], kind="mergesort")
+            ts = g["ts"].to_numpy()
+            ty = g["event_type"].to_numpy()
+            cents = g["cents"].to_numpy()
+            for j in np.flatnonzero(ty == "purchase"):
+                pts = ts[j]
+                lo = np.searchsorted(ts, pts - W_US, side="right")  # strict >
+                hi = np.searchsorted(ts, pts, side="left")          # strict <
+                if hi <= lo:
+                    continue
+                d = (pts - ts[lo:hi]) // DAY_US
+                units = int(cents[j]) * (64 >> d.astype(np.int64))
+                for tt, uu in zip(ty[lo:hi], units):
+                    acc_n[tt] = acc_n.get(tt, 0) + 1
+                    acc_u[tt] = acc_u.get(tt, 0) + int(uu)
+        if not acc_n:
+            return empty
+        keys = sorted(acc_n)
+        return pd.DataFrame({"touch_type": pd.Series(keys, dtype="object"),
+                             "n": pd.Series([acc_n[k] for k in keys], dtype="int64"),
+                             "units": pd.Series([acc_u[k] for k in keys], dtype="int64")})
+
+    parts = bucket_map_groups(
+        ev.map_batches(tag, batch_format="pyarrow"), "bk", credit, P, batch_format="pandas"
+    )
+    merged = merge_partials(parts, ["touch_type"], {"n": "sum", "units": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        units = t.column("units").to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = np.floor(units / 64.0 * 100 + 0.5) / 100
+        return pa.table({"touch_type": t.column("touch_type"),
+                         "n_touches": t.column("n"),
+                         "credit_units": t.column("units"),
+                         "credit_cents": pa.array(cc, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -159,8 +159,35 @@ def _driver_order(names) -> list[str]:
     return sorted(names, key=lambda n: (rank(n), list(names).index(n)))
 
 
+def _tune_data_context() -> None:
+    """Disable Ray Data's per-operator CPU reservation for this process.
+
+    The reservation allocator (default ratio 0.5) guarantees every DAG
+    operator a CPU share and caps what any one operator may take from
+    the shared pool.  The engine's combiner pattern makes that exactly
+    wrong: DAGs here are ONE heavy fused map (extract/parse) followed
+    by kilobyte-sized consolidation + final-merge levels, so the
+    allocator hands half the cluster to operators that need
+    milliseconds and starves the operator doing all the work.  Measured
+    on extract_synth_corpus (100k pages): 8 CPUs 3.1k -> 11.3k docs/s,
+    32 CPUs neutral-to-better on the full headline suite (5.33 ->
+    4.97 s); lowering the ratio to 0.05 instead of disabling recovers
+    only 4.5k docs/s at 8 CPUs — the shared-pool cap, not the reserved
+    share, is the binding constraint.  Object-store backpressure (the
+    memory-safety mechanism) is untouched; on a real memory-bound
+    multi-node deployment with large downstream consumers the
+    reservation default is worth re-evaluating per job."""
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    except Exception:
+        pass  # very old/new Ray without the knob: keep defaults
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _load_all()
+    _tune_data_context()
     return {n: _QUERIES[n] for n in _driver_order(list(_QUERIES))}
 
 

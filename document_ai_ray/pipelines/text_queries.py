@@ -4062,3 +4062,223 @@ def source_diversity_by_lang(sf_dir: str):
         )
 
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation suite: NDCG@20 / MRR / MAP@20 of a rule-derived ranking
+# against a rule-derived relevance label — the search-quality metrics a
+# retrieval pipeline ships with.  Everything is integer-exact or
+# quantized identically on both sides: the ranking key is an integer
+# term frequency (ties by doc_id), relevance is binary membership, DCG
+# discounts are micro-quantized floor(1e9/log2(i+1)) summed as
+# integers, and AP rides exact rational arithmetic via LCM(1..20)
+# numerators — no float accumulation order anywhere.
+# ---------------------------------------------------------------------------
+
+_SEARCH_EVAL_K = 20
+_SEARCH_EVAL_LCM = 232792560  # lcm(1..20): AP terms stay exact integers
+
+_SEARCH_EVAL_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+vc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1),
+rk AS (SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS r FROM vc),
+q AS (SELECT MAX(CASE WHEN r = 10 THEN word END) AS ta,
+             MAX(CASE WHEN r = 20 THEN word END) AS tb
+      FROM rk),
+d AS (SELECT w.doc_id,
+             LENGTH(list_filter(w.ws, x -> x = q.ta)) AS tf,
+             list_contains(w.ws, q.tb) AS rel
+      FROM w, q),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM d WHERE rel),
+top AS (SELECT doc_id, tf, CAST(rel AS BIGINT) AS rel,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS pos
+        FROM d WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 20),
+disc AS (SELECT CAST(i AS BIGINT) AS pos,
+                CAST(FLOOR(1000000000 / LOG2(CAST(i + 1 AS DOUBLE))) AS BIGINT) AS dm
+         FROM range(1, 21) t(i)),
+pr AS (SELECT t.pos, t.rel, SUM(t.rel) OVER (ORDER BY t.pos) AS relk, disc.dm
+       FROM top t JOIN disc ON t.pos = disc.pos),
+m AS (SELECT CAST(COALESCE(SUM(rel * dm), 0) AS BIGINT) AS dcg_micro,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN pos END), 0) AS BIGINT) AS rank_first,
+             CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN relk * (232792560 // pos) END), 0) AS BIGINT) AS ap_num,
+             CAST(COUNT(*) AS BIGINT) AS n_ranked
+      FROM pr),
+ic AS (SELECT CAST(COALESCE(SUM(dm), 0) AS BIGINT) AS idcg_micro
+       FROM disc, nr WHERE disc.pos <= LEAST(nr.n_rel, 20))
+SELECT (SELECT ta FROM q) AS term_a, (SELECT tb FROM q) AS term_b,
+       nr.n_rel, m.n_ranked, m.rank_first,
+       CASE WHEN m.rank_first > 0 THEN ROUND(1.0 / m.rank_first, 6) ELSE 0.0 END AS rr,
+       CASE WHEN LEAST(nr.n_rel, 20) > 0
+            THEN ROUND(CAST(m.ap_num AS DOUBLE) / (232792560.0 * LEAST(nr.n_rel, 20)), 6)
+            ELSE 0.0 END AS ap,
+       m.dcg_micro, ic.idcg_micro,
+       CASE WHEN ic.idcg_micro > 0
+            THEN ROUND(CAST(m.dcg_micro AS DOUBLE) / ic.idcg_micro, 6)
+            ELSE 0.0 END AS ndcg
+FROM m, nr, ic
+"""
+
+
+@register("search_eval_metrics", oracle=_SEARCH_EVAL_ORACLE)
+def search_eval_metrics(sf_dir: str):
+    """NDCG@20 / MRR / MAP@20 over a deterministic retrieval task: the
+    query term is the corpus's 10th most frequent word, the ranking is
+    integer term frequency (ties by doc_id), and a doc is 'relevant'
+    when it also contains the 20th-ranked word.  Vocabulary ranks ride
+    the bucketed word-count exchange; the per-doc (tf, rel) pass
+    streams; the top-20 shortlist is the only driver-side state.  DCG
+    discounts are integer micro-units (floor(1e9/log2(pos+1))) and AP
+    numerators use LCM(1..20) rational arithmetic, so every metric is
+    bit-reproducible against the SQL replay."""
+    import math
+
+    import numpy as np
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, merge_partials, topk
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        bucket = pa.array([crc_bucket(w, P) for w in g.column("word").to_pylist()], pa.int32())
+        return g.append_column("bucket", bucket)
+
+    def bucket_sum(df):
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"), "bucket", bucket_sum, P,
+        batch_format="pandas",
+    ).to_pandas()  # vocabulary-sized
+    counts = counts.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+    ta, tb = str(counts["word"].iloc[9]), str(counts["word"].iloc[19])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        tf = np.empty(len(texts), np.int64)
+        rel = np.empty(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            toks = (x or "").split(" ")
+            tf[i] = toks.count(ta)
+            rel[i] = 1 if tb in toks else 0
+        return pa.table({"doc_id": t.column("doc_id"), "tf": pa.array(tf), "rel": pa.array(rel)})
+
+    perdoc = docs.map_batches(per_doc, batch_format="pyarrow")
+
+    # corpus relevant-doc count: combiner partials, shuffle-free merge
+    def nrel_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_rel": pa.array([int(_pc.sum(t.column("rel")).as_py() or 0)], pa.int64())})
+
+    n_rel = int(
+        merge_partials(perdoc.map_batches(nrel_partial, batch_format="pyarrow"),
+                       ["k"], {"n_rel": "sum"}).take_all()[0]["n_rel"]
+    )
+
+    def only_hits(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("tf"), 0))
+
+    shortlist = topk(
+        perdoc.map_batches(only_hits, batch_format="pyarrow"),
+        keys=[("tf", True), ("doc_id", False)],  # tf DESC, doc_id ASC
+        k=_SEARCH_EVAL_K,
+    ).take_all()  # <= 20 rows on the driver by construction
+    shortlist.sort(key=lambda r: (-r["tf"], r["doc_id"]))
+
+    disc = [math.floor(1e9 / math.log2(i + 1)) for i in range(1, _SEARCH_EVAL_K + 1)]
+    dcg = sum(int(r["rel"]) * disc[i] for i, r in enumerate(shortlist))
+    rank_first = next((i + 1 for i, r in enumerate(shortlist) if r["rel"]), 0)
+    relk, ap_num = 0, 0
+    for i, r in enumerate(shortlist):
+        if r["rel"]:
+            relk += 1
+            ap_num += relk * (_SEARCH_EVAL_LCM // (i + 1))
+    r_cap = min(n_rel, _SEARCH_EVAL_K)
+    idcg = sum(disc[:r_cap])
+
+    def rnd6(x: float) -> float:  # == DuckDB ROUND(x, 6) for x >= 0
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    rr = rnd6(1.0 / rank_first) if rank_first else 0.0
+    ap = rnd6(ap_num / (float(_SEARCH_EVAL_LCM) * r_cap)) if r_cap else 0.0
+    ndcg = rnd6(dcg / idcg) if idcg else 0.0
+    return pa.table(
+        {"term_a": pa.array([ta], pa.string()),
+         "term_b": pa.array([tb], pa.string()),
+         "n_rel": pa.array([n_rel], pa.int64()),
+         "n_ranked": pa.array([len(shortlist)], pa.int64()),
+         "rank_first": pa.array([rank_first], pa.int64()),
+         "rr": pa.array([rr], pa.float64()),
+         "ap": pa.array([ap], pa.float64()),
+         "dcg_micro": pa.array([dcg], pa.int64()),
+         "idcg_micro": pa.array([idcg], pa.int64()),
+         "ndcg": pa.array([ndcg], pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-3 extractive-summary ROUGE-1 recall: score the classic lead-3
+# baseline (first 3 derived 10-word lines = first 30 tokens) against
+# the rest of the document — the summarization-eval staple, all
+# integer set-overlap counts.
+# ---------------------------------------------------------------------------
+
+_LEAD3_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+sp AS (SELECT doc_id,
+              list_distinct(ws[1:30]) AS summ,
+              list_distinct(ws[31:]) AS rest
+       FROM w),
+c AS (SELECT doc_id,
+             CAST(LENGTH(summ) AS BIGINT) AS n_sum_types,
+             CAST(LENGTH(rest) AS BIGINT) AS n_rest_types,
+             CAST(LENGTH(list_filter(rest, x -> list_contains(summ, x))) AS BIGINT) AS n_overlap
+      FROM sp)
+SELECT doc_id, n_sum_types, n_rest_types, n_overlap,
+       CASE WHEN n_rest_types > 0
+            THEN ROUND(CAST(n_overlap AS DOUBLE) / n_rest_types, 6)
+            ELSE 0.0 END AS rouge1_recall
+FROM c
+"""
+
+
+@register("lead3_rouge1_docs", oracle=_LEAD3_ORACLE)
+def lead3_rouge1_docs(sf_dir: str):
+    """ROUGE-1 recall of the lead-3 (first 30 tokens) extractive
+    summary against the document remainder, per doc.  One stateless
+    vectorized map; all counts are integer set overlaps."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        ns = np.empty(n, np.int64)
+        nr = np.empty(n, np.int64)
+        ov = np.empty(n, np.int64)
+        rec = np.empty(n, np.float64)
+        for i, x in enumerate(texts):
+            ws = [w for w in (x or "").split(" ") if w]
+            summ = set(ws[:30])
+            rest = set(ws[30:])
+            ns[i] = len(summ)
+            nr[i] = len(rest)
+            ov[i] = len(summ & rest)
+            rec[i] = np.floor(ov[i] / nr[i] * 1e6 + 0.5) / 1e6 if nr[i] else 0.0
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_sum_types": pa.array(ns), "n_rest_types": pa.array(nr),
+             "n_overlap": pa.array(ov), "rouge1_recall": pa.array(rec)}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
