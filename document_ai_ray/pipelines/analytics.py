@@ -6983,3 +6983,182 @@ def attribution_time_decay(sf_dir: str):
                          "credit_cents": pa.array(cc, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonal index over gap-filled daily revenue (rides the
+# shared _daily_cents substrate; dow = (epoch_day + 4) % 7 == DuckDB
+# dayofweek, 0=Sunday).  Integer sums; two ROUND-ed divisions.
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_IDX_ORACLE = (
+    _DAILY_CENTS_CTE
+    + """,
+wd AS (SELECT (day + 4) % 7 AS dow, c FROM x),
+a AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS cents
+      FROM wd GROUP BY 1),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS st, CAST(SUM(n_days) AS BIGINT) AS h FROM a)
+SELECT dow, n_days, cents,
+       ROUND(CAST(cents AS DOUBLE) / n_days, 2) AS mean_cents,
+       ROUND((CAST(cents AS DOUBLE) / n_days) / (CAST(t.st AS DOUBLE) / t.h), 6)
+         AS seasonal_idx
+FROM a, t
+"""
+)
+
+
+@register("weekday_seasonal_index", oracle=_WEEKDAY_IDX_ORACLE)
+def weekday_seasonal_index(sf_dir: str):
+    """Per-weekday revenue seasonality (mean daily cents / overall mean
+    over the zero-filled date spine) — the additive-decomposition
+    seasonal profile.  Daily cents ride the combiner; the 7-row index
+    is driver-side integer arithmetic."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("day")
+        lo, hi = int(df["day"].min()), int(df["day"].max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        c = np.zeros(len(spine), np.int64)
+        c[df["day"].to_numpy() - lo] = df["c"].to_numpy()
+        dow = (spine + 4) % 7
+        rows = {"dow": [], "n_days": [], "cents": [], "mean_cents": [], "seasonal_idx": []}
+        st, h = int(c.sum()), len(spine)
+        for d in sorted(set(dow.tolist())):
+            m = dow == d
+            n_days, cents = int(m.sum()), int(c[m].sum())
+            mean = cents / n_days
+            rows["dow"].append(d)
+            rows["n_days"].append(n_days)
+            rows["cents"].append(cents)
+            rows["mean_cents"].append(float(np.floor(mean * 100 + 0.5) / 100))
+            idx = (cents / n_days) / (st / h)
+            rows["seasonal_idx"].append(float(np.floor(idx * 1e6 + 0.5) / 1e6))
+        return pa.table(
+            {"dow": pa.array(rows["dow"], pa.int64()),
+             "n_days": pa.array(rows["n_days"], pa.int64()),
+             "cents": pa.array(rows["cents"], pa.int64()),
+             "mean_cents": pa.array(rows["mean_cents"], pa.float64()),
+             "seasonal_idx": pa.array(rows["seasonal_idx"], pa.float64())}
+        )
+
+    return (
+        _daily_cents(sf_dir)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration of sources within each language
+# (the market-concentration complement to the entropy-based
+# effective_sources diversity): hhi = sum(share^2), plus the
+# k-normalized variant.  All integer count moments.
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n * n) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c GROUP BY 1)
+SELECT lang, nt AS n_docs, k AS n_sources,
+       ROUND(CAST(s2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6) AS hhi,
+       CASE WHEN k > 1
+            THEN ROUND((CAST(s2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt) - 1.0 / k)
+                       / (1.0 - 1.0 / k), 6)
+            ELSE 0.0 END AS hhi_norm
+FROM t
+"""
+
+
+@register("source_concentration_hhi", oracle=_HHI_ORACLE)
+def source_concentration_hhi(sf_dir: str):
+    """Source-concentration HHI per language.  (lang, source) counts
+    ride the combiner; the per-lang share-squared sums are exact
+    integers, so the only floats are the two final divisions."""
+    from document_ai_ray.sources.tables import read_table as _rt
+
+    docs = _rt(sf_dir, "documents", columns=["lang", "source"])
+    counts = partial_group_agg(docs, ["lang", "source"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = {"lang": [], "n_docs": [], "n_sources": [], "hhi": [], "hhi_norm": []}
+        for lang, g in df.groupby("lang"):
+            n = g["n"].to_numpy(np.int64)
+            nt = int(n.sum())
+            s2 = int((n * n).sum())
+            k = len(n)
+            hhi = s2 / (float(nt) * nt)
+            out["lang"].append(lang)
+            out["n_docs"].append(nt)
+            out["n_sources"].append(k)
+            out["hhi"].append(float(np.floor(hhi * 1e6 + 0.5) / 1e6))
+            hn = (s2 / (float(nt) * nt) - 1.0 / k) / (1.0 - 1.0 / k) if k > 1 else 0.0
+            out["hhi_norm"].append(float(np.floor(abs(hn) * 1e6 + 0.5) * (1 if hn >= 0 else -1) / 1e6))
+        return pa.table(
+            {"lang": pa.array(out["lang"], pa.string()),
+             "n_docs": pa.array(out["n_docs"], pa.int64()),
+             "n_sources": pa.array(out["n_sources"], pa.int64()),
+             "hhi": pa.array(out["hhi"], pa.float64()),
+             "hhi_norm": pa.array(out["hhi_norm"], pa.float64())}
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-surprise anomalous hours: score each occupied hour by the
+# Poisson deviance c*ln(c/lambda) - (c - lambda) against the uniform
+# hourly rate, micro-quantized with ONE floor at the end — top-10 most
+# surprising hours.
+# ---------------------------------------------------------------------------
+
+_POISSON_HOURS_ORACLE = """
+WITH ev AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h FROM events),
+c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+b AS (SELECT MIN(h) AS h0, MAX(h) AS h1, CAST(SUM(n) AS BIGINT) AS nt FROM c),
+s AS (SELECT c.h, c.n,
+             CAST(FLOOR(1000000 * (c.n * LN((c.n * (b.h1 - b.h0 + 1)) / CAST(b.nt AS DOUBLE))
+                                   - c.n
+                                   + CAST(b.nt AS DOUBLE) / (b.h1 - b.h0 + 1)))
+                  AS BIGINT) AS surprise_micro
+      FROM c, b)
+SELECT h AS hour, n AS n_events, surprise_micro
+FROM s ORDER BY surprise_micro DESC, hour LIMIT 10
+"""
+
+
+@register("poisson_surprise_hours", oracle=_POISSON_HOURS_ORACLE)
+def poisson_surprise_hours(sf_dir: str):
+    """Top-10 anomalous traffic hours by Poisson deviance against the
+    uniform rate — the burst-detection screen.  The hour census rides
+    the combiner; scoring + top-k run over the hours-sized table."""
+    import math
+
+    import pyarrow.compute as pc_
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def hour_col(t: pa.Table) -> pa.Table:
+        micros = pc_.cast(t.column("ts"), pa.int64())
+        return pa.table({"h": pc_.cast(pc_.divide(micros, 3600000000), pa.int64())})
+
+    counts = partial_group_agg(
+        ev.map_batches(hour_col, batch_format="pyarrow"), ["h"], count_alias="n"
+    ).take_all()  # hours-sized
+    h0 = min(r["h"] for r in counts)
+    h1 = max(r["h"] for r in counts)
+    H = int(h1 - h0 + 1)
+    nt = sum(int(r["n"]) for r in counts)
+    scored = []
+    for r in counts:
+        n = int(r["n"])
+        s = math.floor(1e6 * (n * math.log((n * H) / nt) - n + nt / H))
+        scored.append((int(r["h"]), n, s))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    top = scored[:10]
+    return pa.table(
+        {"hour": pa.array([x[0] for x in top], pa.int64()),
+         "n_events": pa.array([x[1] for x in top], pa.int64()),
+         "surprise_micro": pa.array([x[2] for x in top], pa.int64())}
+    )

@@ -1787,3 +1787,100 @@ def resolve_redirect_chains(sf_dir: str):
         )
 
     return m.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Closeness centrality over the consecutive-anchor host graph: BFS from
+# EVERY host (8-hop horizon, the same edge derivation as
+# bfs_host_distance), closeness = (n_reach) / sum(dist).  The oracle
+# replays the all-pairs BFS as unrolled MATERIALIZED frontier CTEs
+# keyed by (root, host).
+# ---------------------------------------------------------------------------
+
+
+def _closeness_oracle(max_hops: int = 8) -> str:
+    levels = []
+    prev = "r0"
+    for k in range(1, max_hops + 1):
+        cur = f"r{k}"
+        levels.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT DISTINCT p.root, e.dst AS host, {k} AS d
+  FROM {prev} p JOIN edges e ON e.src = p.host)""")
+        prev = cur
+    union = " UNION ALL ".join(f"SELECT root, host, d FROM r{k}" for k in range(max_hops + 1))
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+W AS (SELECT list_filter(
+        list_transform(ws[1:LEAST(len(ws), {_N_WORDS})],
+                       x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
+        s -> s <> '') AS sl FROM t),
+p AS (SELECT unnest(generate_series(1, len(sl) - 1)) AS i, sl FROM W WHERE len(sl) >= 2),
+edges AS MATERIALIZED (
+  SELECT DISTINCT sl[i] || '.example' AS src, sl[i + 1] || '.example' AS dst FROM p),
+hosts AS MATERIALIZED (
+  SELECT DISTINCT h AS host FROM (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+r0 AS MATERIALIZED (SELECT host AS root, host, 0 AS d FROM hosts),
+{",".join(levels)},
+dist AS (SELECT root, host, MIN(d) AS d FROM ({union}) GROUP BY 1, 2)
+SELECT root AS host,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reach,
+       CAST(SUM(d) AS BIGINT) AS sum_dist,
+       CASE WHEN SUM(d) > 0
+            THEN ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d), 6)
+            ELSE 0.0 END AS closeness
+FROM dist GROUP BY 1
+"""
+
+
+@register("closeness_centrality_hosts", oracle=_closeness_oracle())
+def closeness_centrality_hosts(sf_dir: str):
+    """8-hop closeness centrality per host (the 'how central is this
+    site' rank behind crawl prioritization).  Edge extraction + the
+    distinct-edge dedup run distributed; the all-pairs BFS itself runs
+    on the driver over the HOST-sized adjacency — the same documented
+    host-cardinality bound as PageRank's rank table (closeness is
+    inherently O(H*E); at web scale you run it on sampled pivot roots,
+    which this driver loop models exactly)."""
+    from collections import deque
+
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.stages.links import page_outlink_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = page_outlink_pairs(_link_pages(docs))
+    e = distinct_rows(edges, ["src", "dst"]).take_all()  # host^2-bounded
+    adj: dict[str, list[str]] = {}
+    hosts: set[str] = set()
+    for r in e:
+        hosts.add(r["src"])
+        hosts.add(r["dst"])
+        adj.setdefault(r["src"], []).append(r["dst"])
+    out = {"host": [], "n_reach": [], "sum_dist": [], "closeness": []}
+    for root in sorted(hosts):
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            d = dist[u]
+            if d == 8:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d + 1
+                    dq.append(v)
+        n_reach = len(dist) - 1
+        sum_d = sum(dist.values())
+        clos = float(np.floor(n_reach / sum_d * 1e6 + 0.5) / 1e6) if sum_d > 0 else 0.0
+        out["host"].append(root)
+        out["n_reach"].append(n_reach)
+        out["sum_dist"].append(sum_d)
+        out["closeness"].append(clos)
+    return pa.table(
+        {"host": pa.array(out["host"], pa.string()),
+         "n_reach": pa.array(out["n_reach"], pa.int64()),
+         "sum_dist": pa.array(out["sum_dist"], pa.int64()),
+         "closeness": pa.array(out["closeness"], pa.float64())}
+    )

@@ -3550,7 +3550,7 @@ def unigram_perplexity_corpus(sf_dir: str):
 # the argmax is engine-exact, unlike float log accumulation.
 # ---------------------------------------------------------------------------
 
-_NB_ORACLE = """
+_NB_PRED_CTE = """
 WITH w AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
            FROM documents),
 tok AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
@@ -3576,10 +3576,32 @@ sc AS (SELECT dt.doc_id, cl.c,
        GROUP BY 1, 2),
 pred AS (SELECT doc_id, c,
                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
-         FROM sc)
+         FROM sc)"""
+
+_NB_ORACLE = _NB_PRED_CTE + """
 SELECT d.lang AS true_lang, p.c AS pred_lang, COUNT(*) AS n
 FROM pred p JOIN documents d ON d.doc_id = p.doc_id
 WHERE p.rn = 1 GROUP BY 1, 2
+"""
+
+# Per-class precision/recall/F1 of the NB langid (integer confusion
+# counts; the ratios are single divisions + ROUND on both engines).
+_NB_PRF_ORACLE = _NB_PRED_CTE + """,
+j AS (SELECT d.lang AS t, p.c AS y
+      FROM pred p JOIN documents d ON d.doc_id = p.doc_id WHERE p.rn = 1),
+cls AS (SELECT DISTINCT lang AS c FROM documents),
+m AS (SELECT cls.c,
+             CAST(SUM(CASE WHEN j.t = cls.c AND j.y = cls.c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN j.t <> cls.c AND j.y = cls.c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN j.t = cls.c AND j.y <> cls.c THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM cls CROSS JOIN j GROUP BY 1)
+SELECT c AS lang, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE 0.0 END AS prec,
+       CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) ELSE 0.0 END AS rec,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+            ELSE 0.0 END AS f1
+FROM m
 """
 
 
@@ -4282,3 +4304,222 @@ def lead3_rouge1_docs(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+@register("nb_langid_prf", oracle=_NB_PRF_ORACLE)
+def nb_langid_prf(sf_dir: str):
+    """Per-class precision / recall / F1 of the multinomial-NB langid —
+    the classifier-eval rollup next to `nb_langid_confusion`.  Rides
+    the same distributed `nb_predictions` substrate; the PRF algebra
+    runs over the |classes|^2 confusion counts (integer tp/fp/fn, one
+    ROUND-ed division per cell)."""
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import partial_group_agg
+
+    conf = partial_group_agg(
+        nb_predictions(sf_dir), ["true_lang", "pred_lang"], count_alias="n"
+    ).take_all()  # |classes|^2 rows
+    classes = sorted({r["true_lang"] for r in conf})
+    tp = {c: 0 for c in classes}
+    fp = {c: 0 for c in classes}
+    fn = {c: 0 for c in classes}
+    for r in conf:
+        t_, y, n = r["true_lang"], r["pred_lang"], int(r["n"])
+        if t_ == y:
+            tp[t_] += n
+        else:
+            fn[t_] += n
+            fp[y] += n
+
+    def rnd6(x: float) -> float:
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    prec = [rnd6(tp[c] / (tp[c] + fp[c])) if tp[c] + fp[c] else 0.0 for c in classes]
+    rec = [rnd6(tp[c] / (tp[c] + fn[c])) if tp[c] + fn[c] else 0.0 for c in classes]
+    f1 = [
+        rnd6(2 * tp[c] / (2 * tp[c] + fp[c] + fn[c])) if 2 * tp[c] + fp[c] + fn[c] else 0.0
+        for c in classes
+    ]
+    return pa.table(
+        {"lang": pa.array(classes, pa.string()),
+         "tp": pa.array([tp[c] for c in classes], pa.int64()),
+         "fp": pa.array([fp[c] for c in classes], pa.int64()),
+         "fn": pa.array([fn[c] for c in classes], pa.int64()),
+         "prec": pa.array(prec, pa.float64()),
+         "rec": pa.array(rec, pa.float64()),
+         "f1": pa.array(f1, pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (mu=2000) — the
+# classic LM ranking next to BM25.  Per-(doc, term) log terms are
+# quantized to integer micro-nats BEFORE the sum, so the ranking is an
+# exact integer argsort on both engines.
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000.0
+
+_QL_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+vc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1),
+nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM vc),
+rk AS (SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS r FROM vc),
+q AS (SELECT MAX(CASE WHEN r = 10 THEN word END) AS ta,
+             MAX(CASE WHEN r = 20 THEN word END) AS tb
+      FROM rk),
+cf AS (SELECT (SELECT CAST(n AS BIGINT) FROM vc WHERE word = (SELECT ta FROM q)) AS cfa,
+              (SELECT CAST(n AS BIGINT) FROM vc WHERE word = (SELECT tb FROM q)) AS cfb),
+d AS (SELECT w.doc_id, LENGTH(w.ws) AS dl,
+             LENGTH(list_filter(w.ws, x -> x = q.ta)) AS tfa,
+             LENGTH(list_filter(w.ws, x -> x = q.tb)) AS tfb
+      FROM w, q),
+sc AS (SELECT doc_id,
+              CAST(FLOOR(1000000 * LN((tfa + 2000.0 * cf.cfa / nt.n_tok) / (dl + 2000.0))) AS BIGINT)
+            + CAST(FLOOR(1000000 * LN((tfb + 2000.0 * cf.cfb / nt.n_tok) / (dl + 2000.0))) AS BIGINT)
+                AS score_micro
+       FROM d, cf, nt)
+SELECT sc.doc_id, sc.score_micro, q.ta AS term_a, q.tb AS term_b
+FROM sc, q ORDER BY sc.score_micro DESC, sc.doc_id LIMIT 10
+"""
+
+
+@register("query_likelihood_search", oracle=_QL_ORACLE)
+def query_likelihood_search(sf_dir: str):
+    """Top-10 docs under the Dirichlet-smoothed query-likelihood model
+    for the two rule-chosen query terms (vocab ranks 10/20).  Corpus
+    stats ride the bucketed word-count exchange; per-doc scoring is one
+    streaming pass; only the 10-row shortlist reaches the driver."""
+    import math
+
+    from document_ai_ray.functions.hashing import crc_bucket
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.ops import bucket_map_groups, topk
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    P = auto_buckets(docs.count())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        bucket = pa.array([crc_bucket(w, P) for w in g.column("word").to_pylist()], pa.int32())
+        return g.append_column("bucket", bucket)
+
+    def bucket_sum(df):
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    counts = bucket_map_groups(
+        docs.map_batches(partial_counts, batch_format="pyarrow"), "bucket", bucket_sum, P,
+        batch_format="pandas",
+    ).to_pandas()  # vocabulary-sized
+    n_tok = int(counts["n"].sum())
+    ranked = counts.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+    ta, tb = str(ranked["word"].iloc[9]), str(ranked["word"].iloc[19])
+    by_word = counts.set_index("word")["n"]
+    cfa, cfb = int(by_word[ta]), int(by_word[tb])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        out = []
+        for x in texts:
+            ws = [w for w in (x or "").split(" ") if w]
+            dl = len(ws)
+            tfa = ws.count(ta)
+            tfb = ws.count(tb)
+            s = math.floor(1e6 * math.log((tfa + _QL_MU * cfa / n_tok) / (dl + _QL_MU))) + math.floor(
+                1e6 * math.log((tfb + _QL_MU * cfb / n_tok) / (dl + _QL_MU))
+            )
+            out.append(s)
+        return pa.table({"doc_id": ids, "score_micro": pa.array(out, pa.int64())})
+
+    short = topk(
+        docs.map_batches(score, batch_format="pyarrow"),
+        keys=[("score_micro", True), ("doc_id", False)],
+        k=10,
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score_micro": t.column("score_micro"),
+             "term_a": pa.array([ta] * n, pa.string()),
+             "term_b": pa.array([tb] * n, pa.string())}
+        )
+
+    return short.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting-list statistics: per term df / cf / max tf and
+# the integer micro-nat idf — the index-build byproduct every retrieval
+# stack reports.  Vocabulary-sized output.
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+dt AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+a AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+             CAST(MAX(tf) AS BIGINT) AS max_tf
+      FROM dt GROUP BY 1)
+SELECT word, df, cf, max_tf,
+       CAST(FLOOR(1000000 * LN(CAST(n.nd AS DOUBLE) / df)) AS BIGINT) AS idf_micro
+FROM a, n
+"""
+
+
+@register("posting_list_stats", oracle=_POSTINGS_ORACLE)
+def posting_list_stats(sf_dir: str):
+    """Per-term posting-list stats (df, cf, max tf, micro-nat idf) from
+    a distributed inverted-index build: each task Counter-izes its docs
+    (docs never span batches, so per-batch df partials are exact) and
+    the vocabulary-sized merge is the shuffle-free combiner."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from document_ai_ray.pipelines.ops import merge_partials
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        cf: dict[str, int] = {}
+        mx: dict[str, int] = {}
+        for x in t.column("text").to_pylist():
+            c = Counter(w for w in (x or "").split(" ") if w)
+            for wd, k in c.items():
+                df[wd] = df.get(wd, 0) + 1
+                cf[wd] = cf.get(wd, 0) + k
+                if k > mx.get(wd, 0):
+                    mx[wd] = k
+        words = sorted(df)
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "df": pa.array([df[w] for w in words], pa.int64()),
+             "cf": pa.array([cf[w] for w in words], pa.int64()),
+             "max_tf": pa.array([mx[w] for w in words], pa.int64())}
+        )
+
+    merged = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["word"], {"df": "sum", "cf": "sum", "max_tf": "max"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = np.array([math.floor(1e6 * math.log(n_docs / int(d))) for d in df], np.int64)
+        return pa.table(
+            {"word": t.column("word"), "df": t.column("df"), "cf": t.column("cf"),
+             "max_tf": t.column("max_tf"), "idf_micro": pa.array(idf)}
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -43,11 +43,13 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
 from html.parser import HTMLParser
 
 import pyarrow as pa
 
 from document_ai_ray.config import (
+    BLOCK_STRUCT,
     DEFAULT_CONFIG,
     RESULT_SCHEMA,
     STATUS_EMPTY,
@@ -776,6 +778,19 @@ def score_blocks(blocks: list[Block], cfg: ExtractConfig) -> None:
                         break
 
 
+@lru_cache(maxsize=8)
+def _label_tables(field_labels: tuple[str, ...]):
+    """Per-config normalized-label tables, built once (normalize_str's
+    NFD pass per label per DOCUMENT measured ~3% of extraction wall)."""
+    norm_labels = {lbl: normalize_str(lbl) for lbl in field_labels}
+    # exact normalized label -> first config label carrying it (dict
+    # iteration order == cfg order, matching the scan-loop tie-break)
+    exact: dict[str, str] = {}
+    for lbl, nlbl in norm_labels.items():
+        exact.setdefault(nlbl, lbl)
+    return norm_labels, exact
+
+
 def extract_fields(
     candidates: list[str], blocks: list[Block], cfg: ExtractConfig
 ) -> tuple[dict[str, str], dict[str, str]]:
@@ -791,13 +806,10 @@ def extract_fields(
     fields: dict[str, str] = {}
     status: dict[str, str] = {lbl: STATUS_NOT_FOUND for lbl in cfg.field_labels}
 
-    norm_labels = {lbl: normalize_str(lbl) for lbl in cfg.field_labels}
-    # exact normalized label -> first config label carrying it (dict
-    # iteration order == cfg order, matching the scan-loop tie-break)
-    exact: dict[str, str] = {}
-    for lbl, nlbl in norm_labels.items():
-        exact.setdefault(nlbl, lbl)
+    norm_labels, exact = _label_tables(cfg.field_labels)
     for line in candidates:
+        if ":" not in line:  # _LABEL_RE requires a ':' — skip the regex
+            continue
         m = _LABEL_RE.match(line)
         if not m:
             continue
@@ -865,8 +877,14 @@ def _empty_result(url, warc_ts, lang, content_type, error) -> dict:
     }
 
 
-def extract_row(url, warc_ts, lang, payload: bytes, cfg: ExtractConfig) -> dict:
-    """Extract one page.  Pure; never raises."""
+def extract_row(url, warc_ts, lang, payload: bytes, cfg: ExtractConfig, _raw_blocks: bool = False) -> dict:
+    """Extract one page.  Pure; never raises.
+
+    ``_raw_blocks=True`` (internal, used by the batch path) returns the
+    ``Block`` objects themselves under "blocks" instead of per-block
+    dicts — the batch assembler builds the Arrow list<struct> column
+    columnar from their attributes, skipping ~n_blocks dict
+    allocations per page."""
     try:
         if payload is None:
             return _empty_result(url, warc_ts, lang, "unknown", "empty_payload")
@@ -948,7 +966,7 @@ def extract_row(url, warc_ts, lang, payload: bytes, cfg: ExtractConfig) -> dict:
             "extracted_text": extracted,
             "fields": fields,
             "field_status": field_status,
-            "blocks": [
+            "blocks": blocks if _raw_blocks else [
                 {
                     "start": b.start,
                     "end": b.end,
@@ -980,20 +998,65 @@ class Extractor:
         self.cfg = cfg or DEFAULT_CONFIG
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        ts = batch.column("warc_ts").to_pylist()
-        langs = batch.column("lang").to_pylist()
         payloads = batch.column("html").to_pylist()
-        rows = [
-            extract_row(u, t, lg, p, self.cfg)
-            for u, t, lg, p in zip(urls, ts, langs, payloads)
-        ]
+        cfg = self.cfg
+        # url/warc_ts/lang pass through ZERO-COPY from the input batch
+        # (extract_row only ever echoes them; round-tripping 3 columns
+        # through Python objects — datetime included — was pure
+        # allocator traffic on the 32-worker hot path)
+        #
+        # blocks: columnar list<struct> assembly straight from the Block
+        # attributes (one flat child array per field + offsets), no
+        # per-block dicts — and flattened PER ROW so the Block objects
+        # die immediately: keeping ~batch_size*n_blocks slotted objects
+        # alive for a whole-batch flatten measured 23% SLOWER than the
+        # dict path purely from cyclic-GC generation scans over the
+        # live-object pile (gc.disable() recovers it — the streaming
+        # flatten keeps the live set one row deep instead).
+        offsets = [0]
+        starts: list[int] = []
+        ends: list[int] = []
+        scores: list[float] = []
+        kepts: list[bool] = []
+        paths: list[str] = []
+        lds: list[float] = []
+        rows: list[dict] = []
+        for p in payloads:
+            r = extract_row(None, None, None, p, cfg, _raw_blocks=True)
+            for b in r["blocks"]:
+                starts.append(b.start)
+                ends.append(b.end)
+                scores.append(b.score)
+                kepts.append(b.kept)
+                paths.append(b.tag_path)
+                lds.append(b.link_density)
+            r["blocks"] = None  # Blocks die here, not at batch end
+            offsets.append(len(starts))
+            rows.append(r)
         # NOTE: `html` is dropped here on purpose — downstream stages and
         # shuffles never move the raw payload (SURVEY.md §7 "very wide rows").
-        # Columnar assembly (per-column lists -> from_arrays) measures
-        # ~25% cheaper than from_pylist's per-row dict walk.
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(starts, pa.int64()),
+                pa.array(ends, pa.int64()),
+                pa.array(scores, pa.float64()),
+                pa.array(kepts, pa.bool_()),
+                pa.array(paths, pa.string()),
+                pa.array(lds, pa.float64()),
+            ],
+            fields=list(BLOCK_STRUCT),
+        )
+        blocks_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        built = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "blocks": blocks_arr,
+        }
         cols = [
-            pa.array([r[name] for r in rows], type=RESULT_SCHEMA.field(name).type)
+            built.get(name)
+            if name in built
+            else pa.array([r[name] for r in rows], type=RESULT_SCHEMA.field(name).type)
             for name in RESULT_SCHEMA.names
         ]
         return pa.Table.from_arrays(cols, schema=RESULT_SCHEMA)

@@ -63,7 +63,12 @@ def langid_text(text: str) -> tuple[str, float]:
     counts: dict[str, int] = {}
     get_langs = _SW_LANGS.get
     for w in words:
-        langs = get_langs(w.lower())
+        # probe the raw token first: stopword keys are lowercase, and on
+        # real text most tokens already are — w.lower() would allocate a
+        # copy per word; the second probe only runs for cased tokens
+        langs = get_langs(w)
+        if langs is None and not w.islower():
+            langs = get_langs(w.lower())
         if langs is not None:
             for lang in langs:
                 counts[lang] = counts.get(lang, 0) + 1
@@ -632,7 +637,12 @@ def langid_words(words: list[str]) -> str:
     counts: dict[str, int] = {}
     get_langs = _SW_LANGS.get
     for w in words:
-        langs = get_langs(w.lower())
+        # probe the raw token first: stopword keys are lowercase, and on
+        # real text most tokens already are — w.lower() would allocate a
+        # copy per word; the second probe only runs for cased tokens
+        langs = get_langs(w)
+        if langs is None and not w.islower():
+            langs = get_langs(w.lower())
         if langs is not None:
             for lang in langs:
                 counts[lang] = counts.get(lang, 0) + 1

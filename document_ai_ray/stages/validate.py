@@ -56,14 +56,66 @@ _NEEDED = ["quality", "error", "extracted_text", "field_status", "pred_lang", "l
 
 
 def validate_batch(batch: pa.Table) -> pa.Table:
-    # only the rule inputs round-trip through Python — the wide columns
-    # (blocks, fields, text payloads) stay as Arrow buffers
-    cols = {c: batch.column(c).to_pylist() for c in _NEEDED}
+    # vectorized twin of validate_row (rule-for-rule, same cause order;
+    # pinned equal by tests/test_validate.py): the quality struct reads
+    # as numpy child arrays and the text column contributes only its
+    # pc.utf8_length — materializing every extracted_text as a Python
+    # str just to len() it was the stage's entire cost
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    q = batch.column("quality")
+    if isinstance(q, pa.ChunkedArray):
+        q = q.combine_chunks()
+    charset_ok = q.field("charset_ok").to_numpy(zero_copy_only=False)
+    parse_ok = q.field("parse_ok").to_numpy(zero_copy_only=False)
+    readable = q.field("is_readable").to_numpy(zero_copy_only=False)
+    n_kept = q.field("n_kept").to_numpy(zero_copy_only=False)
+    n_blocks = q.field("n_blocks").to_numpy(zero_copy_only=False)
+    has_byline = q.field("has_byline").to_numpy(zero_copy_only=False)
+    err = batch.column("error").to_pylist()
+    tlen = (
+        pc.fill_null(pc.utf8_length(batch.column("extracted_text")), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    pred = batch.column("pred_lang").to_pylist()
+    lang = batch.column("lang").to_pylist()
+    fstat = batch.column("field_status").to_pylist()
     causes_col, validated_col = [], []
-    for i in range(len(batch)):
-        causes, ok = validate_row({c: cols[c][i] for c in _NEEDED})
+    for i in range(n):
+        causes: list[str] = []
+        e = err[i]
+        if e:
+            causes.append(
+                "pdf_parse_error" if e.startswith("pdf_parse_error") else "parse_error"
+            )
+        if not charset_ok[i]:
+            causes.append("charset_error")
+        if not parse_ok[i] and "parse_error" not in causes:
+            causes.append("parse_error")
+        if not readable[i]:
+            causes.append("quality_is_not_ok")
+        if tlen[i] == 0:
+            causes.append("extracted_text_is_empty")
+        elif tlen[i] < TOO_SHORT_CHARS:
+            causes.append("too_short")
+        if n_kept[i] == 0 and n_blocks[i] >= LINK_FARM_MIN_BLOCKS:
+            causes.append("link_farm")
+        status = dict(fstat[i] or {})
+        for fld in ("title", "author", "date", "reference"):
+            if fld in status and status[fld] != STATUS_FOUND:
+                causes.append(f"{fld}_is_not_filled")
+        if "contact" in status and status["contact"] != STATUS_FOUND:
+            causes.append("contact_is_not_present")
+        if not has_byline[i]:
+            causes.append("byline_is_not_present")
+        p = pred[i] or "und"
+        if p != "und" and p != lang[i]:
+            causes.append("lang_mismatch")
         causes_col.append(causes)
-        validated_col.append(ok)
+        validated_col.append(not causes)
     return batch.append_column(
         "refused_causes", pa.array(causes_col, pa.list_(pa.string()))
     ).append_column("validated", pa.array(validated_col, pa.bool_()))
