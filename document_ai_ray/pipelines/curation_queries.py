@@ -1744,3 +1744,102 @@ def jsonl_gz_roundtrip(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit over (lang, source) quasi-identifier groups: EMD
+# between each group's doc-length histogram (8 fixed-width bins) and
+# the corpus histogram, on the ordered-bin ground distance.  The EMD of
+# cumulative histograms is a sum of |integer cross products| — exact
+# ints up to one final floor-quantized division.
+# ---------------------------------------------------------------------------
+
+_T_CLOSENESS_ORACLE = """
+WITH L AS (SELECT lang, source, LENGTH(text) AS ln FROM documents),
+mx AS (SELECT MAX(ln) AS m FROM L),
+b AS (SELECT lang, source, LEAST(7, ln * 8 // (mx.m + 1)) AS bin FROM L, mx),
+h AS (SELECT lang, source, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+g AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS gc FROM h GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM h),
+grp AS (SELECT lang, source, CAST(SUM(c) AS BIGINT) AS ng FROM h GROUP BY 1, 2),
+bins AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
+f AS (SELECT gr.lang, gr.source, bi.bin,
+             COALESCE(h.c, 0) AS c, COALESCE(g.gc, 0) AS gc, gr.ng, n.nt
+      FROM grp gr CROSS JOIN bins bi
+      LEFT JOIN h ON h.lang = gr.lang AND h.source = gr.source AND h.bin = bi.bin
+      LEFT JOIN g ON g.bin = bi.bin, n),
+cum AS (SELECT lang, source, bin, ng, nt,
+               SUM(c) OVER (PARTITION BY lang, source ORDER BY bin) AS ch,
+               SUM(gc) OVER (PARTITION BY lang, source ORDER BY bin) AS cg
+        FROM f),
+emd AS (SELECT lang, source, CAST(MAX(ng) AS BIGINT) AS n_docs, CAST(MAX(nt) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN bin < 7 THEN ABS(ch * nt - cg * ng) ELSE 0 END) AS BIGINT) AS num
+        FROM cum GROUP BY 1, 2)
+SELECT lang, source, n_docs,
+       CAST(FLOOR(1000000.0 * num / (CAST(nt AS DOUBLE) * n_docs * 7)) AS BIGINT) AS t_micro
+FROM emd
+"""
+
+
+@register("t_closeness_report", oracle=_T_CLOSENESS_ORACLE)
+def t_closeness_report(sf_dir: str):
+    """t-closeness per (lang, source) quasi-identifier group over the
+    doc-length distribution — the release-audit companion to
+    k_anonymity_report / l_diversity_report.  Two combiner passes (max
+    length, then per-(group, bin) counts); the EMD algebra runs on the
+    groups x 8-bin table in exact integers."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    from document_ai_ray.pipelines.ops import merge_partials, partial_group_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source", "text"])
+
+    def maxlen(t: pa.Table) -> pa.Table:
+        ln = pc_.utf8_length(t.column("text"))
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "m": pa.array([int(pc_.max(ln).as_py() or 0)], pa.int64())})
+
+    m = int(
+        merge_partials(docs.map_batches(maxlen, batch_format="pyarrow"),
+                       ["k"], {"m": "max"}).take_all()[0]["m"]
+    )
+
+    def bin_col(t: pa.Table) -> pa.Table:
+        ln = pc_.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(7, ln * 8 // (m + 1))
+        return pa.table({"lang": t.column("lang"), "source": t.column("source"),
+                         "bin": pa.array(b)})
+
+    h = partial_group_agg(
+        docs.map_batches(bin_col, batch_format="pyarrow"), ["lang", "source", "bin"],
+        count_alias="c",
+    ).take_all()  # groups x bins sized
+    gc = np.zeros(8, np.int64)
+    groups: dict[tuple[str, str], np.ndarray] = {}
+    for r in h:
+        key = (r["lang"], r["source"])
+        groups.setdefault(key, np.zeros(8, np.int64))[r["bin"]] += r["c"]
+        gc[r["bin"]] += r["c"]
+    nt = int(gc.sum())
+    cg = np.cumsum(gc)
+    out = {"lang": [], "source": [], "n_docs": [], "t_micro": []}
+    for (lang, source) in sorted(groups):
+        hist = groups[(lang, source)]
+        ng = int(hist.sum())
+        ch = np.cumsum(hist)
+        num = int(np.abs(ch[:7] * nt - cg[:7] * ng).sum())
+        t_micro = math.floor(1000000.0 * num / (float(nt) * ng * 7))
+        out["lang"].append(lang)
+        out["source"].append(source)
+        out["n_docs"].append(ng)
+        out["t_micro"].append(t_micro)
+    return pa.table(
+        {"lang": pa.array(out["lang"], pa.string()),
+         "source": pa.array(out["source"], pa.string()),
+         "n_docs": pa.array(out["n_docs"], pa.int64()),
+         "t_micro": pa.array(out["t_micro"], pa.int64())}
+    )

@@ -1798,7 +1798,10 @@ def resolve_redirect_chains(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _closeness_oracle(max_hops: int = 8) -> str:
+def _allpairs_bfs_cte(max_hops: int = 8) -> str:
+    """Shared WITH-body: anchor-pair edge derivation + all-pairs BFS to
+    `dist(root, host, d)` — composed by the closeness and
+    mutual-reachability oracles."""
     levels = []
     prev = "r0"
     for k in range(1, max_hops + 1):
@@ -1822,7 +1825,11 @@ hosts AS MATERIALIZED (
   SELECT DISTINCT h AS host FROM (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
 r0 AS MATERIALIZED (SELECT host AS root, host, 0 AS d FROM hosts),
 {",".join(levels)},
-dist AS (SELECT root, host, MIN(d) AS d FROM ({union}) GROUP BY 1, 2)
+dist AS (SELECT root, host, MIN(d) AS d FROM ({union}) GROUP BY 1, 2)"""
+
+
+def _closeness_oracle(max_hops: int = 8) -> str:
+    return _allpairs_bfs_cte(max_hops) + """
 SELECT root AS host,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_reach,
        CAST(SUM(d) AS BIGINT) AS sum_dist,
@@ -1830,7 +1837,7 @@ SELECT root AS host,
             THEN ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d), 6)
             ELSE 0.0 END AS closeness
 FROM dist GROUP BY 1
-"""
+"""  # noqa: E501
 
 
 @register("closeness_centrality_hosts", oracle=_closeness_oracle())
@@ -1883,4 +1890,69 @@ def closeness_centrality_hosts(sf_dir: str):
          "n_reach": pa.array(out["n_reach"], pa.int64()),
          "sum_dist": pa.array(out["sum_dist"], pa.int64()),
          "closeness": pa.array(out["closeness"], pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-reachability components (8-hop SCC approximation): hosts u, v
+# share a component iff each reaches the other within the BFS horizon;
+# the component id is the MIN host label of the mutual set.  Same
+# all-pairs BFS substrate as closeness.
+# ---------------------------------------------------------------------------
+
+
+def _mutual_reach_oracle(max_hops: int = 8) -> str:
+    return _allpairs_bfs_cte(max_hops) + """,
+m AS (SELECT a.root AS u, a.host AS v
+      FROM dist a JOIN dist b ON b.root = a.host AND b.host = a.root)
+SELECT u AS host, MIN(v) AS comp_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+FROM m GROUP BY 1
+"""
+
+
+@register("mutual_reach_components", oracle=_mutual_reach_oracle())
+def mutual_reach_components(sf_dir: str):
+    """Strongly-connected-style components under 8-hop MUTUAL
+    reachability (u and v each reach the other), labeled by the MIN
+    host of the set — the link-graph spam/cluster lens next to the
+    undirected connected components.  Same distributed edge build +
+    driver-side host-bounded BFS as closeness_centrality_hosts."""
+    from collections import deque
+
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.stages.links import page_outlink_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = page_outlink_pairs(_link_pages(docs))
+    e = distinct_rows(edges, ["src", "dst"]).take_all()  # host^2-bounded
+    adj: dict[str, list[str]] = {}
+    hosts: set[str] = set()
+    for r in e:
+        hosts.add(r["src"])
+        hosts.add(r["dst"])
+        adj.setdefault(r["src"], []).append(r["dst"])
+    reach: dict[str, set[str]] = {}
+    for root in hosts:
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            d = dist[u]
+            if d == 8:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d + 1
+                    dq.append(v)
+        reach[root] = set(dist)
+    out = {"host": [], "comp_id": [], "comp_size": []}
+    for u in sorted(hosts):
+        mutual = [v for v in reach[u] if u in reach[v]]
+        out["host"].append(u)
+        out["comp_id"].append(min(mutual))
+        out["comp_size"].append(len(mutual))
+    return pa.table(
+        {"host": pa.array(out["host"], pa.string()),
+         "comp_id": pa.array(out["comp_id"], pa.string()),
+         "comp_size": pa.array(out["comp_size"], pa.int64())}
     )
