@@ -135,3 +135,24 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
             break
         l += 1
     return j + l * p * (1.0 - j)
+
+
+_SOUNDEX_MAP = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+)
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+_RUN_RE = re.compile(r"(.)\1+")
+
+
+def soundex(word: str) -> str | None:
+    """Simplified American Soundex (NO H/W-skip rule — adjacent equal
+    codes collapse even across H/W, so ASHCRAFT -> A226, PFISTER ->
+    P123).  Non-letters are stripped first; returns None for a word
+    with no ASCII letters.  The SQL mirror used by the oracles:
+    translate + regexp_replace('(.)\\1+','\\1') + zero-strip + pad."""
+    u = _NON_ALPHA_RE.sub("", word).upper()
+    if not u:
+        return None
+    digits = _RUN_RE.sub(r"\1", u.translate(_SOUNDEX_MAP))
+    rest = digits[1:].replace("0", "")
+    return u[0] + (rest + "000")[:3]

@@ -642,3 +642,93 @@ def microdata_extract(sf_dir: str):
             "releaseDate": "releaseDate",
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML <table> extraction, value-hash checked: each documents row is
+# wrapped in a page whose tables are built from the doc's first six
+# cleaned words by a fixed law, so the oracle replays the expected
+# cells from the text column alone while the engine must round-trip
+# REAL markup (attributes, ragged whitespace, inline <b>, entity refs,
+# implicitly-closed rows) through the tolerant table parser.
+# ---------------------------------------------------------------------------
+
+_TBL_ORACLE = r"""
+WITH wl AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents),
+w6 AS (SELECT doc_id,
+              list_transform(generate_series(0, 5), i ->
+                  CASE WHEN len(ws) > i
+                            AND regexp_replace(lower(ws[i + 1]), '[^a-z0-9]', '', 'g') != ''
+                       THEN regexp_replace(lower(ws[i + 1]), '[^a-z0-9]', '', 'g')
+                       ELSE 'x' END) AS w
+       FROM wl),
+tabs AS (SELECT doc_id, w, unnest(generate_series(0, doc_id % 2)) AS table_idx FROM w6),
+hdr AS (SELECT doc_id, table_idx, 0 AS row_idx, c AS col_idx, TRUE AS is_header,
+               'h' || c AS cell
+        FROM tabs, (SELECT unnest(generate_series(0, 2)) AS c)),
+body AS (SELECT doc_id, table_idx, r AS row_idx, c AS col_idx, FALSE AS is_header,
+                w[1 + (((r - 1) * 3 + c + table_idx) % 6)] AS cell
+         FROM tabs,
+              (SELECT unnest(generate_series(1, 2)) AS r),
+              (SELECT unnest(generate_series(0, 2)) AS c))
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       table_idx, row_idx, col_idx, is_header, cell
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body)
+"""
+
+
+@register("extract_html_tables", oracle=_TBL_ORACLE)
+def extract_html_tables(sf_dir: str):
+    """Data-table mining through the real HTML table parser: pages get
+    1 + doc_id%2 tables of 1 header row ('h0'..'h2') + 2x3 body cells
+    drawn from the doc's first six cleaned words (law: cell(r,c,t) =
+    w[((r-1)*3 + c + t) % 6]); the markup is deliberately hostile
+    (attribute noise, newlines, inline <b>, &amp; entities, the LAST
+    row's </tr> omitted) and a nested decoy table is folded into its
+    cell, invisible to the flat cell law."""
+    import re as _re
+
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_tables
+
+    clean = _re.compile(r"[^a-z0-9]")
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ws = [w for w in (txt or "").split(" ") if w != ""][:6]
+            w6 = [(clean.sub("", w.lower()) or "x") for w in ws]
+            w6 += ["x"] * (6 - len(w6))
+            parts = [
+                "<html><head><title>t</title></head><body>",
+                '<nav class="chrome"><a href="/">home</a></nav>',
+            ]
+            for tab in range(1 + did % 2):
+                parts.append(f'<table class="data" id="t{tab}">\n  <tr>')
+                parts.append("".join(f"<th scope=col>h{c}</th>" for c in range(3)))
+                parts.append("</tr>")
+                for r in (1, 2):
+                    parts.append("\n  <tr>")
+                    for c in range(3):
+                        w = w6[((r - 1) * 3 + c + tab) % 6]
+                        cell = f"<b>{w}</b>" if (r + c) % 2 else f" {w}\n"
+                        parts.append(f'<td data-r="{r}">{cell}</td>')
+                    if r == 1:  # last row of markup left implicitly closed
+                        parts.append("</tr>")
+                parts.append("\n</table><p>&amp; between</p>")
+            parts.append("</body></html>")
+            urls.append(f"doc://{did}")
+            htmls.append("".join(parts).encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return extract_tables(pages)

@@ -1956,3 +1956,120 @@ def mutual_reach_components(sf_dir: str):
          "comp_id": pa.array(out["comp_id"], pa.string()),
          "comp_size": pa.array(out["comp_size"], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness + stress centrality (8-hop horizon): how much shortest-
+# path traffic flows THROUGH each host — the crawl-chokepoint /
+# link-spam lens next to closeness.  All arithmetic is exact: stress
+# is the integer count of shortest paths through v (Shimbel), and
+# betweenness is accumulated as per-(s,t) floor-quantized micro terms
+# floor(1e6 * sig(s,v)*sig(v,t) / sig(s,t)) — per-term flooring makes
+# the sum order-free, so both engines add the SAME integers (the int8
+# quantization / MWU trick).  The oracle extends the shared all-pairs
+# BFS CTE with unrolled sigma (shortest-path count) levels.
+# ---------------------------------------------------------------------------
+
+
+def _betweenness_oracle(max_hops: int = 8) -> str:
+    levels = []
+    prev = "s0"
+    for k in range(1, max_hops + 1):
+        cur = f"s{k}"
+        levels.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT p.root, e.dst AS host, {k} AS d, CAST(SUM(p.sig) AS BIGINT) AS sig
+  FROM {prev} p JOIN edges e ON e.src = p.host
+  JOIN dist dd ON dd.root = p.root AND dd.host = e.dst AND dd.d = {k}
+  GROUP BY 1, 2, 3)""")
+        prev = cur
+    union = " UNION ALL ".join(
+        f"SELECT root, host, d, sig FROM s{k}" for k in range(max_hops + 1)
+    )
+    return _allpairs_bfs_cte(max_hops) + f""",
+s0 AS MATERIALIZED (SELECT host AS root, host, 0 AS d, CAST(1 AS BIGINT) AS sig FROM hosts),
+{",".join(levels)},
+sg AS MATERIALIZED (SELECT * FROM ({union})),
+pr AS (SELECT root AS s, host AS t, d AS D, sig AS s_st FROM sg WHERE root <> host),
+mid AS (SELECT m1.host AS v, CAST(m1.sig AS HUGEINT) * m2.sig AS np, p.s_st
+        FROM pr p
+        JOIN sg m1 ON m1.root = p.s AND m1.host <> p.s AND m1.host <> p.t
+        JOIN sg m2 ON m2.root = m1.host AND m2.host = p.t
+        WHERE m1.d + m2.d = p.D),
+agg AS (SELECT v AS host, CAST(SUM(np) AS BIGINT) AS stress,
+               CAST(SUM(CAST(1000000 AS HUGEINT) * np // s_st) AS BIGINT) AS btw_micro
+        FROM mid GROUP BY 1)
+SELECT h.host, COALESCE(a.stress, 0) AS stress,
+       COALESCE(a.btw_micro, 0) AS btw_micro
+FROM hosts h LEFT JOIN agg a ON a.host = h.host
+"""
+
+
+@register("betweenness_centrality_hosts", oracle=_betweenness_oracle())
+def betweenness_centrality_hosts(sf_dir: str):
+    """Directed betweenness (micro-quantized) + stress centrality per
+    host under the 8-hop BFS horizon.  Edge extraction + distinct-edge
+    dedup run distributed; the Brandes-style all-pairs pass runs on the
+    driver over the HOST-bounded adjacency (same documented
+    O(H^2)-state bound as closeness; at web scale you sample pivot
+    roots).  Python big-ints throughout — sigma products can exceed
+    int64 after the 1e6 scaling, and numpy would wrap silently."""
+    from collections import deque
+
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.stages.links import page_outlink_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = page_outlink_pairs(_link_pages(docs))
+    e = distinct_rows(edges, ["src", "dst"]).take_all()  # host^2-bounded
+    adj: dict[str, list[str]] = {}
+    hosts: set[str] = set()
+    for r in e:
+        hosts.add(r["src"])
+        hosts.add(r["dst"])
+        adj.setdefault(r["src"], []).append(r["dst"])
+
+    dist: dict[str, dict[str, int]] = {}
+    sig: dict[str, dict[str, int]] = {}
+    for root in hosts:
+        d = {root: 0}
+        s = {root: 1}
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            du = d[u]
+            if du == 8:
+                continue
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = du + 1
+                    dq.append(v)
+                if d[v] == du + 1:
+                    s[v] = s.get(v, 0) + s[u]
+        dist[root] = d
+        sig[root] = s
+
+    stress = {h: 0 for h in hosts}
+    btw = {h: 0 for h in hosts}
+    for s_ in hosts:
+        ds, ss = dist[s_], sig[s_]
+        for t, D in ds.items():
+            if t == s_:
+                continue
+            s_st = ss[t]
+            for v, dsv in ds.items():
+                if v == s_ or v == t:
+                    continue
+                dvt = dist[v].get(t)
+                if dvt is None or dsv + dvt != D:
+                    continue
+                np_ = ss[v] * sig[v][t]
+                stress[v] += np_
+                btw[v] += (1000000 * np_) // s_st
+
+    ordered = sorted(hosts)
+    return pa.table(
+        {"host": pa.array(ordered, pa.string()),
+         "stress": pa.array([stress[h] for h in ordered], pa.int64()),
+         "btw_micro": pa.array([btw[h] for h in ordered], pa.int64())}
+    )

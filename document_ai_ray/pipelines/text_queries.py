@@ -4523,3 +4523,175 @@ def posting_list_stats(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking census: simplified Soundex over the corpus
+# vocabulary — the record-linkage blocking key next to the
+# sorted-neighborhood and edit-distance blockers.  The oracle replays
+# the ALGORITHM in SQL (translate -> per-digit run collapse -> zero
+# strip -> pad); DuckDB's RE2 regexes have no backreferences, so the
+# run collapse is seven chained single-digit replaces.
+# ---------------------------------------------------------------------------
+
+
+def _soundex_sql(expr: str) -> str:
+    """SQL expression computing simplified Soundex of upper-alpha
+    ``expr`` (must already be upper(regexp_replace(.., '[^A-Za-z]')))."""
+    coll = (
+        f"translate({expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " '01230120022455012623010202')"
+    )
+    for d in "0123456":
+        coll = f"regexp_replace({coll}, '{d}{d}+', '{d}', 'g')"
+    return f"substr({expr}, 1, 1) || substr(replace(substr({coll}, 2), '0', '') || '000', 1, 3)"
+
+
+_SOUNDEX_ORACLE = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS raw FROM documents),
+a AS (SELECT upper(regexp_replace(raw, '[^A-Za-z]', '', 'g')) AS u FROM w),
+c AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM a WHERE u != '' GROUP BY 1),
+s AS (SELECT u, n, {_soundex_sql('u')} AS code FROM c)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences, MIN(u) AS sample_word
+FROM s GROUP BY 1
+"""
+
+
+@register("soundex_word_census", oracle=_SOUNDEX_ORACLE)
+def soundex_word_census(sf_dir: str):
+    """Group the corpus vocabulary by simplified-Soundex code: distinct
+    words, total occurrences, and the lexicographically first word per
+    code.  Distributed shape: per-batch word-count combiner ->
+    vocab-keyed exact merge -> code-keyed combiner merge (code table is
+    letter x 3-digit bounded, far smaller than the vocabulary)."""
+    from document_ai_ray.functions.strings import soundex
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        # fold case/punct variants of a word together BEFORE the merge
+        out: dict[str, int] = {}
+        for w, n in zip(g.column("word").to_pylist(), g.column("n").to_pylist()):
+            u = _ALPHA_ONLY.sub("", w).upper()
+            if u:
+                out[u] = out.get(u, 0) + n
+        return pa.table(
+            {"u": pa.array(list(out), pa.string()),
+             "n": pa.array(list(out.values()), pa.int64())}
+        )
+
+    words = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"), ["u"], {"n": "sum"}
+    )
+
+    def code_partial(t: pa.Table) -> pa.Table:
+        us = t.column("u").to_pylist()
+        codes = [soundex(u) for u in us]
+        return pa.table(
+            {"code": pa.array(codes, pa.string()),
+             "n_distinct_words": pa.array([1] * len(us), pa.int64()),
+             "n_occurrences": t.column("n"),
+             "sample_word": t.column("u")}
+        )
+
+    return merge_partials(
+        words.map_batches(code_partial, batch_format="pyarrow"),
+        ["code"],
+        {"n_distinct_words": "sum", "n_occurrences": "sum", "sample_word": "min"},
+    )
+
+
+import re as _re_sx  # noqa: E402
+
+_ALPHA_ONLY = _re_sx.compile(r"[^A-Za-z]")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch, replayed bit-for-bit in SQL: the engine builds a
+# d=4 x w=1024 CMS from mergeable per-batch partials (the 100 TB
+# heavy-hitter shape where even the vocabulary is too wide to shuffle),
+# then reports the sketch estimate next to the exact count for the
+# exact top-20 words.  Hash = md5(word || '|cms' || j) first 8 hex
+# chars mod w — identical in Python and DuckDB, so the oracle
+# recomputes every bucket sum and the MIN-over-rows estimate exactly.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_D = 4
+_CMS_TOP = 20
+
+_CMS_ORACLE = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w WHERE word != '' GROUP BY 1),
+top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT {_CMS_TOP}),
+b AS (SELECT c.word, c.n, j.j,
+             CAST(('0x' || substr(md5(c.word || '|cms' || j.j), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS bkt
+      FROM c, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) j),
+cms AS (SELECT j, bkt, CAST(SUM(n) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+est AS (SELECT t.word, t.n, MIN(cms.cnt) AS e
+        FROM top t JOIN b ON b.word = t.word
+        JOIN cms ON cms.j = b.j AND cms.bkt = b.bkt
+        GROUP BY 1, 2)
+SELECT word, n AS n_true, CAST(e AS BIGINT) AS cms_est FROM est
+"""
+
+
+@register("cms_word_counts", oracle=_CMS_ORACLE)
+def cms_word_counts(sf_dir: str):
+    """Count-min sketch word counts vs exact truth for the top-20
+    words.  The sketch is built the mergeable way — each batch emits
+    (row j, bucket, count) partials from its local word counts and
+    merge_partials sums them into the final d x w table (4096 cells,
+    corpus-size-independent); the exact top-20 rides the existing
+    bucketed heavy-hitter path.  cms_est >= n_true always (one-sided
+    error); equality whenever no collision lands in all 4 rows."""
+    import hashlib
+
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bucket_of(word: str, j: int) -> int:
+        return int(hashlib.md5(f"{word}|cms{j}".encode()).hexdigest()[:8], 16) % _CMS_W
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        cells: dict[tuple[int, int], int] = {}
+        for w, n in zip(g.column("word").to_pylist(), g.column("n").to_pylist()):
+            for j in range(_CMS_D):
+                k = (j, bucket_of(w, j))
+                cells[k] = cells.get(k, 0) + n
+        return pa.table(
+            {"j": pa.array([k[0] for k in cells], pa.int64()),
+             "bkt": pa.array([k[1] for k in cells], pa.int64()),
+             "cnt": pa.array(list(cells.values()), pa.int64())}
+        )
+
+    sketch = merge_partials(
+        docs.map_batches(cms_partial, batch_format="pyarrow"),
+        ["j", "bkt"],
+        {"cnt": "sum"},
+    ).take_all()  # d x w = 4096 cells, corpus-size-independent
+    cms = {(r["j"], r["bkt"]): r["cnt"] for r in sketch}
+
+    top = vocab_top_words(sf_dir).take_all()[:_CMS_TOP]
+
+    def finish(words: list[dict]) -> pa.Table:
+        ws = [r["word"] for r in words]
+        ns = [r["n"] for r in words]
+        est = [
+            min(cms.get((j, bucket_of(w, j)), 0) for j in range(_CMS_D)) for w in ws
+        ]
+        return pa.table(
+            {"word": pa.array(ws, pa.string()),
+             "n_true": pa.array(ns, pa.int64()),
+             "cms_est": pa.array(est, pa.int64())}
+        )
+
+    return finish(top)

@@ -330,3 +330,133 @@ def head_rel_links(payload: bytes | str, rels: tuple[str, ...] = ("next", "prev"
         elif name == "body" or (closing and name == "head"):
             break
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML <table> extraction: flatten every table on a page into
+# (table_idx, row_idx, col_idx, is_header, cell-text) tuples — the
+# data-table mining side of structured extraction (WDC-web-tables
+# style), next to JSON-LD and microdata.  Reference analogue: the
+# block-rectangle -> words flattening of the layout parse
+# (/root/reference/ai_documents/analysis/document_analysis.py) — turn a
+# 2-D document region into addressable cells.
+# ---------------------------------------------------------------------------
+
+
+class _TableCollector(HTMLParser):
+    """Event-driven table flattener over the tolerant stdlib parser.
+
+    Semantics (kept deliberately explicit so the SQL oracles can replay
+    page constructions): top-level tables only (a nested <table> is
+    folded into its enclosing cell's text); cell text is the
+    concatenated character data of the cell subtree, stripped;
+    `is_header` is True iff the cell element is <th>.  Missing </td> /
+    </tr> close implicitly on the next cell/row like browsers do."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: list[tuple[int, int, int, bool, str]] = []
+        self._table = -1       # current top-level table index
+        self._in_table = 0     # <table> nesting depth
+        self._row = -1
+        self._col = -1
+        self._in_cell = False
+        self._is_th = False
+        self._buf: list[str] = []
+
+    def _flush_cell(self) -> None:
+        if self._in_cell:
+            self.cells.append(
+                (
+                    self._table,
+                    self._row,
+                    self._col,
+                    self._is_th,
+                    "".join(self._buf).strip(),
+                )
+            )
+            self._in_cell = False
+            self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            if self._in_table == 0:
+                self._table += 1
+                self._row = -1
+                self._col = -1
+            self._in_table += 1
+        elif self._in_table == 1:
+            if tag == "tr":
+                self._flush_cell()
+                self._row += 1
+                self._col = -1
+            elif tag in ("td", "th"):
+                self._flush_cell()
+                self._col += 1
+                self._in_cell = True
+                self._is_th = tag == "th"
+                self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "table":
+            if self._in_table == 1:
+                self._flush_cell()
+            self._in_table = max(0, self._in_table - 1)
+        elif self._in_table == 1 and tag in ("td", "th", "tr"):
+            self._flush_cell()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_cell and self._in_table >= 1:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush_cell()
+
+
+def parse_tables(payload: bytes | str) -> list[tuple[int, int, int, bool, str]]:
+    """All (table_idx, row_idx, col_idx, is_header, text) cells of the
+    page's top-level tables, in document order."""
+    text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    p = _TableCollector()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass  # tolerate malformed markup; keep whatever was collected
+    return p.cells
+
+
+def extract_tables(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """pages -> one row per table cell (url, table_idx, row_idx,
+    col_idx, is_header, cell).  Stateless vectorized-per-batch map."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ti: list[int] = []
+        ri: list[int] = []
+        ci: list[int] = []
+        hd: list[bool] = []
+        tx: list[str] = []
+        for u, payload in zip(
+            t.column(url_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            for tab, row, col, is_h, cell in parse_tables(payload):
+                urls.append(u)
+                ti.append(tab)
+                ri.append(row)
+                ci.append(col)
+                hd.append(is_h)
+                tx.append(cell)
+        return pa.table(
+            {
+                url_col: pa.array(urls, pa.string()),
+                "table_idx": pa.array(ti, pa.int64()),
+                "row_idx": pa.array(ri, pa.int64()),
+                "col_idx": pa.array(ci, pa.int64()),
+                "is_header": pa.array(hd, pa.bool_()),
+                "cell": pa.array(tx, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow")

@@ -1,0 +1,58 @@
+"""Unit tests for the HTML table flattener and the Soundex function
+added in round 5 (the query-level value-hash checks live in the driver
+sim; these pin the parser/function semantics directly)."""
+
+from document_ai_ray.functions.strings import soundex
+from document_ai_ray.stages.html_meta import parse_tables
+
+
+def test_parse_tables_basic_and_hostile():
+    html = (
+        "<html><body><nav>chrome</nav>"
+        "<table class=x><tr><th>h0</th><th>h1</th></tr>\n"
+        "<tr><td a=1> alpha\n</td><td><b>beta</b> gamma</td>"  # no </tr>
+        "<tr><td>d&amp;e</td><td><table><tr><td>nested</td></tr></table>tail</td></tr>"
+        "</table><p>between</p><table><tr><td> solo </td></tr></table></body></html>"
+    )
+    cells = parse_tables(html)
+    assert cells == [
+        (0, 0, 0, True, "h0"),
+        (0, 0, 1, True, "h1"),
+        (0, 1, 0, False, "alpha"),
+        (0, 1, 1, False, "beta gamma"),
+        (0, 2, 0, False, "d&e"),
+        (0, 2, 1, False, "nestedtail"),  # nested table folded into its cell
+        (1, 0, 0, False, "solo"),
+    ]
+
+
+def test_parse_tables_unclosed_at_eof_and_bytes():
+    assert parse_tables(b"<table><tr><td>x") == [(0, 0, 0, False, "x")]
+    assert parse_tables("no tables here") == []
+
+
+def test_soundex_known_codes():
+    # simplified variant: NO H/W-skip rule (documented in the docstring)
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A226"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"
+    assert soundex("Honeyman") == "H555"
+    assert soundex("don't") == "D530"
+    assert soundex("3.14") is None
+    assert soundex("") is None
+
+
+def test_soundex_matches_sql_mirror():
+    import duckdb
+
+    from document_ai_ray.pipelines.text_queries import _soundex_sql
+
+    words = ["jackson", "lukasiewicz", "gutierrez", "vandeusen", "a", "bb", "czzz"]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_soundex_sql('u')} FROM (SELECT upper(unnest(?::VARCHAR[])) AS u)",
+        [words],
+    ).fetchall()
+    assert [r[0] for r in got] == [soundex(w) for w in words]
