@@ -732,3 +732,440 @@ def extract_html_tables(sf_dir: str):
         to_pages, batch_format="pyarrow"
     )
     return extract_tables(pages)
+
+
+# ---------------------------------------------------------------------------
+# Heading-outline extraction: hierarchical section numbers (1 / 1.2 /
+# 1.2.1) computed by the real parser's counter stack; the oracle
+# replays the page law and re-derives the numbering with window
+# functions.  A commented-out <h2> decoy pins that the parser is a real
+# tokenizer, not a regex grep.
+# ---------------------------------------------------------------------------
+
+_W6_CTE = """
+wl AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w != '') AS ws
+       FROM documents),
+w6 AS (SELECT doc_id,
+              list_transform(generate_series(0, 5), i ->
+                  CASE WHEN len(ws) > i
+                            AND regexp_replace(lower(ws[i + 1]), '[^a-z0-9]', '', 'g') != ''
+                       THEN regexp_replace(lower(ws[i + 1]), '[^a-z0-9]', '', 'g')
+                       ELSE 'x' END) AS w
+       FROM wl)
+"""
+
+_OUTLINE_ORACLE = f"""
+WITH {_W6_CTE},
+seq AS (
+  SELECT doc_id, 0 AS pos, 1 AS level, w[1] AS txt FROM w6
+  UNION ALL
+  SELECT doc_id, i, CASE WHEN i = 1 THEN 2 ELSE 2 + (doc_id + i) % 2 END, w[i + 1]
+  FROM w6, (SELECT unnest(generate_series(1, 4)) AS i)
+  UNION ALL
+  SELECT doc_id, 5, 1, w[6] FROM w6 WHERE doc_id % 3 = 0
+),
+n1 AS (SELECT *, SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS s1 FROM seq),
+n2 AS (SELECT *, SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id, s1 ORDER BY pos) AS s2 FROM n1),
+n3 AS (SELECT *, SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id, s1, s2 ORDER BY pos) AS s3 FROM n2)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       pos, level,
+       CASE level WHEN 1 THEN CAST(s1 AS VARCHAR)
+                  WHEN 2 THEN s1 || '.' || s2
+                  ELSE s1 || '.' || s2 || '.' || s3 END AS path,
+       txt AS text
+FROM n3
+"""
+
+
+@register("extract_heading_outline", oracle=_OUTLINE_ORACLE)
+def extract_heading_outline(sf_dir: str):
+    """Document-outline extraction through the real heading parser:
+    pages carry h1 + four h2/h3 headings by law (level(i) = 2 unless
+    i>1 and (doc_id+i) odd -> 3) plus a second h1 for doc_id%3==0; the
+    parser's counter stack must reproduce the window-function numbering
+    exactly, through inline <b>, newlines, and a commented-out heading
+    decoy."""
+    import re as _re
+
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_outline_rows
+
+    clean = _re.compile(r"[^a-z0-9]")
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ws = [w for w in (txt or "").split(" ") if w != ""][:6]
+            w6 = [(clean.sub("", w.lower()) or "x") for w in ws]
+            w6 += ["x"] * (6 - len(w6))
+            parts = [
+                "<html><head><title>o</title></head><body>",
+                "<!-- <h2>decoy heading</h2> -->",
+                f"<h1 class=t>\n {w6[0]}</h1><p>lead</p>",
+            ]
+            for i in range(1, 5):
+                lvl = 2 if i == 1 else 2 + (did + i) % 2
+                body = f"<b>{w6[i]}</b>" if i % 2 else f" {w6[i]}\n"
+                parts.append(f"<h{lvl}>{body}</h{lvl}><p>para {i}</p>")
+            if did % 3 == 0:
+                parts.append(f"<h1>{w6[5]}</h1>")
+            parts.append("</body></html>")
+            urls.append(f"doc://{did}")
+            htmls.append("".join(parts).encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return extract_outline_rows(pages)
+
+
+# ---------------------------------------------------------------------------
+# Nested-list extraction: implicit </li> closes, a nested list inside
+# item 2, mixed ul/ol.  One row per <li> with its dot-path ordinal.
+# ---------------------------------------------------------------------------
+
+_LISTS_ORACLE = f"""
+WITH {_W6_CTE},
+rows_ AS (
+  SELECT doc_id, 0 AS list_idx, 0 AS depth, '1' AS item_path,
+         doc_id % 2 = 1 AS ordered, w[1] AS item_text FROM w6
+  UNION ALL
+  SELECT doc_id, 0, 0, '2', doc_id % 2 = 1, w[2] FROM w6
+  UNION ALL
+  SELECT doc_id, 0, 1, '2.1', doc_id % 3 = 0, w[4] FROM w6
+  UNION ALL
+  SELECT doc_id, 0, 1, '2.2', doc_id % 3 = 0, w[5] FROM w6
+  UNION ALL
+  SELECT doc_id, 0, 0, '3', doc_id % 2 = 1, w[3] FROM w6
+  UNION ALL
+  SELECT doc_id, 1, 0, '1', FALSE, w[6] FROM w6 WHERE doc_id % 4 = 0
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       list_idx, depth, item_path, ordered, item_text
+FROM rows_
+"""
+
+
+@register("extract_list_items", oracle=_LISTS_ORACLE)
+def extract_list_items(sf_dir: str):
+    """Nested-list flattening through the real list parser: a 3-item
+    top list (ol when doc_id is odd) whose second item holds a 2-item
+    nested list (ol when doc_id%3==0), every <li> implicitly closed,
+    plus a second single-item <ul> for doc_id%4==0."""
+    import re as _re
+
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import extract_list_rows
+
+    clean = _re.compile(r"[^a-z0-9]")
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ws = [w for w in (txt or "").split(" ") if w != ""][:6]
+            w6 = [(clean.sub("", w.lower()) or "x") for w in ws]
+            w6 += ["x"] * (6 - len(w6))
+            top, nest = ("ol", "ul") if did % 2 else ("ul", "ol")
+            nest = "ol" if did % 3 == 0 else "ul"
+            parts = [
+                "<html><body><nav><a href='/'>home</a></nav>",
+                f"<{top} class=main>",
+                f"<li> {w6[0]}\n",                      # no </li>
+                f"<li><b>{w6[1]}</b>",
+                f"<{nest}><li>{w6[3]}<li> {w6[4]} </{nest}>",
+                f"</li><li>{w6[2]}",
+                f"</{top}>",
+            ]
+            if did % 4 == 0:
+                parts.append(f"<ul><li>{w6[5]}</ul>")
+            parts.append("</body></html>")
+            urls.append(f"doc://{did}")
+            htmls.append("".join(parts).encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return extract_list_rows(pages)
+
+
+# ---------------------------------------------------------------------------
+# Paginated-article stitching: the multi-page-article assembly step of
+# a web-extraction pipeline.  Each long document is split across three
+# REAL pages chained by <link rel="next"> whose urls are opaque
+# (md5-derived) — the engine cannot group fragments by any key law; it
+# must (1) extract each page's main text through the REAL extractor,
+# (2) parse the rel=next link out of the head, (3) resolve every page
+# to its chain head by POINTER JUMPING (log-L bucketed rounds), and
+# (4) reassemble fragments in hop order.  The oracle is byte-identity:
+# the stitched text must equal the original document text.
+# ---------------------------------------------------------------------------
+
+_STITCH_MIN_TOKENS = 30
+
+_STITCH_ORACLE = f"""
+SELECT 'pg://' || md5(CAST(doc_id AS VARCHAR) || '-0') AS url,
+       text AS stitched_text,
+       CAST(3 AS BIGINT) AS n_pages
+FROM documents
+WHERE len(string_split(text, ' ')) >= {_STITCH_MIN_TOKENS}
+"""
+
+
+@register("stitch_paginated_articles", oracle=_STITCH_ORACLE)
+def stitch_paginated_articles(sf_dir: str):
+    """Stitch 3-page articles back together byte-for-byte.  Fragments
+    partition the raw space-split token list (single-space rejoin is
+    the identity, empties included), so stitched == original is exact.
+    Scale shape: pages materialize ONCE (two consumers: the reverse-
+    link map and the fragment table); pointer jumping runs ceil(log2 L)
+    bucketed hash exchanges; the fragment->head join and the per-head
+    assembly are one bucketed exchange each — nothing corpus-sized ever
+    lands on the driver."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from document_ai_ray.functions.hashing import stable64
+    from document_ai_ray.functions.scale import auto_buckets
+    from document_ai_ray.pipelines.extract import extract_batch
+    from document_ai_ray.pipelines.ops import bucket_map_groups
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import head_rel_links
+
+    def page_url(did: int, k: int) -> str:
+        return "pg://" + hashlib.md5(f"{did}-{k}".encode()).hexdigest()
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        langs: list[str] = []
+        ts: list[int] = []
+        for did, txt, lang in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        ):
+            toks = (txt or "").split(" ")
+            n = len(toks)
+            if n < _STITCH_MIN_TOKENS:
+                continue
+            import html as html_mod
+
+            for k in range(3):
+                frag = " ".join(toks[k * n // 3 : (k + 1) * n // 3])
+                nxt = (
+                    f'<link rel="next" href="{page_url(did, k + 1)}">'
+                    if k < 2
+                    else ""
+                )
+                page = (
+                    f'<html lang="{lang}"><head><title>a{did} p{k}</title>{nxt}</head>'
+                    '<body><nav><ul><li><a href="/">home</a></li>'
+                    '<li><a href="/tag">tags</a></li></ul></nav>'
+                    f"<main><p>{html_mod.escape(frag)}</p></main>"
+                    '<footer><a href="/about">about</a></footer></body></html>'
+                )
+                urls.append(page_url(did, k))
+                htmls.append(page.encode("utf-8"))
+                langs.append(lang)
+                ts.append(did)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    def extract_and_next(t: pa.Table) -> pa.Table:
+        nxt = [
+            head_rel_links(h).get("next", "")
+            for h in t.column("html").to_pylist()
+        ]
+        out = extract_batch(t, cfg=None)  # real extractor, row order kept
+        return pa.table(
+            {
+                "url": out.column("url"),
+                "frag": out.column("extracted_text"),
+                "next_url": pa.array(nxt, pa.string()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    rows = (
+        docs.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(extract_and_next, batch_format="pyarrow")
+        .materialize()  # two consumers below share this lineage once
+    )
+    P = auto_buckets(rows.count())
+
+    # reverse-link map: u = a page that is POINTED TO, v = its
+    # predecessor.  Chain heads never appear as u; pointer jumping's
+    # "target not found" freeze then resolves every page to its head.
+    def rev_edges(t: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(t.column("next_url"), "")
+        f = t.filter(mask)
+        n = f.num_rows
+        return pa.table(
+            {
+                "u": f.column("next_url"),
+                "v": f.column("url"),
+                "hops": pa.array(np.ones(n, np.int64)),
+                "done": pa.array(np.zeros(n, bool)),
+            }
+        )
+
+    m = rows.map_batches(rev_edges, batch_format="pyarrow").materialize()
+
+    for _ in range(40):
+        if m.filter(expr="done == False").count() == 0:
+            break
+
+        def bucket_both(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_pylist()
+            v = t.column("v").to_pylist()
+            bk_p = [stable64(x) % P for x in v]  # probe hashes its TARGET
+            bk_b = [stable64(x) % P for x in u]  # build hashes its key
+            n = len(u)
+            return pa.table(
+                {
+                    "u": pa.array(u + u, pa.string()),
+                    "v": pa.array(v + v, pa.string()),
+                    "hops": pa.array(
+                        np.concatenate(
+                            [t.column("hops").to_numpy(zero_copy_only=False)] * 2
+                        )
+                    ),
+                    "done": pa.array(
+                        np.concatenate(
+                            [t.column("done").to_numpy(zero_copy_only=False)] * 2
+                        )
+                    ),
+                    "is_build": pa.array([False] * n + [True] * n),
+                    "bk": pa.array(bk_p + bk_b, pa.int64()),
+                }
+            )
+
+        def compose(df: pd.DataFrame) -> pd.DataFrame:
+            left = df[~df["is_build"]][["u", "v", "hops", "done"]]
+            right = df[df["is_build"]][["u", "v", "hops"]].rename(
+                columns={"u": "u2", "v": "v2", "hops": "hops2"}
+            )
+            j = left.merge(right, left_on="v", right_on="u2", how="left")
+            hit = j["u2"].notna() & ~j["done"]
+            j.loc[hit, "v"] = j.loc[hit, "v2"]
+            j.loc[hit, "hops"] = j.loc[hit, "hops"] + j.loc[hit, "hops2"]
+            j.loc[~hit, "done"] = True
+            return pd.DataFrame(
+                {
+                    "u": j["u"].astype("object"),
+                    "v": j["v"].astype("object"),
+                    "hops": j["hops"].astype("int64"),
+                    "done": j["done"].astype(bool),
+                }
+            )
+
+        m = bucket_map_groups(
+            m.map_batches(bucket_both, batch_format="pyarrow"),
+            "bk",
+            compose,
+            P,
+            batch_format="pandas",
+        ).materialize()
+
+    # fragment -> (head, pos) join: probe = fragments on hash(url),
+    # build = resolution rows on hash(u).  A fragment with NO
+    # resolution row IS its chain's head (pos 0) — the left join
+    # doubles as the head detector, no separate anti-join.
+    def tag_frags(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "frag": t.column("frag"),
+                "head": pa.array([""] * len(urls), pa.string()),
+                "pos": pa.array(np.zeros(len(urls), np.int64)),
+                "is_build": pa.array([False] * len(urls)),
+                "bk": pa.array([stable64(x) % P for x in urls], pa.int64()),
+            }
+        )
+
+    def tag_res(t: pa.Table) -> pa.Table:
+        us = t.column("u").to_pylist()
+        return pa.table(
+            {
+                "url": t.column("u"),
+                "frag": pa.array([""] * len(us), pa.string()),
+                "head": t.column("v"),
+                "pos": t.column("hops"),
+                "is_build": pa.array([True] * len(us)),
+                "bk": pa.array([stable64(x) % P for x in us], pa.int64()),
+            }
+        )
+
+    tagged = rows.map_batches(tag_frags, batch_format="pyarrow").union(
+        m.map_batches(tag_res, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[~df["is_build"]][["url", "frag"]]
+        right = df[df["is_build"]][["url", "head", "pos"]]
+        j = left.merge(right, on="url", how="left")
+        miss = j["head"].isna() | (j["head"] == "")
+        j.loc[miss, "head"] = j.loc[miss, "url"]
+        j.loc[miss, "pos"] = 0
+        return pd.DataFrame(
+            {
+                "head": j["head"].astype("object"),
+                "pos": j["pos"].astype("int64"),
+                "frag": j["frag"].astype("object"),
+            }
+        )
+
+    placed = bucket_map_groups(tagged, "bk", attach, P, batch_format="pandas")
+
+    def head_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "hbk",
+            pa.array([stable64(x) % P for x in t.column("head").to_pylist()], pa.int64()),
+        )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["head", "pos"])
+            .groupby("head", as_index=False)
+            .agg(stitched_text=("frag", " ".join), n_pages=("frag", "size"))
+        )
+        return pd.DataFrame(
+            {
+                "url": g["head"].astype("object"),
+                "stitched_text": g["stitched_text"].astype("object"),
+                "n_pages": g["n_pages"].astype("int64"),
+            }
+        )
+
+    return bucket_map_groups(
+        placed.map_batches(head_bucket, batch_format="pyarrow"),
+        "hbk",
+        assemble,
+        P,
+        batch_format="pandas",
+    )

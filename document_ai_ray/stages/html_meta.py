@@ -460,3 +460,222 @@ def extract_tables(pages_ds, url_col: str = "url", html_col: str = "html"):
         )
 
     return pages_ds.map_batches(batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Document-structure extraction: heading outlines (h1-h6 with computed
+# hierarchical section numbers) and nested list flattening — the
+# reading-order / layout-tree side of main-content extraction
+# (reference analogue: the layout tree + reading-order reconstruction
+# of the PDF parse, /root/reference/ai_documents/analysis/cv/
+# document_parsing.py).
+# ---------------------------------------------------------------------------
+
+_H_TAGS = {f"h{i}": i for i in range(1, 7)}
+
+
+class _OutlineCollector(HTMLParser):
+    """(pos, level, section-path, text) per heading.  The section path
+    is computed with a counter stack: entering a heading of level L
+    increments counter[L] and clears every deeper counter; the path is
+    the dot-joined counters of levels 1..L that are nonzero (levels
+    skipped in the markup are simply absent from the path)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.headings: list[tuple[int, int, str, str]] = []
+        self._counters = [0] * 7  # index by level 1..6
+        self._level = 0
+        self._buf: list[str] = []
+        self._pos = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        lvl = _H_TAGS.get(tag)
+        if lvl is not None:
+            self._flush()
+            self._level = lvl
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _H_TAGS:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._level:
+            lvl = self._level
+            self._counters[lvl] += 1
+            for d in range(lvl + 1, 7):
+                self._counters[d] = 0
+            path = ".".join(
+                str(self._counters[d]) for d in range(1, lvl + 1) if self._counters[d]
+            )
+            self.headings.append(
+                (self._pos, lvl, path, "".join(self._buf).strip())
+            )
+            self._pos += 1
+            self._level = 0
+            self._buf = []
+
+    def handle_data(self, data: str) -> None:
+        if self._level:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def parse_outline(payload: bytes | str) -> list[tuple[int, int, str, str]]:
+    """All (pos, level, section_path, text) headings of the page in
+    document order."""
+    text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    p = _OutlineCollector()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.headings
+
+
+class _ListCollector(HTMLParser):
+    """Flatten nested <ul>/<ol> lists: one tuple per <li> —
+    (list_idx, depth, item_path, ordered, text).  list_idx numbers
+    top-level lists; item_path is the dot-joined 1-based item ordinals
+    down the nesting ("2.1" = first sub-item of the second item); text
+    is the li's OWN character data (a nested list's items are their own
+    rows, not part of the parent's text).  Missing </li> closes
+    implicitly on the next <li> at the same depth, like browsers."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: list[tuple[int, int, str, bool, str]] = []
+        self._top = -1
+        self._stack: list[tuple[bool, int]] = []  # (ordered, item counter)
+        self._ords: list[int] = []
+        self._buf: list[str] = []
+        self._cap = False
+
+    def _flush_item(self) -> None:
+        if self._cap:
+            self.items.append(
+                (
+                    self._top,
+                    len(self._stack) - 1,
+                    ".".join(str(o) for o in self._ords),
+                    self._stack[-1][0],
+                    "".join(self._buf).strip(),
+                )
+            )
+            self._buf = []
+            self._cap = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("ul", "ol"):
+            self._flush_item()
+            if not self._stack:
+                self._top += 1
+            self._stack.append((tag == "ol", 0))
+            self._ords.append(0)
+        elif tag == "li" and self._stack:
+            self._flush_item()
+            ordered, cnt = self._stack[-1]
+            self._stack[-1] = (ordered, cnt + 1)
+            self._ords[-1] = cnt + 1
+            self._cap = True
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("ul", "ol") and self._stack:
+            self._flush_item()
+            self._stack.pop()
+            self._ords.pop()
+        elif tag == "li":
+            self._flush_item()
+
+    def handle_data(self, data: str) -> None:
+        if self._cap:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush_item()
+
+
+def parse_list_items(payload: bytes | str) -> list[tuple[int, int, str, bool, str]]:
+    """All (list_idx, depth, item_path, ordered, text) list items of
+    the page in document order."""
+    text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    p = _ListCollector()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.items
+
+
+def extract_outline_rows(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """pages -> one row per heading (url, pos, level, path, text)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        pos: list[int] = []
+        lvl: list[int] = []
+        path: list[str] = []
+        txt: list[str] = []
+        for u, payload in zip(
+            t.column(url_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            for p, l, pth, tx in parse_outline(payload):
+                urls.append(u)
+                pos.append(p)
+                lvl.append(l)
+                path.append(pth)
+                txt.append(tx)
+        return pa.table(
+            {
+                url_col: pa.array(urls, pa.string()),
+                "pos": pa.array(pos, pa.int64()),
+                "level": pa.array(lvl, pa.int64()),
+                "path": pa.array(path, pa.string()),
+                "text": pa.array(txt, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow")
+
+
+def extract_list_rows(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """pages -> one row per list item (url, list_idx, depth, item_path,
+    ordered, item_text)."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        li: list[int] = []
+        dp: list[int] = []
+        ip: list[str] = []
+        od: list[bool] = []
+        tx: list[str] = []
+        for u, payload in zip(
+            t.column(url_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            for lidx, depth, ipath, ordered, text in parse_list_items(payload):
+                urls.append(u)
+                li.append(lidx)
+                dp.append(depth)
+                ip.append(ipath)
+                od.append(ordered)
+                tx.append(text)
+        return pa.table(
+            {
+                url_col: pa.array(urls, pa.string()),
+                "list_idx": pa.array(li, pa.int64()),
+                "depth": pa.array(dp, pa.int64()),
+                "item_path": pa.array(ip, pa.string()),
+                "ordered": pa.array(od, pa.bool_()),
+                "item_text": pa.array(tx, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(batch, batch_format="pyarrow")

@@ -56,3 +56,38 @@ def test_soundex_matches_sql_mirror():
         [words],
     ).fetchall()
     assert [r[0] for r in got] == [soundex(w) for w in words]
+
+
+def test_parse_outline_counter_stack():
+    from document_ai_ray.stages.html_meta import parse_outline
+
+    html = (
+        "<body><!-- <h2>decoy</h2> --><h1>A</h1><h2>B <b>x</b></h2><h3>C</h3>"
+        "<h3>D</h3><h2>E</h2><h1>F</h1><h3>G</h3></body>"
+    )
+    assert parse_outline(html) == [
+        (0, 1, "1", "A"),
+        (1, 2, "1.1", "B x"),
+        (2, 3, "1.1.1", "C"),
+        (3, 3, "1.1.2", "D"),
+        (4, 2, "1.2", "E"),
+        (5, 1, "2", "F"),
+        (6, 3, "2.1", "G"),  # skipped h2 level absent from the path
+    ]
+
+
+def test_parse_list_items_nesting_and_implicit_close():
+    from document_ai_ray.stages.html_meta import parse_list_items
+
+    html = (
+        "<ul><li>one<li>two<ol><li>n1</li><li>n2</ol></li><li>three</li></ul>"
+        "<ol><li>solo</li></ol>"
+    )
+    assert parse_list_items(html) == [
+        (0, 0, "1", False, "one"),
+        (0, 0, "2", False, "two"),
+        (0, 1, "2.1", True, "n1"),
+        (0, 1, "2.2", True, "n2"),
+        (0, 0, "3", False, "three"),
+        (1, 0, "1", True, "solo"),
+    ]
