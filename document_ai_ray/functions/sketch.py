@@ -204,3 +204,84 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * float(np.log(m / zeros))
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# md5-based 60-bit HLL (SQL-replayable spec).  DuckDB parses '0x' + hex
+# only up to BIGINT, so the spec uses the md5 digest's first 15 hex
+# chars (60 bits): index = top 12 bits, payload = low 48 bits, rho =
+# 49 - bit_length(payload) (49 when the payload is zero).  The estimate
+# is an exact-INTEGER substrate — S = sum over registers of
+# 2^(49 - rho) (Python int / DuckDB BIGINT, identical on both sides),
+# est_milli = ALPHA_NANO * m^2 * 2^49 * 1000 // (10^9 * S) — so the
+# oracle hash never touches a cross-engine float sum.  Linear-counting
+# branch uses floor(1000 * m * ln(m / zeros)): one glibc log over
+# identical rational inputs (the nb_langid micro-nat precedent).
+# ---------------------------------------------------------------------------
+
+HLL60_P = 12
+HLL60_M = 1 << HLL60_P
+HLL60_MAX_RHO = 49  # 48 payload bits + 1
+HLL60_ALPHA_NANO = 721110039  # floor(1e9 * 0.7213 / (1 + 1.079 / 4096))
+
+
+def hll60_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()[:15], 16)
+
+
+def hll60_registers(values) -> np.ndarray:
+    """Iterable of strings -> uint8 register array (len 4096)."""
+    regs = np.zeros(HLL60_M, np.uint8)
+    mask = (1 << 48) - 1
+    for s in values:
+        h = hll60_hash(s)
+        idx = h >> 48
+        w = h & mask
+        rho = HLL60_MAX_RHO - w.bit_length()  # w==0 -> 49
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def hll60_est_milli(regs: np.ndarray) -> tuple[int, int]:
+    """(estimate in millis, zero-register count) — exact integers."""
+    import math
+
+    m = HLL60_M
+    rhos = regs.astype(np.int64)
+    s = int(
+        sum(1 << (HLL60_MAX_RHO - int(r)) for r in rhos)
+    )  # Python ints: terms up to 2^49, sum up to 2^61
+    zeros = int(np.count_nonzero(regs == 0))
+    est_milli = (HLL60_ALPHA_NANO * m * m * (1 << HLL60_MAX_RHO) * 1000) // (
+        10**9 * s
+    )
+    if est_milli <= 2500 * m and zeros:
+        est_milli = math.floor(1000.0 * m * math.log(m / zeros))
+    return est_milli, zeros
+
+
+def hll60_sql(value_expr: str) -> str:
+    """SQL snippet: SELECT est_milli FROM <derived> — takes a relation
+    alias ``vals(v)`` of DISTINCT varchar values via ``value_expr`` as
+    the FROM-able subquery text.  Returns the full WITH-body suffix the
+    oracles compose; see approx_distinct_words_hll."""
+    return f"""
+hh AS (SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM ({value_expr})),
+rr AS (SELECT h >> 48 AS idx,
+              MAX(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                       ELSE 49 - length(bin(h & 281474976710655)) END) AS rho
+       FROM hh GROUP BY 1),
+ss AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS s_present,
+              COUNT(*) AS n_present FROM rr),
+ag AS (SELECT s_present + (4096 - n_present) * (CAST(1 AS BIGINT) << 49) AS s,
+              4096 - n_present AS zeros FROM ss),
+ml AS (SELECT CAST(CAST({HLL60_ALPHA_NANO} AS HUGEINT) * 4096 * 4096
+              * (CAST(1 AS HUGEINT) << 49) * 1000
+              // (CAST(1000000000 AS HUGEINT) * s) AS BIGINT) AS raw, zeros FROM ag),
+est AS (SELECT CASE WHEN raw <= 2500 * 4096 AND zeros > 0
+                    THEN CAST(FLOOR(1000.0 * 4096 * LN(4096.0 / zeros)) AS BIGINT)
+                    ELSE raw END AS est_milli FROM ml)
+"""

@@ -756,21 +756,57 @@ def event_value_outliers(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-@register("approx_distinct_users_by_type")
+def _users_hll_oracle() -> str:
+    from document_ai_ray.functions.sketch import HLL60_ALPHA_NANO
+
+    return f"""
+WITH pairs AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+hh AS (SELECT event_type, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM pairs),
+rr AS (SELECT event_type, h >> 48 AS idx,
+              MAX(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                       ELSE 49 - length(bin(h & 281474976710655)) END) AS rho
+       FROM hh GROUP BY 1, 2),
+ss AS (SELECT event_type, CAST(SUM(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS sp,
+              COUNT(*) AS np FROM rr GROUP BY 1),
+ag AS (SELECT event_type, sp + (4096 - np) * (CAST(1 AS BIGINT) << 49) AS s,
+              4096 - np AS zeros FROM ss),
+ml AS (SELECT event_type,
+              CAST(CAST({HLL60_ALPHA_NANO} AS HUGEINT) * 4096 * 4096
+                   * (CAST(1 AS HUGEINT) << 49) * 1000
+                   // (CAST(1000000000 AS HUGEINT) * s) AS BIGINT) AS raw,
+              zeros FROM ag),
+es AS (SELECT event_type,
+              CASE WHEN raw <= 2500 * 4096 AND zeros > 0
+                   THEN CAST(FLOOR(1000.0 * 4096 * LN(4096.0 / zeros)) AS BIGINT)
+                   ELSE raw END AS est_milli FROM ml),
+ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT es.event_type,
+       est_milli AS est_distinct_users_milli,
+       ex.n AS exact_distinct_users,
+       CAST(ABS(est_milli - 1000 * ex.n) * 10000 // (1000 * ex.n) AS BIGINT)
+         AS rel_err_bp
+FROM es JOIN ex USING (event_type)
+"""
+
+
+@register("approx_distinct_users_by_type", oracle=_users_hll_oracle())
 def approx_distinct_users_by_type(sf_dir: str):
     """GROUPED approximate count-distinct (distinct users per event
     type) via mergeable per-group HyperLogLog registers — the grouped
     sibling of `approx_distinct_words_hll`, and the shape that replaces
     a COUNT(DISTINCT) shuffle at 100 TB: per-batch (group, registers)
     partials (constant size per group per batch), one tiny max-merge
-    per group, estimates on the driver.  Rows-only BUT self-evidencing:
-    the exact distinct count (cheap at test scale) and the relative
-    error ride along; |err| <= 3/sqrt(2^p) is asserted in
-    tests/test_analytics.py."""
+    per group, estimates on the driver.  ORACLE-CHECKED (round 5): the
+    md5-60-bit register spec + exact-integer estimate substrate
+    (`functions/sketch.py:hll60_*`) replays bit-for-bit per group in
+    DuckDB; the exact count and integer basis-point error ride along."""
     import pickle
 
-    from document_ai_ray.functions.hashing import stable64
-    from document_ai_ray.functions.sketch import hll_estimate, hll_merge, hll_registers
+    from document_ai_ray.functions.sketch import (
+        hll60_est_milli,
+        hll60_registers,
+        hll_merge,
+    )
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
@@ -778,11 +814,10 @@ def approx_distinct_users_by_type(sf_dir: str):
         df = t.to_pandas()
         types, blobs = [], []
         for et, g in df.groupby("event_type"):
-            hashes = np.array(
-                [stable64(str(u)) for u in g["user_id"].unique()], np.uint64
-            )
             types.append(et)
-            blobs.append(pickle.dumps(hll_registers(hashes)))
+            blobs.append(
+                pickle.dumps(hll60_registers(str(u) for u in g["user_id"].unique()))
+            )
         return pa.table(
             {"event_type": pa.array(types, pa.string()), "regs": pa.array(blobs, pa.binary())}
         )
@@ -808,15 +843,15 @@ def approx_distinct_users_by_type(sf_dir: str):
             exact.setdefault(et, set()).add(u)
 
     types = sorted(merged)
-    est = [hll_estimate(hll_merge(merged[t])) for t in types]
+    est = [hll60_est_milli(hll_merge(merged[t]))[0] for t in types]
     ex = [len(exact[t]) for t in types]
-    rel = [round(abs(e - x) / max(x, 1), 4) for e, x in zip(est, ex)]
+    bp = [abs(e - 1000 * x) * 10000 // (1000 * x) if x else 0 for e, x in zip(est, ex)]
     return pa.table(
         {
             "event_type": pa.array(types, pa.string()),
-            "est_distinct_users": pa.array([round(e, 1) for e in est], pa.float64()),
+            "est_distinct_users_milli": pa.array(est, pa.int64()),
             "exact_distinct_users": pa.array(ex, pa.int64()),
-            "rel_err": pa.array(rel, pa.float64()),
+            "rel_err_bp": pa.array(bp, pa.int64()),
         }
     )
 

@@ -1265,39 +1265,81 @@ def dsir_logweights_query(sf_dir: str):
     return dsir_logweights(docs)
 
 
-@register("approx_distinct_words_hll")
+def _words_hll_oracle() -> str:
+    from document_ai_ray.functions.sketch import hll60_sql
+
+    return (
+        "WITH vals AS (SELECT DISTINCT word AS v FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word != ''),"
+        + hll60_sql("SELECT v FROM vals")
+        + """,
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals)
+SELECT est_milli AS n_distinct_est_milli,
+       ex.n AS n_distinct_exact,
+       CAST(ABS(est_milli - 1000 * ex.n) * 10000 // (1000 * ex.n) AS BIGINT)
+         AS rel_err_bp,
+       ABS(est_milli - 1000 * ex.n) * 10000 // (1000 * ex.n) <= 500
+         AS within_bound
+FROM est, ex
+"""
+    )
+
+
+@register("approx_distinct_words_hll", oracle=_words_hll_oracle())
 def approx_distinct_words_hll(sf_dir: str):
     """Corpus distinct-word cardinality by HyperLogLog (p=12, 4 KiB
     fixed-size registers, elementwise-max merge) next to the EXACT
-    distributed distinct — the output row carries both plus the
-    relative error, so the rows-only check is self-evidencing (the
-    knn_ivf recall-column pattern).  Tests pin the ~1.6% error bound
-    and merge associativity."""
-    import pandas as pd
+    distributed distinct.  ORACLE-CHECKED (round 5): the md5-60-bit
+    register spec + exact-integer estimate substrate
+    (`functions/sketch.py:hll60_*`) replays bit-for-bit in DuckDB —
+    registers, harmonic sum, linear-counting branch and all — so the
+    sketch itself is value-hash-verified, not just bound-asserted."""
+    import numpy as np
 
-    from document_ai_ray.pipelines.ops import distinct_rows
-    from document_ai_ray.stages.text_analysis import (
-        hll_distinct_words,
-        word_value_counts,
+    from document_ai_ray.functions.sketch import (
+        hll60_est_milli,
+        hll60_registers,
+        hll_merge,
     )
+    from document_ai_ray.pipelines.ops import distinct_rows
+    from document_ai_ray.stages.text_analysis import word_value_counts
 
     docs = read_table(sf_dir, "documents", columns=["text"])
-    est = hll_distinct_words(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = word_value_counts(t.column("text"))
+        regs = hll60_registers(vc.column("word").to_pylist())
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        regs = [np.frombuffer(b, dtype=np.uint8) for b in t.column("regs").to_pylist()]
+        return pa.table({"regs": pa.array([hll_merge(regs).tobytes()], pa.binary())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    # num_cpus=0.5: fusion break (see ops.merge_partials)
+    merged = parts.map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.5
+    )
+    merged = merged.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=1 << 30
+    )
+    final = [np.frombuffer(b["regs"], dtype=np.uint8) for b in merged.take_all()]
+    est_milli, _ = hll60_est_milli(hll_merge(final))
+
     words = docs.map_batches(
         lambda t: word_value_counts(t.column("text")).select(["word"]),
         batch_format="pyarrow",
     )
     exact = distinct_rows(words, ["word"]).count()
-    rel = abs(est - exact) / exact if exact else 0.0
-    return pd.DataFrame(
-        [
-            {
-                "n_distinct_hll": round(float(est), 1),
-                "n_distinct_exact": int(exact),
-                "rel_error": round(float(rel), 4),
-                "within_bound": bool(rel <= 0.05),
-            }
-        ]
+    rel_bp = abs(est_milli - 1000 * exact) * 10000 // (1000 * exact) if exact else 0
+    return pa.table(
+        {
+            "n_distinct_est_milli": pa.array([est_milli], pa.int64()),
+            "n_distinct_exact": pa.array([exact], pa.int64()),
+            "rel_err_bp": pa.array([rel_bp], pa.int64()),
+            "within_bound": pa.array([rel_bp <= 500], pa.bool_()),
+        }
     )
 
 

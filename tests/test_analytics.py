@@ -189,13 +189,13 @@ def test_percent_rank_orders_bounds(sf_tiny):
 
 
 def test_approx_distinct_users_by_type_error_bound(sf_tiny):
-    from document_ai_ray.functions.sketch import HLL_P
+    from document_ai_ray.functions.sketch import HLL60_P
     from document_ai_ray.pipelines.analytics import approx_distinct_users_by_type
 
     t = approx_distinct_users_by_type(sf_tiny).to_pandas()
     assert len(t) >= 3
-    bound = 3.0 / (2**HLL_P) ** 0.5
-    assert (t["rel_err"] <= bound).all()
+    bound_bp = int(3.0 / (2**HLL60_P) ** 0.5 * 10000)  # 468 bp
+    assert (t["rel_err_bp"] <= bound_bp).all()
 
 
 def test_twa_single_user_closed_form(sf_tiny):

@@ -91,3 +91,35 @@ def test_parse_list_items_nesting_and_implicit_close():
         (0, 0, "3", False, "three"),
         (1, 0, "1", True, "solo"),
     ]
+
+
+def test_hll60_python_matches_sql_spec():
+    """Differential: the md5-60-bit HLL estimate substrate is
+    bit-identical between the Python helpers and the SQL replay, across
+    the linear-counting and raw branches."""
+    import duckdb
+
+    from document_ai_ray.functions.sketch import (
+        hll60_est_milli,
+        hll60_registers,
+        hll60_sql,
+        hll_merge,
+    )
+
+    con = duckdb.connect()
+    for n in (3, 40, 900, 30000):
+        vals = [f"u{i}q{i * 7}" for i in range(n)]
+        est, _ = hll60_est_milli(hll60_registers(vals))
+        con.execute(
+            "CREATE OR REPLACE TABLE t AS SELECT unnest(?::VARCHAR[]) AS v", [vals]
+        )
+        q = (
+            "WITH vals AS (SELECT DISTINCT v FROM t),"
+            + hll60_sql("SELECT v FROM vals")
+            + "SELECT est_milli FROM est"
+        )
+        assert con.execute(q).fetchone()[0] == est
+        # merge associativity of the 60-bit registers
+        whole = hll60_registers(vals)
+        parts = [hll60_registers(vals[i::5]) for i in range(5)]
+        assert (hll_merge(parts) == whole).all()
