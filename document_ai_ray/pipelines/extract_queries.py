@@ -1169,3 +1169,179 @@ def stitch_paginated_articles(sf_dir: str):
         P,
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured-metadata FUSION: one page carries up to three competing
+# machine-readable sources (JSON-LD, microdata, head meta/title) plus
+# the usual decoys; the operator resolves each logical field by source
+# precedence (jsonld > microdata > head) and reports which source won.
+# This is the metadata-consolidation step every crawl indexer runs; the
+# oracle replays the page law + the precedence rule in SQL.
+# ---------------------------------------------------------------------------
+
+_FUSION_ORACLE = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'J' || doc_id ELSE 'M' || doc_id END AS name,
+       CASE WHEN doc_id % 2 = 0 THEN 'jsonld' ELSE 'microdata' END AS name_source,
+       CASE WHEN doc_id % 2 = 0 THEN '2024-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            WHEN doc_id % 5 = 0 THEN '2023-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            ELSE '' END AS published,
+       CASE WHEN doc_id % 2 = 0 THEN 'jsonld'
+            WHEN doc_id % 5 = 0 THEN 'microdata'
+            ELSE 'none' END AS published_source
+FROM documents
+"""
+
+
+@register("metadata_fusion_extract", oracle=_FUSION_ORACLE)
+def metadata_fusion_extract(sf_dir: str):
+    """Fuse JSON-LD, microdata and head-title metadata by source
+    precedence.  The page law puts a JSON-LD Article on even docs only,
+    a microdata item on every doc, a title tag everywhere, and a
+    commented-out JSON-LD decoy with WRONG values on every page —
+    a fusion that greps instead of parsing would take the decoy."""
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import (
+        parse_head_meta,
+        parse_jsonld,
+        parse_microdata,
+    )
+
+    def build(did: int) -> bytes:
+        day = 1 + did % 28
+        ld = (
+            f'<script type="application/ld+json">{{"@context": "https://schema.org", '
+            f'"@type": "Article", "headline": "J{did}", '
+            f'"datePublished": "2024-02-{day:02d}"}}</script>'
+            if did % 2 == 0
+            else ""
+        )
+        rel = (
+            f'<time itemprop="releaseDate" datetime="2023-03-{day:02d}">then</time>'
+            if did % 5 == 0
+            else ""
+        )
+        return (
+            f"<!DOCTYPE html><html><head><title>T{did}</title>"
+            '<!-- <script type="application/ld+json">'
+            '{"@type":"Decoy","headline":"nope","datePublished":"1999-01-01"}'
+            "</script> -->"
+            f"{ld}</head><body>"
+            f'<div itemscope itemtype="https://schema.org/Product">'
+            f'<span itemprop="name">M{did}</span>{rel}</div>'
+            "<p>body</p></body></html>"
+        ).encode("utf-8")
+
+    def fuse(t: pa.Table) -> pa.Table:
+        urls, names, nsrc, pub, psrc = [], [], [], [], []
+        for did in t.column("doc_id").to_pylist():
+            html = build(did)
+            ld = parse_jsonld(html)
+            md = parse_microdata(html)["props"]
+            head = parse_head_meta(html)
+            if ld.get("headline"):
+                names.append(ld["headline"])
+                nsrc.append("jsonld")
+            elif md.get("name"):
+                names.append(md["name"])
+                nsrc.append("microdata")
+            else:
+                names.append(head.get("title") or "")
+                nsrc.append("head")
+            if ld.get("date_published"):
+                pub.append(ld["date_published"])
+                psrc.append("jsonld")
+            elif md.get("releaseDate"):
+                pub.append(md["releaseDate"])
+                psrc.append("microdata")
+            else:
+                pub.append("")
+                psrc.append("none")
+            urls.append(f"doc://{did}")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "name": pa.array(names, pa.string()),
+                "name_source": pa.array(nsrc, pa.string()),
+                "published": pa.array(pub, pa.string()),
+                "published_source": pa.array(psrc, pa.string()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        fuse, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markup-driven canonical dedup: variant urls (tracking params, /amp,
+# mirrors) declare their canonical via <link rel="canonical">; the
+# operator groups variants by the PARSED canonical target and elects
+# one representative — the companion to the string-normalization
+# url_canonical_dedup (this one trusts the page's own markup).
+# ---------------------------------------------------------------------------
+
+_CANON_ORACLE = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS canonical_url,
+       CAST(2 + doc_id % 2 AS BIGINT) AS n_variants,
+       'doc://' || CAST(doc_id AS VARCHAR) || '/amp' AS kept_url
+FROM documents
+"""
+
+
+@register("canonical_link_dedup", oracle=_CANON_ORACLE)
+def canonical_link_dedup(sf_dir: str):
+    """Each doc gets 2 + doc_id%2 variant pages (/amp, ?utm, ?ref)
+    whose heads declare <link rel=canonical> to the base url (plus a
+    commented-out canonical decoy).  The engine parses the canonical
+    out of each page, groups variants by the PARSED target with the
+    combiner merge, and keeps the lexicographically-first variant.
+    The oracle replays the law ('/amp' sorts before '?...' because '/'
+    < '?')."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.sources.tables import read_table
+    from document_ai_ray.stages.html_meta import parse_head_meta
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        for did in t.column("doc_id").to_pylist():
+            base = f"doc://{did}"
+            variants = [f"{base}/amp", f"{base}?utm_source=feed"]
+            if did % 2:
+                variants.append(f"{base}?ref=rss")
+            for v in variants:
+                page = (
+                    "<html><head><title>v</title>"
+                    '<!-- <link rel="canonical" href="doc://decoy"> -->'
+                    f'<link rel="canonical" href="{base}">'
+                    "</head><body><p>variant</p></body></html>"
+                )
+                urls.append(v)
+                htmls.append(page.encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())}
+        )
+
+    def canon_partial(t: pa.Table) -> pa.Table:
+        canons = [
+            parse_head_meta(h)["canonical"] or ""
+            for h in t.column("html").to_pylist()
+        ]
+        return pa.table(
+            {
+                "canonical_url": pa.array(canons, pa.string()),
+                "n_variants": pa.array([1] * len(canons), pa.int64()),
+                "kept_url": t.column("url"),
+            }
+        )
+
+    pages = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return merge_partials(
+        pages.map_batches(canon_partial, batch_format="pyarrow"),
+        ["canonical_url"],
+        {"n_variants": "sum", "kept_url": "min"},
+    )
