@@ -4737,3 +4737,100 @@ def cms_word_counts(sf_dir: str):
         )
 
     return finish(top)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-autocomplete index: for every 3-char prefix, the most frequent
+# completion (ties broken lexicographically) — the type-ahead /
+# query-suggestion substrate, built from the same distributed
+# word-count combiner as the vocabulary queries.
+# ---------------------------------------------------------------------------
+
+_AUTOCOMPLETE_ORACLE = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+      WHERE length(word) >= 3 GROUP BY 1),
+p AS (SELECT substr(word, 1, 3) AS prefix, word, n,
+             ROW_NUMBER() OVER (PARTITION BY substr(word, 1, 3)
+                                ORDER BY n DESC, word) AS rk,
+             CAST(SUM(n) OVER (PARTITION BY substr(word, 1, 3)) AS BIGINT)
+               AS n_prefix
+      FROM c)
+SELECT prefix, word AS top_word, n AS top_n, n_prefix
+FROM p WHERE rk = 1
+"""
+
+
+@register("prefix_autocomplete_top", oracle=_AUTOCOMPLETE_ORACLE)
+def prefix_autocomplete_top(sf_dir: str):
+    """Top completion per 3-char prefix.  Per-batch word-count
+    combiner -> vocab-keyed exact merge -> prefix-keyed argmax merge
+    (the prefix table is alphabet^3-bounded).  Ties break (count desc,
+    word asc) on both sides."""
+    from document_ai_ray.pipelines.ops import merge_partials
+    from document_ai_ray.stages.text_analysis import word_value_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = word_value_counts(t.column("text"))
+        mask = pc.greater_equal(pc.utf8_length(g.column("word")), 3)
+        return g.filter(mask)
+
+    words = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"), ["word"], {"n": "sum"}
+    )
+
+    def prefix_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["prefix"] = df["word"].str[:3]
+        # per-prefix argmax under (n desc, word asc): sort then first
+        df = df.sort_values(["prefix", "n", "word"], ascending=[True, False, True])
+        top = df.groupby("prefix", as_index=False).first()
+        tot = df.groupby("prefix", as_index=False)["n"].sum().rename(
+            columns={"n": "n_prefix"}
+        )
+        out = top.merge(tot, on="prefix")
+        return pa.table(
+            {
+                "prefix": pa.array(out["prefix"], pa.string()),
+                "top_word": pa.array(out["word"], pa.string()),
+                "top_n": pa.array(out["n"].astype("int64")),
+                "n_prefix": pa.array(out["n_prefix"].astype("int64")),
+            }
+        )
+
+    # words is exactly-merged (one row per word), so per-prefix argmax
+    # partials are safe to merge by (top_n desc, top_word asc) argmax…
+    # but merge_partials only does sum/min/max.  The prefix table is
+    # tiny (≤ alphabet^3): one consolidation level suffices.
+    return (
+        words.map_batches(prefix_partial, batch_format="pyarrow", batch_size=1 << 20,
+                          num_cpus=0.5)
+        .repartition(1)
+        .map_batches(prefix_partial_final, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+def prefix_partial_final(t: pa.Table) -> pa.Table:
+    """Final merge for prefix_autocomplete_top: argmax by (top_n desc,
+    top_word asc) + sum of n_prefix per prefix."""
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df.sort_values(
+        ["prefix", "top_n", "top_word"], ascending=[True, False, True]
+    )
+    top = df.groupby("prefix", as_index=False).first()
+    tot = df.groupby("prefix", as_index=False)["n_prefix"].sum()
+    out = top.drop(columns=["n_prefix"]).merge(tot, on="prefix")
+    return pa.table(
+        {
+            "prefix": pa.array(out["prefix"], pa.string()),
+            "top_word": pa.array(out["top_word"], pa.string()),
+            "top_n": pa.array(out["top_n"].astype("int64")),
+            "n_prefix": pa.array(out["n_prefix"].astype("int64")),
+        }
+    )
